@@ -1,0 +1,83 @@
+"""Scalar expression library (SURVEY.md §2.6, OP35-OP42).
+
+The reference implements three of these as row-at-a-time Python lambda UDFs
+over Polars columns (capitalize at scripts/build_db.py:581, capitalize +
+singularize at :764-771 and :963-970). Python UDFs are the slow path in
+Spark (per-row serde, breaks whole-stage codegen), and all three are
+expressible with built-in JVM functions — so this engine has **zero Python
+UDFs on the reference surface**; every expression here stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Cast to decimal for exact, partition-order-independent arithmetic.
+
+    Distributed sums of doubles are non-deterministic (FP addition is not
+    associative; partition order varies). Money-like columns are cast to
+    decimal before aggregation so the result is exact and reproducible —
+    and comparable bit-for-bit against a DuckDB oracle.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def prefixed_key(prefix: str, n: Column | str) -> Column:
+    """``'CTY-' || n`` style prefixed surrogate key (OP35).
+
+    Reference: ``'CTY-' + row_nr.cast(str)`` at scripts/build_db.py:144
+    (same pattern at :231, :279, :411, :578, :979, :1111).
+    """
+    n = F.col(n) if isinstance(n, str) else n
+    return F.concat(F.lit(prefix), n.cast("string"))
+
+
+def capitalize_first(c: Column | str) -> Column:
+    """Upper-case the first letter, keep the rest as-is (OP37).
+
+    Replaces the reference's Python lambda ``s[0].upper() + s[1:]``
+    (scripts/build_db.py:581) with codegen-friendly builtins. Not
+    ``initcap`` — that would also lower-case the tail and title-case every
+    word, which differs from the reference semantics.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.concat(F.upper(c.substr(F.lit(1), F.lit(1))), c.substr(F.lit(2), F.length(c)))
+
+
+def singularize(c: Column | str) -> Column:
+    """Drop a trailing ``'s'`` if present (OP38/OP22).
+
+    Reference: ``s[:-1]`` inside the stage-name lambdas
+    (scripts/build_db.py:765-767, :964-966), guarded by ``ends_with('s')``.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.when(c.endswith("s"), c.substr(F.lit(1), F.length(c) - 1)).otherwise(c)
+
+
+def md5_bucket(c: Column | str, seed: int | Column = 0) -> Column:
+    """Portable uniform hash: ``md5(seed || ':' || value)`` as a hex string.
+
+    Used by the dedup/sketch extension operators (MinHash, SimHash,
+    fingerprinting). md5 is chosen deliberately over the engine-native
+    ``xxhash64``: it produces identical values in any engine (DuckDB,
+    Trino, Spark), which makes sketch outputs portable and differentially
+    testable. Min/ordering over the hex strings is a valid uniform random
+    permutation for MinHash purposes.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    seed = F.lit(seed) if isinstance(seed, int) else seed
+    return F.md5(F.concat(seed.cast("string"), F.lit(":"), c.cast("string")))
+
+
+def hex_nibble(hexcol: Column, pos: int) -> Column:
+    """Value 0-15 of the hex digit at 1-based ``pos`` — portable bit source
+    (DuckDB equivalent: ``strpos('0123456789abcdef', substr(h, pos, 1)) - 1``).
+    """
+    return (
+        F.instr(F.lit("0123456789abcdef"), F.substring(hexcol, pos, 1)) - 1
+    ).cast("int")

@@ -1,0 +1,57 @@
+"""Query registry: one entry per operator in SURVEY.md §2 (+ extensions).
+
+Each entry pairs a Spark DataFrame implementation with the equivalent
+ANSI/DuckDB SQL oracle. The driver (and our own tests/test_parity.py) runs
+both on the same parquet tables and compares row count + schema +
+order-insensitive value hash — the engine's primary correctness gate
+(SURVEY.md §5).
+
+Determinism rules every query follows:
+- money/double aggregation goes through decimal (functions.dec) so results
+  are independent of partition/accumulation order, then casts to double;
+- oracle SQL casts aggregates to the Spark result types (BIGINT counts,
+  DOUBLE money) so schemas line up;
+- every computed column is aliased identically on both sides;
+- rankings/limits always carry an explicit total tie-break order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the
+    registry, optionally with its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: q.fn for n, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
+
+
+# Populate the registry (import order = display order).
+from world_cup_duckdb_spark.queries import core  # noqa: E402,F401
