@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes session startup and the first warm-up action (JVM/codegen
+warm-up), includes full query execution to a counted/materialized result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship",
+    "op26_join_composite",
+    "op28_self_join",
+    "op43_hash_agg",
+    "op44_distinct_agg",
+    "op45_rank_window",
+    "op46_analytic_window",
+    "op47_topk",
+    "op48_sort",
+    "op49_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from world_cup_duckdb_spark import get_spark
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    spark = get_spark("wcdbs-bench", cpus=cpus)
+
+    # Warm-up: touch every table + run one small query (JIT, codegen,
+    # filesystem metadata) so per-query timings measure the query.
+    from world_cup_duckdb_spark.sources.catalog import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+    REGISTRY["flagship"].fn(spark, sf_dir).count()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in REGISTRY]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        # Materialize fully (count() alone could skip column evaluation
+        # after AQE prunes; write.noop forces every column of every row).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

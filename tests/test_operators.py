@@ -1,0 +1,85 @@
+"""Unit tests on tiny literal frames (the OP04 pattern) for the fiddly
+operators called out in SURVEY.md §5/§7: validators (incl. violation
+paths the registry queries can't show), surrogate keys, diagonal union,
+unpivot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.operators.relational import (
+    diagonal_union,
+    surrogate_key,
+    unpivot_measures,
+)
+from world_cup_duckdb_spark.operators.validators import (
+    ValidationError,
+    fk_orphans,
+    null_pk_rows,
+    pk_duplicates,
+    validated_write,
+)
+
+
+def test_pk_duplicates_detects(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "id int, v string")
+    dups = pk_duplicates(df, ["id"]).collect()
+    assert [(r["id"], r["n"]) for r in dups] == [(1, 2)]
+
+
+def test_pk_duplicates_composite_clean(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], "a int, b int")
+    assert pk_duplicates(df, ["a", "b"]).count() == 0
+
+
+def test_fk_orphans_detects_and_ignores_nulls(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    orphans = fk_orphans(child, parent, {"fk": "pk"}).collect()
+    # 99 is an orphan; the null FK is not (SQL FK semantics).
+    assert [r["id"] for r in orphans] == [2]
+
+
+def test_null_pk_rows(spark):
+    df = spark.createDataFrame([(None, 1), (2, None), (3, 4)], "a int, b int")
+    assert null_pk_rows(df, ["a"]).count() == 1
+    assert null_pk_rows(df, ["a", "b"]).count() == 2
+
+
+def test_validated_write_gates(spark, tmp_path):
+    bad = spark.createDataFrame([(1,), (1,)], "id int")
+    with pytest.raises(ValidationError, match="duplicate primary key"):
+        validated_write(bad, str(tmp_path / "bad"), pk=["id"])
+    good = spark.createDataFrame([(1,), (2,)], "id int")
+    validated_write(good, str(tmp_path / "good"), pk=["id"])
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 2
+
+
+def test_surrogate_key_dense_unique_deterministic(spark):
+    # Keys must be dense 1-based in natural-key order, independent of
+    # input order/partitioning (SURVEY.md §7 hard part 1).
+    rows = [("b",), ("c",), ("a",)]
+    df1 = spark.createDataFrame(rows, "k string").repartition(4)
+    df2 = spark.createDataFrame(list(reversed(rows)), "k string").coalesce(1)
+    out1 = {(r["k"], r["id"]) for r in surrogate_key(df1, "X-", ["k"]).collect()}
+    out2 = {(r["k"], r["id"]) for r in surrogate_key(df2, "X-", ["k"]).collect()}
+    assert out1 == out2 == {("a", "X-1"), ("b", "X-2"), ("c", "X-3")}
+
+
+def test_diagonal_union_missing_cols_null(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, 3.5)], "id int, b double")
+    out = diagonal_union([a, b])
+    assert set(out.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: ("x", None), 2: (None, 3.5)}
+
+
+def test_unpivot_type_unification(spark):
+    df = spark.createDataFrame([(1, 2, 3.5)], "id int, m1 int, m2 double")
+    out = unpivot_measures(df, ["id"], ["m1", "m2"]).collect()
+    vals = {(r["variable"], r["value"]) for r in out}
+    assert vals == {("m1", 2.0), ("m2", 3.5)}

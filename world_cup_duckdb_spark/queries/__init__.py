@@ -54,4 +54,11 @@ def oracle_sql() -> dict[str, str]:
 
 
 # Populate the registry (import order = display order).
-from world_cup_duckdb_spark.queries import core  # noqa: E402,F401
+from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
+    analytics,
+    constraints,
+    core,
+    joins,
+    reshape,
+    scalars,
+)
