@@ -1,0 +1,184 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Extension surface for training-data pipelines (SURVEY.md Phase 5). Scale
+design notes:
+
+- **Exact**: hash-groupBy on md5(normalized text). One shuffle keyed by a
+  uniform hash → no skew by construction. The canonical representative is
+  min(doc_id) so the choice is deterministic.
+- **MinHash+LSH**: shingle → k seeded min-hashes → band → bucket join.
+  Only documents sharing a band bucket are ever paired, so the pairwise
+  cost is ~Σ bucket², not n². At 100 TB the guard rails are bucket-size
+  caps (drop/flag pathological buckets, e.g. boilerplate) and banding
+  parameters; the bucket join itself shuffles on (band, key) which is
+  md5-uniform → skew only from true duplicate clusters, which AQE's skew
+  join splits.
+- **SimHash**: per-document 16-bit signature from token-frequency-weighted
+  md5 bits; near-dup candidates share a signature (or a band of it).
+  Entirely map-side until the final tiny aggregation.
+- **n-gram Jaccard**: exact set similarity on char shingles — quadratic,
+  so it is the *verify* stage applied to LSH candidates (or bounded
+  samples), never a full corpus op.
+
+All hashes are md5 (portable across engines — see functions/strings.py),
+which makes every stage differentially testable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.operators.text import char_shingles, tokens, word_shingles
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups: (text_hash, canonical_doc_id, n_copies)
+    for every text appearing more than once."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(f"canonical_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-document LSH band keys: (id, band, band_key).
+
+    Signature_s = min over shingles of md5(s ':' shingle) — min over a
+    seeded uniform hash is a valid MinHash permutation, and the hex-string
+    min is portable. Bands concatenate `band_size` consecutive signatures.
+    The heavy part (shingling + k hashes) is map-side; one shuffle
+    aggregates min per (doc, seed).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), shingle_words))).alias(
+            "shingle"
+        ),
+    )
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        id_col,
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias(
+            "h"
+        ),
+    )
+    sigs = seeded.groupBy(id_col, "seed").agg(F.min("h").alias("sig"))
+    return (
+        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                    lambda s: s["sig"],
+                ),
+                "",
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket —
+    the bucket join at the heart of LSH dedup."""
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("band").alias("band_a"), "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_key").alias("key_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("band_key") == F.col("key_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per document: (id, simhash).
+
+    Each token votes ±1 on 16 bits drawn from the first 4 hex nibbles of
+    md5(token); the signature takes the sign of each bit-sum. Token
+    multiplicity is kept (frequency weighting). The whole computation is
+    one explode + one hash-agg of 16 sums — map-side partial aggregation
+    carries 16 ints per (doc, partition).
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.md5(F.col("tok"))
+    bit_sums = []
+    for j in range(16):
+        nib = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, j // 4 + 1, 1)) - 1
+        )
+        bit = F.floor(nib / (2 ** (j % 4))) % 2
+        bit_sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}")
+        )
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, 2**j).otherwise(0)
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard over all pairs of ``docs``:
+    (doc_a, doc_b, jaccard) where jaccard ≥ threshold.
+
+    Quadratic — apply to LSH candidates or bounded subsets only (the
+    registry query restricts to doc_id < 100). Set ops run as JVM array
+    intrinsics on pre-deduped shingle arrays.
+    """
+    with_sh = docs.select(
+        F.col(id_col), char_shingles(text_col, n).alias("sh")
+    )
+    a = with_sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = with_sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def with_recrawl(docs: DataFrame, id_col: str = "doc_id", offset: int = 1_000_000) -> DataFrame:
+    """Test fixture helper: union a corpus with an id-shifted copy of
+    itself (a simulated re-crawl), guaranteeing every document has an
+    exact duplicate. Used by the dedup registry queries so the detection
+    path produces non-trivial output on the synthetic corpus."""
+    copy = docs.withColumn(id_col, F.col(id_col) + offset)
+    return docs.unionByName(copy)

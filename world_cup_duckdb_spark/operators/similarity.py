@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (SURVEY.md Phase 5): brute-force cosine top-k as the
+exact baseline, sign-LSH bucketing as the scale path.
+
+Determinism: all arithmetic is double, computed as a strict left-to-right
+fold (`aggregate`), which matches DuckDB's list_sum/list_cosine_similarity
+bit-for-bit (verified empirically) — so similarity values themselves are
+oracle-comparable, not just ranks.
+
+Scale design: brute-force is O(|Q|·|C|·d) — fine when one side is small
+(broadcast the queries, stream the corpus; no shuffle until top-k), wrong
+for all-pairs. The sign-LSH variant buckets vectors by hyperplane-sign
+signature so candidate generation is a bucket equi-join, then exact
+re-scoring only within buckets (same shape as IVF probe lists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def norm2(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos = dot / (sqrt(|a|²) · sqrt(|b|²)) — exactly this association,
+    which is what DuckDB's list_cosine_similarity computes."""
+    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    The query side is broadcast (it is small by contract); every corpus
+    partition scores its vectors independently, then a ranking window
+    partitioned by query reduces to k. Self-matches are excluded.
+    Deterministic tie-break: (sim DESC, neighbor_id ASC).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def lsh_signature(vec: Column, num_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit p = sign of ⟨vec, r_p⟩ where hyperplane
+    r_p has deterministic ±1 coefficients derived from md5(p ':' dim)
+    (portable pseudo-randomness, same rationale as the MinHash seeds).
+    """
+    sig = F.lit(0)
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x
+                * F.when(
+                    (
+                        F.instr(
+                            F.lit("0123456789abcdef"),
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"{p}:"), i.cast("string")
+                                    )
+                                ),
+                                1,
+                                1,
+                            ),
+                        )
+                        - 1
+                    )
+                    % 2
+                    == 0,
+                    1.0,
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, 2**p).otherwise(0)
+    return sig.cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, exact
+    cosine re-score within the bucket.
+
+    At scale this replaces brute-force's cross join with an equi-join on
+    the signature: corpus is hashed once (can be precomputed/persisted),
+    the join shuffles on the bucket id. Recall is tuned by num_planes
+    (fewer planes → bigger buckets → higher recall, more re-scoring) or
+    multi-probe. Output schema matches brute_force_topk for side-by-side
+    recall measurement.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+    ).withColumn("bucket", lsh_signature(F.col("qv"), num_planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    ).withColumn("bucket", lsh_signature(F.col("cv"), num_planes))
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold: (vec_a, vec_b, cos_sim).
+
+    Exact and quadratic — bound the input (the registry query restricts
+    ids) or feed it LSH buckets; this is the embedding-space analogue of
+    ngram_jaccard_pairs as a verify stage.
+    """
+    a = vectors.select(F.col(id_col).alias("vec_a"), as_double(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extension surface (not reference-derived — SURVEY.md Phase 5): language
+identification, quality scoring, token counting, document fingerprinting
+over the `documents` table. All pure built-in expressions (split /
+higher-order array functions / md5) — JVM-side, codegen-able, no Python in
+the row path, so they scale linearly with input splits at 100 TB.
+
+Portability: hashes are md5-based (functions/strings.py:md5_bucket
+rationale) so every derived value is reproducible in any engine — the
+DuckDB oracles in queries/ext_text.py mirror these expressions exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword inventories for the n-gram/stopword
+#: language-ID heuristic. Deliberately small and fixed: the operator's
+#: job is the *shape* (tokenize → per-language evidence → argmax), the
+#: lists are a tunable.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "les", "et", "en"),
+}
+
+_LANG_ORDER = ("en", "es", "de", "fr")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization as an array column."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(text, " ")
+
+
+def stopword_count(toks: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (JVM higher-order
+    filter — no explode, no shuffle)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_count(toks, lang) for lang in _LANG_ORDER}
+
+
+def predict_lang(scores: dict[str, Column]) -> Column:
+    """Argmax over per-language stopword evidence, ties resolved in
+    _LANG_ORDER priority; no evidence → 'und' (undetermined)."""
+    en, es, de, fr = (scores[lang] for lang in _LANG_ORDER)
+    return (
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en > 0), "en")
+        .when((es >= de) & (es >= fr) & (es > 0), "es")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Sliding ``n``-word shingles as an array of strings; empty when the
+    document has fewer than ``n`` tokens (guard needed: Spark's sequence()
+    runs *descending* for start>stop, unlike DuckDB's range())."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct character ``n``-grams of a document."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        F.length(text) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - (n - 1)),
+                lambda i: F.substring(text, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def rolling_fingerprint(toks: Column, seed: int, n: int = 3) -> Column:
+    """Document fingerprint: min over md5'd ``n``-word shingles (a
+    1-hash MinHash — the winnowing-style content fingerprint). Seeded so
+    k independent fingerprints can be combined. Null for documents with
+    fewer than ``n`` tokens."""
+    sh = word_shingles(toks, n)
+    return F.array_min(
+        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )

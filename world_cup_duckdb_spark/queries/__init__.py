@@ -58,6 +58,10 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     analytics,
     constraints,
     core,
+    ext_dedup,
+    ext_similarity,
+    ext_stream,
+    ext_text,
     joins,
     reshape,
     scalars,

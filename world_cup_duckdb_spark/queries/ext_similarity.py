@@ -1,0 +1,110 @@
+"""Similarity-search extension queries (operators/similarity.py).
+
+Cosine values are hash-compared directly against DuckDB — the double
+fold in operators/similarity.py matches list_cosine_similarity
+bit-for-bit (verified; both are strict sequential sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import load_tables
+
+
+@register(
+    "ext_ann_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      sqrt(list_sum(list_transform(
+                        range(1, len(embedding) + 1),
+                        i -> CAST(embedding AS DOUBLE[])[i]
+                             * CAST(embedding AS DOUBLE[])[i]))) AS qn
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                 sqrt(list_sum(list_transform(
+                   range(1, len(embedding) + 1),
+                   i -> CAST(embedding AS DOUBLE[])[i]
+                        * CAST(embedding AS DOUBLE[])[i]))) AS cn
+          FROM embeddings),
+    scored AS (
+      -- explicit dot/(sqrt·sqrt): matches Spark's sequential double fold
+      -- bit-for-bit (list_cosine_similarity would clamp to [-1, 1])
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+                                     i -> qv[i] * cv[i])) / (qn * cn) AS cos_sim
+      FROM q CROSS JOIN c
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def ext_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 10 query vectors — the ANN
+    baseline: broadcast queries, stream corpus, rank window
+    (operators/similarity.py:brute_force_topk)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "ext_embedding_neardup",
+    oracle="""
+    WITH v0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id < 300
+    ),
+    v AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(range(1, len(e) + 1),
+                                          i -> e[i] * e[i]))) AS nrm
+      FROM v0
+    )
+    -- explicit dot/(sqrt·sqrt): matches Spark's sequential double fold
+    -- bit-for-bit (list_cosine_similarity would clamp to [-1, 1])
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_sum(list_transform(range(1, len(a.e) + 1),
+                                   i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)
+             AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+                                  i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)
+          >= 0.95
+    """,
+)
+def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥0.95) over a bounded
+    corpus ∪ an id-shifted copy — every vector has an exact duplicate,
+    exercising the detection path. The quadratic verify stage of
+    embedding dedup (operators/similarity.py:embedding_near_duplicates).
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 300)
+    copy = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    return embedding_near_duplicates(emb.unionByName(copy), threshold=0.95)
+
+
+@register("ext_ann_lsh", oracle=None)
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (operators/similarity.py:lsh_topk): random
+    hyperplane signatures → bucket equi-join → exact re-score. The scale
+    path replacing brute-force's cross join. Rows-only check: the output
+    is an approximation whose recall is measured in tests against
+    brute_force_topk, not a SQL-expressible oracle."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, num_planes=4)

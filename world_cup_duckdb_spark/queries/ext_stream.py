@@ -1,0 +1,176 @@
+"""Event-time windowing queries over the `events` table.
+
+These run the *same* window operators Structured Streaming uses
+(`F.window`, `F.session_window`) in batch mode — Spark's unified batch/
+streaming semantics means one definition serves both; streaming/windows.py
+wires the identical expressions to readStream with watermarks, and
+tests/test_streaming.py proves batch≡streaming output.
+
+Oracle mapping: tumbling/sliding windows are epoch-floor arithmetic;
+session windows are the gaps-and-islands construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.functions.strings import dec
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import load_tables
+
+
+@register(
+    "ext_stream_tumbling",
+    oracle="""
+    SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000)
+                          * 600000000) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ext_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows (streaming §2.8 surface, in
+    batch mode). Window assignment is map-side arithmetic; the agg is one
+    partial+final hash aggregate keyed (window, type)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "ext_stream_sliding",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events
+    ),
+    w AS (
+      SELECT make_timestamp((us // 300000000) * 300000000) AS window_start,
+             event_type, value
+      FROM e
+      UNION ALL
+      SELECT make_timestamp((us // 300000000) * 300000000 - 300000000),
+             event_type, value
+      FROM e
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def ext_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide — each event in
+    exactly two windows (the oracle unions the two 5-min-aligned grids)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "ext_stream_session",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    sessions AS (
+      SELECT *,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def ext_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap session windows per user
+    (`session_window` — the streaming stateful operator, batch mode).
+    Oracle is the classic gaps-and-islands rewrite; a new session starts
+    when the gap is ≥ the timeout (Spark's window is [start, last+gap)).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "ext_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           CAST(ts AS TIMESTAMP) AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) — the batch semantics of streaming
+    `dropDuplicatesWithinWatermark` keyed dedup (streaming/windows.py
+    provides the stateful streaming form). Deterministic via (ts,
+    event_id) total order."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )

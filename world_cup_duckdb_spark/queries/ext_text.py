@@ -1,0 +1,176 @@
+"""Text-analysis extension queries over the `documents` table.
+
+Not reference-derived (the reference has no text ops) — these are the
+training-data-pipeline operators BASELINE.json's north star calls for,
+backed by operators/text.py. Oracles mirror the md5/list expressions
+exactly (portable hashing — see functions/strings.py:md5_bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.operators.text import (
+    STOPWORDS,
+    lang_scores,
+    predict_lang,
+    rolling_fingerprint,
+    stopword_count,
+    tokens,
+)
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import load_tables
+
+
+def _sql_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+@register(
+    "ext_token_count",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens,
+           CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+    FROM documents
+    """,
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-ish pre-tokenizer)
+    tokens + chars-per-token ratio. Pure map-side expressions."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_ws = F.size(tokens("text"))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_ws.cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("int")
+        .alias("n_re_tokens"),
+        (F.col("n_chars") / n_ws).alias("chars_per_token"),
+    )
+
+
+@register(
+    "ext_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ({en}))) AS INT) AS en_score,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ({es}))) AS INT) AS es_score,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ({de}))) AS INT) AS de_score,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ({fr}))) AS INT) AS fr_score
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_score >= es_score AND en_score >= de_score
+                     AND en_score >= fr_score AND en_score > 0 THEN 'en'
+                WHEN es_score >= de_score AND es_score >= fr_score
+                     AND es_score > 0 THEN 'es'
+                WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+                WHEN fr_score > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang,
+           en_score, es_score, de_score, fr_score
+    FROM scored
+    """.format(
+        en=_sql_list("en"), es=_sql_list("es"), de=_sql_list("de"), fr=_sql_list("fr")
+    ),
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language identification (argmax with fixed tie
+    order, 'und' when no evidence). A heuristic classifier: the synthetic
+    corpus text is vocabulary-salad, so predictions measure the operator,
+    not corpus truth."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tokens("text")
+    scores = lang_scores(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        predict_lang(scores).alias("pred_lang"),
+        *[
+            scores[lang].cast("int").alias(f"{lang}_score")
+            for lang in ("en", "es", "de", "fr")
+        ],
+    )
+
+
+@register(
+    "ext_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+             CAST(len(list_filter(string_split(text,' '), w -> w IN ({en}))) AS INT)
+               AS n_stop,
+             CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS INT) AS n_punct,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_word_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_punct,
+           n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           n_word_chars / n_tokens AS avg_word_len,
+           least(1.0, n_tokens / 200.0) * 0.5
+             + least(1.0, (n_stop / CAST(n_tokens AS DOUBLE)) * 8.0) * 0.5
+             AS quality_score
+    FROM t
+    """.format(en=_sql_list("en")),
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length / punctuation / stopword
+    ratios — the C4/Gopher-style heuristic filter shape. The score blends
+    a length saturation term with a stopword-density term; both engines
+    evaluate the identical double formula."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_stop = stopword_count(toks, "en")
+    stop_ratio = n_stop / n_tokens.cast("double")
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[.!?,;:]"), F.lit(0)))
+        .cast("int")
+        .alias("n_punct"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+        ).alias("avg_word_len"),
+        (
+            F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.5
+            + F.least(F.lit(1.0), stop_ratio * 8.0) * 0.5
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "ext_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [] END AS sh
+      FROM t
+    )
+    SELECT doc_id,
+           list_min(list_transform(sh, s -> md5('0:' || s))) AS fp0,
+           list_min(list_transform(sh, s -> md5('1:' || s))) AS fp1
+    FROM sh
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: two seeded min-of-md5 rolling (3-word
+    shingle) fingerprints — content-defined ids stable under reordering
+    of documents, the building block for fuzzy dedup and winnowing."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint(toks, 0).alias("fp0"),
+        rolling_fingerprint(toks, 1).alias("fp1"),
+    )

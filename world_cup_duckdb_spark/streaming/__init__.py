@@ -1,0 +1,15 @@
+from world_cup_duckdb_spark.streaming.windows import (
+    dedup_within_watermark,
+    read_event_stream,
+    sessionize,
+    sliding_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "dedup_within_watermark",
+    "read_event_stream",
+    "sessionize",
+    "sliding_counts",
+    "tumbling_counts",
+]

@@ -1,0 +1,114 @@
+"""Structured Streaming layer (SURVEY.md §2.8 — EXTENSION, not
+reference-derived: the reference is purely batch).
+
+Spark's unified model means the window expressions here are the *same*
+ones the batch queries in queries/ext_stream.py use — readStream in,
+writeStream out, plus watermarks for state cleanup. tests/test_streaming.py
+proves streaming output ≡ batch output on the events fixture.
+
+Scale notes: event-time aggregation state is bounded by the watermark
+horizon; keys = (window × type/user) so state size tracks cardinality,
+not throughput. Sessionization uses session_window's mergeable state.
+`availableNow` triggers give batch-like backfill with streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from world_cup_duckdb_spark.functions.strings import dec
+
+#: Event-stream schema — ts kept as TimestampType (the ns→us conversion
+#: happens when staging parquet for the file source; streaming sources
+#: declare schemas explicitly, there is no inference to lean on).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream (the micro-batch ingestion pattern; swap
+    for Kafka by changing format only — the downstream operators are
+    source-agnostic)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data bound."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window variant (each event lands in window/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (dynamic gap-merged state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful keyed dedup: keep the first arrival per key, with state
+    expiry bounded by the watermark (`dropDuplicatesWithinWatermark`)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
