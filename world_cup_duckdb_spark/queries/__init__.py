@@ -63,6 +63,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_stream,
     ext_text,
     joins,
+    lifecycle,
     reshape,
     scalars,
 )

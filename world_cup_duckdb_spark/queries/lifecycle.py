@@ -1,0 +1,201 @@
+"""Table lifecycle: DDL create, insert-select load, whole-database export.
+
+Covers SURVEY.md §2.1 OP06 (DDL create table), OP07 (insert-select engine
+bridge), OP10 (whole-database export), plus the small §2.2 projections OP13
+(alias) and §2.4 OP24 (second dim broadcast join).
+
+The reference's lifecycle is: `CREATE OR REPLACE TABLE` DDL with declared
+schema (scripts/build_db.py:112-120 and 24 sibling sites), `INSERT INTO t
+SELECT * FROM ldf` where DuckDB replacement-scans a Python-local frame
+(scripts/build_db.py:72-83), and `EXPORT DATABASE '../data/stage'`
+(scripts/build_db.py:1423) emitting per-table files plus a DDL script.
+
+Spark-native equivalents: `spark.sql(CREATE TABLE ...)` against the session
+catalog (external/path-based so no warehouse assumption), the temp-view
+bridge for INSERT ... SELECT (temp views are Spark's replacement scans,
+SURVEY.md §1.3), and a catalog loop writing parquet + a generated
+`schema.sql` for export. Writes land under REPO_SCRATCH (never the
+read-only testdata).
+
+Scale notes: INSERT INTO an external parquet table is a distributed write —
+one file per partition, no driver funnel; export writes are likewise
+per-table distributed jobs. Only the 3-row manifest is collected.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import table
+
+REPO_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".scratch")
+
+
+def _fresh_dir(name: str) -> str:
+    path = os.path.join(REPO_SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+_SPARK_TO_SQL = {
+    T.IntegerType(): "INTEGER",
+    T.LongType(): "BIGINT",
+    T.DoubleType(): "DOUBLE",
+    T.StringType(): "VARCHAR",
+    T.BooleanType(): "BOOLEAN",
+    T.DateType(): "DATE",
+    T.TimestampType(): "TIMESTAMP",
+}
+
+
+def schema_to_ddl(name: str, schema: T.StructType) -> str:
+    """Emit `CREATE OR REPLACE TABLE` DDL from a Spark schema — the export
+    counterpart of the reference's generated schema script
+    (docs/schema.sql:4-30, produced by EXPORT DATABASE)."""
+    cols = ", ".join(
+        f"{f.name} {_SPARK_TO_SQL.get(f.dataType, f.dataType.simpleString().upper())}"
+        for f in schema.fields
+    )
+    return f"CREATE OR REPLACE TABLE {name} ({cols});"
+
+
+@register(
+    "op06_ddl_create",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def op06_ddl_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL create table with declared schema, then load (OP06).
+
+    Reference: 25 `CREATE OR REPLACE TABLE ... (cols, PRIMARY KEY ...)`
+    sites (scripts/build_db.py:112-120 for `award`; full DDL
+    docs/schema.sql:4-30). Spark: path-based `CREATE TABLE ... USING
+    PARQUET LOCATION` into the session catalog; PK/FK declarations become
+    the §2.9 validators (Spark does not enforce constraints).
+    """
+    loc = _fresh_dir("op06_nation_ddl")
+    spark.sql("DROP TABLE IF EXISTS nation_ddl")
+    spark.sql(
+        "CREATE TABLE nation_ddl "
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) "
+        f"USING PARQUET LOCATION '{loc}'"
+    )
+    table(spark, sf_dir, "nation").write.insertInto("nation_ddl")
+    return spark.table("nation_ddl")
+
+
+@register(
+    "op07_insert_select",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def op07_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-select load through the temp-view bridge (OP07).
+
+    Reference: `INSERT INTO {tbl} SELECT * FROM ldf` where DuckDB's binder
+    replacement-scans the Python-local LazyFrame via Arrow
+    (scripts/build_db.py:72-83). Spark's temp view plays the replacement
+    scan's role: register the frame, name it inside SQL. The WHERE on the
+    view is pushed through to the parquet scan (filter pushdown survives
+    the view boundary).
+    """
+    loc = _fresh_dir("op07_customer_load")
+    spark.sql("DROP TABLE IF EXISTS customer_loaded")
+    spark.sql(
+        "CREATE TABLE customer_loaded "
+        "(c_custkey BIGINT, c_name STRING, c_mktsegment STRING) "
+        f"USING PARQUET LOCATION '{loc}'"
+    )
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_src")
+    spark.sql(
+        "INSERT INTO customer_loaded "
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer_src "
+        "WHERE c_mktsegment = 'BUILDING'"
+    )
+    return spark.table("customer_loaded")
+
+
+@register(
+    "op10_export_database",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'nation' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(3 AS INTEGER) AS n_cols FROM nation
+      UNION ALL
+      SELECT 'region', CAST(COUNT(*) AS BIGINT), CAST(2 AS INTEGER) FROM region
+      UNION ALL
+      SELECT 'supplier', CAST(COUNT(*) AS BIGINT), CAST(4 AS INTEGER) FROM supplier
+    ) ORDER BY table_name
+    """,
+)
+def op10_export_database(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-database export: per-table files + generated DDL (OP10).
+
+    Reference: `EXPORT DATABASE '../data/stage'` (scripts/build_db.py:1423)
+    writes one CSV per table plus a schema script (the committed
+    docs/schema.sql is that script's descendant). Spark: loop the catalog,
+    `df.write.parquet` per table (distributed, one file per partition),
+    emit DDL from `df.schema`. Returns the export manifest.
+    """
+    base = _fresh_dir("op10_export")
+    exported = ("nation", "region", "supplier")
+    manifest, ddl_lines = [], []
+    for name in sorted(exported):
+        df = table(spark, sf_dir, name)
+        df.write.mode("overwrite").parquet(os.path.join(base, name))
+        ddl_lines.append(schema_to_ddl(name, df.schema))
+        manifest.append((name, df.count(), len(df.columns)))
+    with open(os.path.join(base, "schema.sql"), "w") as fh:
+        fh.write("\n".join(ddl_lines) + "\n")
+    return spark.createDataFrame(
+        manifest, "table_name string, n_rows bigint, n_cols int"
+    ).orderBy("table_name")
+
+
+@register(
+    "op13_alias",
+    oracle="""
+    SELECT r_name AS region_name, r_regionkey AS region_key FROM region
+    """,
+)
+def op13_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column alias / keep-name projection (OP13).
+
+    Reference: `.alias(...)`/`keep_name()` on computed columns
+    (scripts/build_db.py:144, :287).
+    """
+    return table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("region_name"),
+        F.col("r_regionkey").alias("region_key"),
+    )
+
+
+@register(
+    "op24_join_dim",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name AS nation_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def op24_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dimension broadcast equi-join (OP24).
+
+    Reference: team ⋈ federation on federation_name
+    (scripts/build_db.py:624-627). The dim is bounded (≤25 nations at any
+    scale) → broadcast, so the supplier side never shuffles — the pattern
+    every dim join in this engine uses at 100 TB.
+    """
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    return sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
