@@ -1,0 +1,92 @@
+"""Multimodal operator plumbing tests (operators/multimodal.py).
+
+The parity suite already proves metadata/decode/resize/frames values
+against the DuckDB oracle; these tests cover what SQL can't see: byte
+content of rewritten payloads, feature determinism across partitionings,
+Arrow batch shapes, and that the stubbed real codec fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from world_cup_duckdb_spark.operators.multimodal import (
+    FRAME_CHUNK,
+    attach_payload,
+    decode_image_real,
+    decode_media,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from world_cup_duckdb_spark.sources.catalog import table
+
+
+@pytest.fixture(scope="module")
+def mm(spark, sf_dir):
+    return attach_payload(table(spark, sf_dir, "documents")).cache()
+
+
+def test_payload_is_utf8_of_text(spark, sf_dir, mm):
+    docs = {r["doc_id"]: r["text"] for r in
+            table(spark, sf_dir, "documents").collect()}
+    for r in mm.collect():
+        assert bytes(r["payload"]) == docs[r["doc_id"]].encode("utf-8")
+        assert r["meta"]["n_bytes"] == len(bytes(r["payload"]))
+
+
+def test_decode_schema_and_channels(mm):
+    out = decode_media(mm)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "media_type", "width", "height", "channels"]
+    rows = out.collect()
+    assert rows, "decode produced no rows"
+    for r in rows:
+        assert 16 <= r["width"] <= 512 and 16 <= r["height"] <= 512
+        assert r["channels"] == (1 if r["media_type"] == "audio" else 3)
+
+
+def test_features_deterministic_across_partitioning(mm):
+    a = {r["doc_id"]: list(r["features"])
+         for r in extract_features(mm).collect()}
+    b = {r["doc_id"]: list(r["features"])
+         for r in extract_features(mm.repartition(7)).collect()}
+    assert a == b
+    for vec in a.values():
+        assert len(vec) == 8
+        assert abs(sum(vec) - 1.0) < 1e-5  # L1-normalized
+
+
+def test_resize_rewrites_bytes(mm):
+    for r in resize_images(mm, 8, 4).collect():
+        assert len(bytes(r["payload"])) == 8 * 4 * 3
+        assert r["width"] == 8 and r["height"] == 4
+
+
+def test_frames_fanout_slices_payload(mm):
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in mm.collect()}
+    frames = sample_frames(mm).collect()
+    assert frames, "no video frames sampled"
+    for r in frames:
+        src = payloads[r["doc_id"]]
+        i = r["frame_idx"]
+        expected = src[i * FRAME_CHUNK:(i + 1) * FRAME_CHUNK]
+        assert bytes(r["frame"]) == expected
+        assert r["frame_bytes"] == len(expected)
+    # fan-out count: 1 + n_bytes % 4 rows per video doc
+    by_doc: dict[int, int] = {}
+    for r in frames:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
+    for doc_id, n in by_doc.items():
+        assert n == 1 + len(payloads[doc_id]) % 4
+
+
+def test_real_codec_stub_fails_loudly():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG...")
+
+
+def test_no_shuffle_in_narrow_maps(spark, mm):
+    # decode is a narrow map over the scan: no Exchange in the plan.
+    plan = decode_media(mm)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,218 @@
+"""Multimodal (image/audio/video) column operators for training-data
+pipelines.
+
+Extension surface (not reference-derived — SURVEY.md Phase 5 / BASELINE
+north star). Media are opaque ``binary`` payload columns with a typed
+metadata struct alongside; decode / feature-extract / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` transforms.
+
+The real codecs (PIL/libav) are NOT in this container, so the decode step
+is STUBBED: :func:`decode_image_real` raises ``NotImplementedError`` with
+the integration contract, and the pipeline uses :func:`fake_decode_batch`,
+a deterministic pure function of the payload bytes. Everything Spark-side —
+schemas, Arrow batch shapes, UDF signatures, 1→N row fan-out, partitioning
+behavior — is real and tested (tests/test_multimodal.py).
+
+Scale design: every transform here is a *narrow* map — no shuffle, no
+driver involvement; throughput scales linearly with input splits. Arrow
+moves whole columnar batches across the Python boundary (vectorized, not
+per-row pickling). Payload columns are large: at 100 TB keep
+``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads fits
+executor memory, and select the payload column as late as possible so scans
+of metadata-only queries never read the blob pages (parquet column
+pruning does this for free when the payload lives in its own column).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pandas only inside executors at runtime
+    import pandas as pd
+
+#: media_type assignment for the synthetic corpus: deterministic by doc_id.
+MEDIA_TYPES = ("image", "audio", "video")
+
+#: fake-codec constants (mirrored exactly by the DuckDB oracles in
+#: queries/ext_multimodal.py — keep in sync).
+DIM_MOD = 497  # width/height range 16..512
+FRAME_CHUNK = 256  # bytes per sampled frame
+FRAME_MOD = 4  # 1..4 frames per video
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal table: opaque binary payload + typed metadata.
+
+    The payload is the UTF-8 encoding of the text (a deterministic fake
+    standing in for real media bytes); metadata is a proper struct column
+    ``meta(media_type, n_bytes)`` so downstream operators can prune to
+    metadata without touching the blob. All JVM-side expressions.
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, MEDIA_TYPES[0])
+        .when(F.col("doc_id") % 3 == 1, MEDIA_TYPES[1])
+        .otherwise(MEDIA_TYPES[2])
+    )
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            media.alias("media_type"),
+            F.length(payload).cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real decode stub — the codec libraries are not in this container.
+
+    Integration contract: given raw media bytes, return (width, height,
+    channels). Wire in PIL.Image.open(io.BytesIO(payload)) (images) or
+    soundfile/av (audio/video) here; the surrounding mapInPandas plumbing
+    (fake_decode_batch's caller) stays unchanged.
+    """
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; "
+        "pipeline uses fake_decode_batch (deterministic fake)"
+    )
+
+
+def _fake_dims(n_bytes: "pd.Series") -> tuple["pd.Series", "pd.Series"]:
+    width = 16 + (n_bytes % DIM_MOD)
+    height = 16 + ((n_bytes * 7) % DIM_MOD)
+    return width, height
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, channels int"
+)
+
+
+def decode_media(mm: DataFrame) -> DataFrame:
+    """Decode payloads to (width, height, channels) via mapInPandas.
+
+    Deterministic fake decode (see module docstring): dims are a pure
+    function of the byte length, channels of the media type. The batch
+    loop measures the *actual* payload bytes (``len(b)``) rather than
+    trusting metadata — the plumbing a real codec needs.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            n_bytes = pd.Series(
+                [len(b) for b in pdf["payload"]], index=pdf.index, dtype="int64"
+            )
+            width, height = _fake_dims(n_bytes)
+            media = pdf["meta"].map(lambda m: m["media_type"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": media,
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "channels": media.map(
+                        lambda m: 1 if m == "audio" else 3
+                    ).astype("int32"),
+                }
+            )
+
+    return mm.mapInPandas(batches, DECODE_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id bigint, features array<float>"
+
+
+def extract_features(mm: DataFrame, dim: int = 8) -> DataFrame:
+    """Byte-histogram feature vectors (L1-normalized, ``dim`` bins) per
+    payload — the feature-extraction stage shape (swap the histogram for a
+    real model's forward pass; batch shape and output schema hold).
+
+    numpy does the histogram per Arrow batch — vectorized within each
+    payload, no per-byte Python.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                total = hist.sum()
+                feats.append(hist / total if total else hist)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return mm.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int"
+
+
+def resize_images(mm: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Fake resize: tile/truncate the payload to exactly width*height*3
+    bytes (binary→binary transform with updated metadata — the in-place
+    media-rewrite shape). Images only; narrow map, no shuffle."""
+
+    target = width * height * 3
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            mask = pdf["meta"].map(lambda m: m["media_type"] == "image")
+            pdf = pdf[mask]
+            out = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                reps = -(-target // max(len(arr), 1))
+                out.append(np.tile(arr, reps)[:target].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                }
+            )
+
+    return mm.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame binary"
+
+
+def sample_frames(mm: DataFrame) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame
+    (1→N fan-out inside mapInPandas — the batch may grow). Frame count is
+    1 + n_bytes % FRAME_MOD; frame i is the payload's i-th FRAME_CHUNK
+    slice (may be empty past EOF, mirroring short final frames)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows: list[tuple[int, int, int, bytes]] = []
+            for doc_id, b, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["media_type"] != "video":
+                    continue
+                n = len(b)
+                for i in range(1 + n % FRAME_MOD):
+                    chunk = b[i * FRAME_CHUNK : (i + 1) * FRAME_CHUNK]
+                    rows.append((doc_id, i, len(chunk), chunk))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame"]
+            ).astype({"frame_idx": "int32", "frame_bytes": "int32"})
+
+    return mm.mapInPandas(batches, FRAMES_SCHEMA)

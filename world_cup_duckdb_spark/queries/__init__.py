@@ -59,6 +59,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     constraints,
     core,
     ext_dedup,
+    ext_multimodal,
     ext_similarity,
     ext_stream,
     ext_text,

@@ -1,0 +1,129 @@
+"""Multimodal-column extension queries over the `documents` table.
+
+Not reference-derived (the reference is text/relational only) — the
+image/audio/video pipeline shapes BASELINE.json's north star calls for,
+backed by operators/multimodal.py. Payloads are deterministic fakes
+(UTF-8 bytes of the text), so the DuckDB oracles reproduce every derived
+value with `encode`/`octet_length` arithmetic — proving the Arrow/
+mapInPandas plumbing end-to-end, not just "it ran".
+
+The feature-extraction query is rows-only checked (byte histograms are
+not SQL-expressible in the oracle); its determinism across partitionings
+is covered by tests/test_multimodal.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.operators.multimodal import (
+    DIM_MOD,
+    FRAME_CHUNK,
+    FRAME_MOD,
+    attach_payload,
+    decode_media,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import load_tables
+
+_MEDIA_CASE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+@register(
+    "ext_mm_metadata",
+    oracle=f"""
+    SELECT doc_id, {_MEDIA_CASE} AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents
+    """,
+)
+def ext_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata struct (JVM-side attach;
+    metadata queries never touch the blob column)."""
+    mm = attach_payload(load_tables(spark, sf_dir)["documents"])
+    return mm.select("doc_id", "meta.media_type", "meta.n_bytes")
+
+
+@register(
+    "ext_mm_decode",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, {_MEDIA_CASE} AS media_type,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id, media_type,
+           CAST(16 + n_bytes % {DIM_MOD} AS INT) AS width,
+           CAST(16 + (n_bytes * 7) % {DIM_MOD} AS INT) AS height,
+           CAST(CASE WHEN media_type = 'audio' THEN 1 ELSE 3 END AS INT)
+             AS channels
+    FROM m
+    """,
+)
+def ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage: payload → (width, height, channels) through the
+    Arrow-batched mapInPandas fake codec (operators/multimodal.py)."""
+    return decode_media(attach_payload(load_tables(spark, sf_dir)["documents"]))
+
+
+@register("ext_mm_features", oracle=None)
+def ext_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: 8-bin byte histogram per payload (vectorized
+    numpy in mapInPandas). Rows-only driver check; determinism across
+    partitionings is pytest-verified."""
+    return extract_features(
+        attach_payload(load_tables(spark, sf_dir)["documents"])
+    )
+
+
+@register(
+    "ext_mm_resize",
+    oracle="""
+    SELECT doc_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(64 * 64 * 3 AS INT) AS out_bytes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: binary→binary rewrite to a fixed 64×64×3 buffer;
+    the query projects the rewritten sizes (blob equality itself is not
+    SQL-expressible; byte-content checks live in tests)."""
+    mm = attach_payload(load_tables(spark, sf_dir)["documents"])
+    out = resize_images(mm, 64, 64)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("out_bytes"),
+    )
+
+
+@register(
+    "ext_mm_frames",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2
+    ), fan AS (
+      SELECT doc_id, n_bytes,
+             unnest(generate_series(0, n_bytes % {FRAME_MOD})) AS frame_idx
+      FROM v
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(GREATEST(0, LEAST({FRAME_CHUNK},
+                n_bytes - frame_idx * {FRAME_CHUNK})) AS INT) AS frame_bytes
+    FROM fan
+    """,
+)
+def ext_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1→N row fan-out per video payload inside
+    mapInPandas (batch grows; schema fixed)."""
+    mm = attach_payload(load_tables(spark, sf_dir)["documents"])
+    return sample_frames(mm).select("doc_id", "frame_idx", "frame_bytes")
