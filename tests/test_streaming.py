@@ -1,0 +1,155 @@
+"""Structured Streaming tests: streaming output ≡ batch output.
+
+Spark's unified model means the window expressions in
+streaming/windows.py are the same ones queries/ext_stream.py runs in
+batch; these tests prove it end-to-end: stage the events fixture as a
+3-file parquet directory, stream it with maxFilesPerTrigger=1 (3
+micro-batches) under an availableNow trigger into a memory sink, and
+compare against the batch answers. The multi-batch split matters — it
+forces windowed-aggregation and applyInPandasWithState state to merge
+across micro-batches, not just within one.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from world_cup_duckdb_spark.sources.catalog import table
+from world_cup_duckdb_spark.streaming import (
+    dedup_within_watermark,
+    read_event_stream,
+    sessionize,
+    sliding_counts,
+    tumbling_counts,
+)
+from world_cup_duckdb_spark.streaming.stateful import running_user_profile
+from world_cup_duckdb_spark.streaming.windows import EVENT_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir, tmp_path_factory):
+    """events → 3 parquet files ordered by event time (arrival ≈ event
+    order, so watermarks behave as in production)."""
+    base = tmp_path_factory.mktemp("events_stream")
+    df = table(spark, sf_dir, "events").orderBy("ts", "event_id").toPandas()
+    # TIMESTAMP(MICROS) parquet so the streaming reader's declared
+    # TimestampType matches (the source fixture is NANOS — catalog gotcha).
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    third = math.ceil(len(df) / 3)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(3):
+        chunk = df.iloc[i * third : (i + 1) * third]
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+        pq.write_table(tbl, base / f"events_{i}.parquet")
+    return str(base)
+
+
+def _run_stream(spark, df, mode: str, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    out = set()
+    for r in df.collect():
+        out.add(tuple(
+            round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols
+        ))
+    return out
+
+
+def test_stream_source_declares_schema(spark, staged):
+    stream = read_event_stream(spark, staged)
+    assert stream.isStreaming
+    assert stream.schema == EVENT_SCHEMA
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, staged):
+    stream = read_event_stream(spark, staged)
+    got = _run_stream(spark, tumbling_counts(stream), "complete", "t_tumbling")
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    want = REGISTRY["ext_stream_tumbling"].fn(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, staged):
+    stream = read_event_stream(spark, staged)
+    got = _run_stream(spark, sliding_counts(stream), "complete", "t_sliding")
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    want = REGISTRY["ext_stream_sliding"].fn(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_stream_equals_batch(spark, sf_dir, staged):
+    stream = read_event_stream(spark, staged)
+    got = _run_stream(spark, sessionize(stream), "complete", "t_session")
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    want = REGISTRY["ext_stream_session"].fn(spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_stream_matches_batch_keys(spark, sf_dir, staged):
+    stream = read_event_stream(spark, staged)
+    got = _run_stream(
+        spark, dedup_within_watermark(stream), "append", "t_dedup"
+    )
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    want = REGISTRY["ext_stream_dedup"].fn(spark, sf_dir)
+    # First-arrival tie-breaks within a micro-batch are nondeterministic;
+    # the kept key set and cardinality are exact.
+    assert _rows(got, ["user_id", "event_type"]) == _rows(
+        want, ["user_id", "event_type"]
+    )
+    assert got.count() == want.count()
+
+
+def test_stateful_profile_accumulates_across_batches(spark, sf_dir, staged):
+    stream = read_event_stream(spark, staged, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, running_user_profile(stream), "update", "t_profile"
+    )
+    updates = got.collect()
+    # Final snapshot per user = the row with that user's max n_events.
+    final: dict[int, tuple] = {}
+    for r in updates:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (
+                r["n_events"], r["total_value"], r["last_event_id"]
+            )
+    from pyspark.sql import functions as F
+
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max_by("event_id", F.struct("ts", "event_id")).alias("last_id"),
+        )
+        .collect()
+    )
+    assert len(updates) > len(final), "no cross-batch state updates happened"
+    for r in batch:
+        n, total, last_id = final[r["user_id"]]
+        assert n == r["n"]
+        assert total == pytest.approx(r["total"], rel=1e-9)
+        assert last_id == r["last_id"]

@@ -1,3 +1,4 @@
+from world_cup_duckdb_spark.streaming.stateful import running_user_profile
 from world_cup_duckdb_spark.streaming.windows import (
     dedup_within_watermark,
     read_event_stream,
@@ -9,6 +10,7 @@ from world_cup_duckdb_spark.streaming.windows import (
 __all__ = [
     "dedup_within_watermark",
     "read_event_stream",
+    "running_user_profile",
     "sessionize",
     "sliding_counts",
     "tumbling_counts",

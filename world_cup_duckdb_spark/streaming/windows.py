@@ -35,11 +35,18 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source event stream (the micro-batch ingestion pattern; swap
     for Kafka by changing format only — the downstream operators are
-    source-agnostic)."""
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    source-agnostic). ``max_files_per_trigger`` bounds micro-batch size —
+    under an availableNow trigger it splits a backfill into multiple
+    batches instead of one giant one (backpressure at scale)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def tumbling_counts(
