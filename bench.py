@@ -38,7 +38,15 @@ def main() -> None:
     from world_cup_duckdb_spark import get_spark
     from world_cup_duckdb_spark.queries import REGISTRY
 
-    spark = get_spark("wcdbs-bench", cpus=cpus)
+    # Shuffle parallelism sized to the local bench scale (tasks are ~one
+    # maxPartitionBytes chunk each); a production cluster overrides via
+    # SPARK_GRAFT_SHUFFLE or leaves AQE to coalesce a higher initial value.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
+    spark = get_spark(
+        "wcdbs-bench",
+        cpus=cpus,
+        extra_conf={"spark.sql.shuffle.partitions": shuffle},
+    )
 
     # Warm-up: touch every table + run one small query (JIT, codegen,
     # filesystem metadata) so per-query timings measure the query.
@@ -53,14 +61,21 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in REGISTRY]
 
-    timings: dict[str, float] = {}
-    for name in names:
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    def once(name: str) -> float:
         df = REGISTRY[name].fn(spark, sf_dir)
         t0 = time.perf_counter()
         # Materialize fully (count() alone could skip column evaluation
         # after AQE prunes; write.noop forces every column of every row).
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in names:
+        once(name)  # per-query warm-up: codegen compile, broadcast build
+        runs = sorted(once(name) for _ in range(reps))
+        timings[name] = round(runs[len(runs) // 2], 3)  # median: steady state
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
