@@ -1,0 +1,842 @@
+"""The World-Cup ELT DAG as an engine program (SURVEY.md Phase 4).
+
+Reproduces the reference's full build — raw jfjelstul/worldcup-shaped
+frames in, the 27 normalized tables of /root/reference/docs/schema.sql
+out — composed entirely from this engine's operator surface (§2): literal
+lookup tables (OP04), when-chains (OP18), capitalize/singularize string
+work (OP37/OP38), timestamp parse (OP39), surrogate keys (OP33), unpivot
+(OP32), diagonal union (OP31), renamed-key joins (OP29), the left-join
+host flag (OP27), the replay self-join (OP28), and conditional
+aggregation + ranking windows (OP43/OP45) for the recomputed derived
+tables. Constraint metadata (CONSTRAINTS) drives the §2.9 validators the
+way DuckDB's DDL drove enforcement in the reference.
+
+Deliberate deviations from the reference (SURVEY.md §1.4 — new engine,
+not a port):
+- schema typos are fixed: given_type→given_name, year_introuced→
+  year_introduced, goals_againt→goals_against, penalties_againt→
+  penalties_against, wining_team_id→winning_team_id;
+- surrogate keys are deterministic (`row_number` over natural-key order,
+  not Polars' order-dependent `with_row_count` — SURVEY §7 hard part 1);
+- `str.replace('_',' ')` replaces ALL occurrences (OP36 deviation);
+- `tournament_schedule` counts and `tournament_team_group_performance`
+  standings are RECOMPUTED from the facts (the §2.7 "recompute every
+  derived table" definition of query-capability parity) instead of being
+  loaded pre-aggregated from CSVs (scripts/build_db.py:776-784,
+  :1363-1389).
+
+Scale notes: dimension builds are tiny and end in broadcast joins against
+the fact tables; the fact pipelines (event, team_appearance, match_player)
+are narrow maps over their sources plus one surrogate-key window. The
+global `row_number` window for surrogate keys is the one intentionally
+non-scalable step (single-partition sort) — keyed tables at 100 TB should
+switch to `zipWithIndex`-style dense ids per partition or hash ids; kept
+here because reference ids are dense 1-based and the tables are dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared scalar helpers (OP35-OP38)
+# --------------------------------------------------------------------------
+
+
+def _cap(colname: str) -> F.Column:
+    """Capitalize first letter, preserve the rest (OP37 — replaces the
+    reference's Python lambda UDF at scripts/build_db.py:581 with native
+    expressions; no Python in the row path)."""
+    c = F.col(colname)
+    return F.concat(F.upper(F.substring(c, 1, 1)), F.substr(c, F.lit(2)))
+
+
+def _cap_singular(colname: str) -> F.Column:
+    """Capitalize + drop a trailing 's' (OP37+OP38,
+    scripts/build_db.py:764-771)."""
+    c = F.col(colname)
+    head = F.upper(F.substring(c, 1, 1))
+    return F.when(
+        c.endswith("s"),
+        F.concat(head, F.substr(c, F.lit(2), F.length(c) - 2)),
+    ).otherwise(F.concat(head, F.substr(c, F.lit(2))))
+
+
+def surrogate_key(
+    df: DataFrame, prefix: str, order: list[str], id_col: str = "id"
+) -> DataFrame:
+    """Dense 1-based prefixed surrogate keys (OP33/OP35).
+
+    Deterministic: `row_number` over an explicit natural-key order —
+    unlike the reference's `unique()`+`with_row_count`
+    (scripts/build_db.py:141-144) whose ids depend on scan order.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order])
+    return df.withColumn(
+        id_col,
+        F.concat(F.lit(prefix), F.row_number().over(w).cast("string")),
+    )
+
+
+# --------------------------------------------------------------------------
+# literal lookup data (OP04)
+# --------------------------------------------------------------------------
+
+#: (orig_name, super_type) — scripts/build_db.py:216-240's literal frame +
+#: when-chain, as data. Ids become EVT-n in orig order (build_db.md:258).
+EVENT_TYPES = [
+    ("goal", "goal"),
+    ("own goal", "goal"),
+    ("penalty", "goal"),
+    ("going_off", "substitution"),
+    ("coming_on", "substitution"),
+    ("yellow_card", "booking"),
+    ("second_yellow_card", "booking"),
+    ("red_card", "booking"),
+    ("sending_off", "booking"),
+]
+
+#: position codes → (name, position type) — scripts/build_db.py:353-375
+#: (PTYP-1..4 literal) + :414-428 (code mapping when-chain), as data.
+POSITION_TYPES = [
+    ("PTYP-1", "GK", "goalkeeper"),
+    ("PTYP-2", "DF", "defender"),
+    ("PTYP-3", "MF", "midfielder"),
+    ("PTYP-4", "FW", "forward"),
+]
+
+_POS_NAME = {"GK": "goalkeeper", "DF": "defender", "MF": "midfielder", "FW": "forward"}
+
+#: booking / substitution flag columns melted into event rows (OP32,
+#: scripts/build_db.py:1065-1099).
+BOOKING_FLAGS = ["yellow_card", "second_yellow_card", "red_card", "sending_off"]
+SUBSTITUTION_FLAGS = ["going_off", "coming_on"]
+
+
+# --------------------------------------------------------------------------
+# the DAG
+# --------------------------------------------------------------------------
+
+
+def build_worldcup(
+    spark: SparkSession, raw: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Raw corpus frames → all 27 schema.sql tables, dependency-ordered.
+
+    ``raw`` keys (jfjelstul CSV shapes): tournaments, teams,
+    confederations, players, managers, referees, stadiums, matches,
+    awards, award_winners, squads, player_appearances, goals, bookings,
+    substitutions, penalty_kicks, team_appearances, qualified_teams,
+    host_countries, tournament_referees, tournament_managers,
+    tournament_stages.
+    """
+    t: dict[str, DataFrame] = {}
+
+    # --- confederation (docs/schema.sql:4 `confederation`) ---
+    t["confederation"] = surrogate_key(
+        raw["confederations"].select(
+            F.col("confederation_code").alias("code"),
+            F.col("confederation_name").alias("name"),
+            F.col("confederation_wikipedia_link").alias("wikipedia_link"),
+        ),
+        "CF-",
+        ["code"],
+    ).select("id", "code", "name", "wikipedia_link")
+
+    # --- federation (schema.sql federation; built from teams like
+    # scripts/build_db.py:271-301's distinct+key+join) ---
+    fed_src = (
+        raw["teams"]
+        .select("federation_name", "region_name", "confederation_code")
+        .distinct()
+    )
+    t["federation"] = (
+        surrogate_key(fed_src, "FED-", ["federation_name"])
+        .join(
+            F.broadcast(
+                t["confederation"].select(
+                    F.col("id").alias("confederation_id"),
+                    F.col("code").alias("confederation_code"),
+                )
+            ),
+            "confederation_code",
+        )
+        .select(
+            "id",
+            F.col("federation_name").alias("name"),
+            "region_name",
+            F.lit(None).cast("string").alias("wikipedia_link"),
+            "confederation_id",
+        )
+    )
+
+    # --- team (join on federation_name — OP24 pattern,
+    # scripts/build_db.py:624-627) ---
+    t["team"] = (
+        raw["teams"]
+        .join(
+            F.broadcast(
+                t["federation"].select(
+                    F.col("id").alias("federation_id"),
+                    F.col("name").alias("federation_name"),
+                )
+            ),
+            "federation_name",
+        )
+        .select(
+            F.col("team_id").alias("id"),
+            F.col("team_code").alias("code"),
+            F.col("team_name").alias("name"),
+            F.col("team_wikipedia_link").alias("wikipedia_link"),
+            "federation_id",
+        )
+    )
+
+    # --- city (distinct + surrogate keys, scripts/build_db.py:137-148) ---
+    t["city"] = surrogate_key(
+        raw["stadiums"].select(
+            F.col("city_name").alias("name"),
+            F.col("country_name"),
+        ).distinct(),
+        "CTY-",
+        ["name", "country_name"],
+    ).select(
+        "id", "name", "country_name", F.lit(None).cast("string").alias("wikipedia_link")
+    )
+
+    # --- stadium (join city by name — OP23, scripts/build_db.py:529-532) ---
+    t["stadium"] = (
+        raw["stadiums"]
+        .join(
+            F.broadcast(
+                t["city"].select(
+                    F.col("id").alias("city_id"), F.col("name").alias("city_name")
+                )
+            ),
+            "city_name",
+        )
+        .select(
+            F.col("stadium_id").alias("id"),
+            F.col("stadium_name").alias("name"),
+            F.col("stadium_capacity").cast("int").alias("capacity"),
+            F.col("stadium_wikipedia_link").alias("wikipedia_link"),
+            "city_id",
+        )
+    )
+
+    # --- player / manager / referee / award (projection + rename) ---
+    t["player"] = raw["players"].select(
+        F.col("player_id").alias("id"),
+        "family_name",
+        "given_name",
+        F.to_date("birth_date").alias("birth_date"),
+        F.col("count_tournaments").cast("int").alias("n_tournaments"),
+        F.col("player_wikipedia_link").alias("wikipedia_link"),
+    )
+    t["manager"] = raw["managers"].select(
+        F.col("manager_id").alias("id"), "family_name", "given_name", "country_name"
+    )
+    t["referee"] = (
+        raw["referees"]
+        .join(
+            F.broadcast(
+                t["confederation"].select(
+                    F.col("id").alias("confederation_id"),
+                    F.col("code").alias("confederation_code"),
+                )
+            ),
+            "confederation_code",
+        )
+        .select(
+            F.col("referee_id").alias("id"),
+            "family_name",
+            "given_name",
+            "country_name",
+            "confederation_id",
+            F.col("referee_wikipedia_link").alias("wikipedia_link"),
+        )
+    )
+    t["award"] = raw["awards"].select(
+        F.col("award_id").alias("id"),
+        F.col("award_name").alias("name"),
+        F.col("award_description").alias("description"),
+        F.col("year_introduced").cast("int").alias("year_introduced"),
+    )
+
+    # --- position_type / position (literal lookup + when-chain mapping,
+    # scripts/build_db.py:353-375, :403-433) ---
+    t["position_type"] = spark.createDataFrame(
+        POSITION_TYPES, "id string, code string, name string"
+    )
+    pos_src = (
+        raw["squads"].select("position_code")
+        .union(raw["player_appearances"].select("position_code"))
+        .distinct()
+    )
+    pos_name = F.col("position_code")
+    name_expr = None
+    for code, nm in _POS_NAME.items():
+        cond = F.when(pos_name == code, nm)
+        name_expr = cond if name_expr is None else name_expr.when(pos_name == code, nm)
+    t["position"] = (
+        surrogate_key(pos_src, "POS-", ["position_code"])
+        .join(
+            F.broadcast(
+                t["position_type"].select(
+                    F.col("id").alias("position_type_id"),
+                    F.col("code").alias("position_code"),
+                )
+            ),
+            "position_code",
+        )
+        .select(
+            "id",
+            F.col("position_code").alias("code"),
+            name_expr.otherwise("unknown").alias("name"),
+            "position_type_id",
+        )
+    )
+
+    # --- stage (distinct + capitalize + group/knockout when-chain,
+    # scripts/build_db.py:570-599) ---
+    t["stage"] = surrogate_key(
+        raw["tournament_stages"].select("stage_name", "group_stage").distinct(),
+        "STG-",
+        ["stage_name"],
+    ).select(
+        "id",
+        _cap("stage_name").alias("name"),
+        F.when(F.col("group_stage") == 1, "Group").otherwise("Knockout").alias("type"),
+        F.col("stage_name").alias("orig_stage_name"),
+    )
+    stage_dim = t["stage"]
+    t["stage"] = stage_dim.select("id", "name", "type")
+
+    # --- tournament (join winner by team name — differing key names OP25,
+    # scripts/build_db.py:659-686) ---
+    t["tournament"] = (
+        raw["tournaments"]
+        .join(
+            F.broadcast(
+                t["team"].select(
+                    F.col("id").alias("winning_team_id"),
+                    F.col("name").alias("winner"),
+                )
+            ),
+            "winner",
+            "left",
+        )
+        .select(
+            F.col("tournament_id").alias("id"),
+            F.col("tournament_name").alias("name"),
+            F.col("year").cast("int").alias("year"),
+            F.to_date("start_date").alias("start_date"),
+            F.to_date("end_date").alias("end_date"),
+            F.col("count_teams").cast("int").alias("n_team"),
+            "winning_team_id",
+        )
+    )
+
+    # --- tournament_team (the only outer join: LEFT JOIN hosts → is_host,
+    # scripts/build_db.py:819-851) ---
+    hosts = raw["host_countries"].select(
+        "tournament_id", "team_id", F.lit(True).alias("_host")
+    )
+    t["tournament_team"] = (
+        raw["qualified_teams"]
+        .join(hosts, ["tournament_id", "team_id"], "left")
+        .select(
+            "tournament_id",
+            "team_id",
+            F.col("count_matches").cast("int").alias("n_matches"),
+            "performance",
+            F.when(F.col("_host").isNull(), F.lit(False))
+            .otherwise(F.lit(True))
+            .alias("is_host"),
+        )
+    )
+
+    # --- tournament_squad (shirt 0 → null, scripts/build_db.py:898-917) ---
+    t["tournament_squad"] = (
+        raw["squads"]
+        .join(
+            F.broadcast(
+                t["position"].select(
+                    F.col("id").alias("position_id"),
+                    F.col("code").alias("position_code"),
+                )
+            ),
+            "position_code",
+        )
+        .select(
+            "tournament_id",
+            "team_id",
+            "player_id",
+            F.when(F.col("shirt_number") == 0, None)
+            .otherwise(F.col("shirt_number").cast("string"))
+            .alias("shirt_number"),
+            "position_id",
+        )
+    )
+
+    t["tournament_manager"] = raw["tournament_managers"].select(
+        "tournament_id", "team_id", "manager_id"
+    )
+    t["tournament_referee"] = raw["tournament_referees"].select(
+        "tournament_id", "referee_id"
+    )
+    t["award_winner"] = raw["award_winners"].select(
+        "tournament_id", "award_id", "player_id"
+    )
+
+    # --- match (the richest pipeline: stage join, stage_detail when-chain,
+    # datetime parse, FT/ET/PS, penalty nulling —
+    # scripts/build_db.py:944-1012) ---
+    stage_for_match = F.broadcast(
+        stage_dim.select(
+            F.col("id").alias("stage_id"),
+            "orig_stage_name",
+        )
+    )
+    m = raw["matches"].join(
+        stage_for_match, F.col("stage_name") == F.col("orig_stage_name")
+    )
+    stage_detail = (
+        F.when(F.col("group_name").contains("Group"), F.col("group_name"))
+        .otherwise(_cap_singular("stage_name"))
+        .cast("string")
+    )
+    et_ps = F.col("extra_time") + F.col("penalty_shootout")
+    t["match"] = m.select(
+        F.col("match_id").alias("id"),
+        "tournament_id",
+        "stage_id",
+        stage_detail.alias("stage_detail"),
+        "home_team_id",
+        "away_team_id",
+        F.col("match_name").alias("name"),
+        F.to_timestamp(
+            F.concat_ws(" ", F.col("match_date"), F.col("match_time")),
+            "yyyy-MM-dd HH:mm",
+        ).alias("datetime"),
+        "stadium_id",
+        F.when(et_ps == 0, "FT").when(et_ps == 1, "ET").otherwise("PS").alias(
+            "completed"
+        ),
+        "result",
+        "score",
+        F.col("home_team_score").cast("int").alias("home_team_score"),
+        F.col("away_team_score").cast("int").alias("away_team_score"),
+        F.when(F.col("penalty_shootout") == 1, F.col("score_penalties")).alias(
+            "penalty_shootout_score"
+        ),
+        F.when(
+            F.col("penalty_shootout") == 1,
+            F.col("home_team_score_penalties").cast("int"),
+        ).alias("home_team_penalty_score"),
+        F.when(
+            F.col("penalty_shootout") == 1,
+            F.col("away_team_score_penalties").cast("int"),
+        ).alias("away_team_penalty_score"),
+    )
+
+    # --- match_replay (self-join replayed rows to their replays — OP28,
+    # scripts/build_db.py:1183-1211) ---
+    replayed = raw["matches"].filter(F.col("replayed") == 1).select(
+        F.col("match_id").alias("first_match_id"),
+        "tournament_id",
+        "home_team_id",
+        "away_team_id",
+    )
+    replays = raw["matches"].filter(F.col("replay") == 1).select(
+        F.col("match_id").alias("second_match_id"),
+        "tournament_id",
+        "home_team_id",
+        "away_team_id",
+    )
+    t["match_replay"] = replayed.join(
+        replays, ["tournament_id", "home_team_id", "away_team_id"]
+    ).select("first_match_id", "second_match_id")
+
+    # --- team_appearance (home/away label + integer differentials —
+    # OP18/OP41, scripts/build_db.py:1269-1331) ---
+    ta = raw["team_appearances"]
+    t["team_appearance"] = ta.select(
+        "match_id",
+        "team_id",
+        F.col("opponent_id").alias("opponent_team_id"),
+        F.when(F.col("home_team") == 1, "home").otherwise("away").alias("home_away"),
+        "result",
+        F.col("goals_for").cast("int").alias("goals_for"),
+        F.col("goals_against").cast("int").alias("goals_against"),
+        (F.col("goals_for") - F.col("goals_against"))
+        .cast("int")
+        .alias("goal_differential"),
+        F.col("penalties_for").cast("int").alias("penalties_for"),
+        F.col("penalties_against").cast("int").alias("penalties_against"),
+        (F.col("penalties_for") - F.col("penalties_against"))
+        .cast("int")
+        .alias("penalties_differential"),
+    )
+
+    # --- match_player (int flags → bool — OP40,
+    # scripts/build_db.py:1226-1266) ---
+    t["match_player"] = (
+        raw["player_appearances"]
+        .join(
+            F.broadcast(
+                t["position"].select(
+                    F.col("id").alias("position_id"),
+                    F.col("code").alias("position_code"),
+                )
+            ),
+            "position_code",
+            "left",
+        )
+        .select(
+            "match_id",
+            "team_id",
+            "player_id",
+            "position_id",
+            F.col("starter").cast("boolean").alias("is_starter"),
+            F.col("captain").cast("boolean").alias("is_captain"),
+        )
+    )
+
+    # --- penalty_kick (scripts/build_db.py:1151-1180) ---
+    t["penalty_kick"] = raw["penalty_kicks"].select(
+        F.col("penalty_kick_id").alias("id"),
+        "match_id",
+        "team_id",
+        "player_id",
+        F.col("converted").cast("boolean").alias("did_convert"),
+    )
+
+    # --- event_type (literal lookup, replace-all '_'→' ' — OP04/OP36,
+    # scripts/build_db.py:216-243; authoritative shape build_db.md:258-265) ---
+    event_type_dim = spark.createDataFrame(
+        [
+            (f"EVT-{i + 1}", name.replace("_", " "), st, name)
+            for i, (name, st) in enumerate(EVENT_TYPES)
+        ],
+        "id string, name string, super_type string, orig_name string",
+    )
+    t["event_type"] = event_type_dim.select("id", "name", "super_type")
+
+    # --- event facts (diagonal concat + melt + join + surrogate keys —
+    # OP31/OP32/OP29/OP33, scripts/build_db.py:1047-1121) ---
+    minute_cols = [
+        "match_id",
+        "team_id",
+        "player_id",
+        "minute_label",
+        "minute_regulation",
+        "minute_stoppage",
+        "match_period",
+    ]
+    goals = raw["goals"].select(
+        *minute_cols,
+        F.when(F.col("own_goal") == 1, "own goal")
+        .when(F.col("penalty") == 1, "penalty")
+        .otherwise("goal")
+        .alias("variable"),
+    )
+
+    def melted(df: DataFrame, flags: list[str]) -> DataFrame:
+        long = df.unpivot(
+            [F.col(c) for c in minute_cols],
+            [F.col(c) for c in flags],
+            "variable",
+            "value",
+        )
+        return long.filter(F.col("value") == 1).select(*minute_cols, "variable")
+
+    events_long = goals.unionByName(
+        melted(raw["bookings"], BOOKING_FLAGS), allowMissingColumns=True
+    ).unionByName(
+        melted(raw["substitutions"], SUBSTITUTION_FLAGS), allowMissingColumns=True
+    )
+    keyed = surrogate_key(
+        events_long.join(
+            F.broadcast(
+                event_type_dim.select(
+                    F.col("id").alias("event_type_id"), "orig_name"
+                )
+            ),
+            events_long["variable"] == F.col("orig_name"),
+        ),
+        "EV-",
+        [
+            "match_id",
+            "match_period",
+            "minute_regulation",
+            "minute_stoppage",
+            "player_id",
+            "variable",
+        ],
+    )
+    t["event"] = keyed.select(
+        "id",
+        "match_id",
+        "team_id",
+        "player_id",
+        "event_type_id",
+        "minute_label",
+        F.col("minute_regulation").cast("int").alias("minute_regulation"),
+        F.col("minute_stoppage").cast("int").alias("minute_stoppage"),
+        "match_period",
+    )
+
+    # --- tournament_schedule (RECOMPUTED from match — OP43/OP44/OP45;
+    # reference loads these counts pre-aggregated,
+    # scripts/build_db.py:737-816) ---
+    home = t["match"].select(
+        "tournament_id", "stage_id", "stage_detail", "datetime",
+        F.col("home_team_id").alias("team_id"), "id",
+    )
+    away = t["match"].select(
+        "tournament_id", "stage_id", "stage_detail", "datetime",
+        F.col("away_team_id").alias("team_id"), "id",
+    )
+    sides = home.unionByName(away)
+    replay_ids = t["match_replay"].select(
+        F.col("second_match_id").alias("id"), F.lit(1).alias("is_replay")
+    )
+    sched_base = (
+        sides.join(F.broadcast(replay_ids), "id", "left")
+        .groupBy("tournament_id", "stage_id", "stage_detail")
+        .agg(
+            (F.countDistinct("id")).cast("int").alias("n_matches"),
+            F.countDistinct("team_id").cast("int").alias("n_teams"),
+            F.min(F.to_date("datetime")).alias("start_date"),
+            F.max(F.to_date("datetime")).alias("end_date"),
+            (F.countDistinct(F.when(F.col("is_replay") == 1, F.col("id"))))
+            .cast("int")
+            .alias("n_replays"),
+        )
+    )
+    order_w = Window.partitionBy("tournament_id").orderBy(
+        "start_date", "stage_detail"
+    )
+    t["tournament_schedule"] = sched_base.select(
+        "tournament_id",
+        "stage_id",
+        "stage_detail",
+        F.row_number().over(order_w).cast("int").alias("sort_order"),
+        "start_date",
+        "end_date",
+        "n_matches",
+        "n_teams",
+        (F.col("n_matches") - F.col("n_replays")).cast("int").alias("n_scheduled"),
+        "n_replays",
+        F.lit(0).cast("int").alias("n_playoffs"),
+        F.lit(0).cast("int").alias("n_walkovers"),
+    )
+
+    # --- tournament_team_group_performance (RECOMPUTED standings —
+    # the §2.7 showcase: conditional agg OP43 + rank window OP45;
+    # reference loads group_standings verbatim,
+    # scripts/build_db.py:1363-1389) ---
+    group_stage_ids = F.broadcast(
+        stage_dim.filter(F.col("type") == "Group").select(
+            F.col("id").alias("stage_id")
+        )
+    )
+    perf_src = (
+        t["team_appearance"]
+        .join(
+            t["match"].select(
+                F.col("id").alias("match_id"),
+                "tournament_id",
+                "stage_id",
+                "stage_detail",
+            ),
+            "match_id",
+        )
+        .join(group_stage_ids, "stage_id")
+    )
+    perf = perf_src.groupBy(
+        "tournament_id", "stage_id", "stage_detail", "team_id"
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_played"),
+        F.sum(F.when(F.col("result") == "win", 1).otherwise(0))
+        .cast("int")
+        .alias("n_wins"),
+        F.sum(F.when(F.col("result") == "draw", 1).otherwise(0))
+        .cast("int")
+        .alias("n_draws"),
+        F.sum(F.when(F.col("result") == "lose", 1).otherwise(0))
+        .cast("int")
+        .alias("n_losses"),
+        F.sum("goals_for").cast("int").alias("goals_for"),
+        F.sum("goals_against").cast("int").alias("goals_against"),
+    )
+    points = (F.col("n_wins") * 3 + F.col("n_draws")).cast("int")
+    gd = (F.col("goals_for") - F.col("goals_against")).cast("int")
+    rank_w = Window.partitionBy("tournament_id", "stage_id", "stage_detail").orderBy(
+        points.desc(), gd.desc(), F.col("goals_for").desc(), F.col("team_id")
+    )
+    t["tournament_team_group_performance"] = perf.select(
+        "tournament_id",
+        "stage_id",
+        "stage_detail",
+        "team_id",
+        F.row_number().over(rank_w).cast("int").alias("position"),
+        "n_played",
+        "n_wins",
+        "n_draws",
+        "n_losses",
+        "goals_for",
+        "goals_against",
+        gd.alias("goal_difference"),
+        points.alias("points"),
+        (F.row_number().over(rank_w) <= 2).alias("did_advance"),
+    )
+
+    return t
+
+
+# --------------------------------------------------------------------------
+# constraint metadata (docs/schema.sql:4-30 declarations → §2.9 validators)
+# --------------------------------------------------------------------------
+
+#: table → (pk columns, [(child cols → (parent table, parent cols))])
+CONSTRAINTS: dict[str, tuple[tuple[str, ...], list[tuple[dict[str, str], str]]]] = {
+    "confederation": (("id",), []),
+    "federation": (("id",), [({"confederation_id": "id"}, "confederation")]),
+    "team": (("id",), [({"federation_id": "id"}, "federation")]),
+    "city": (("id",), []),
+    "stadium": (("id",), [({"city_id": "id"}, "city")]),
+    "player": (("id",), []),
+    "manager": (("id",), []),
+    "referee": (("id",), [({"confederation_id": "id"}, "confederation")]),
+    "award": (("id",), []),
+    "position_type": (("id",), []),
+    "position": (("id",), [({"position_type_id": "id"}, "position_type")]),
+    "stage": (("id",), []),
+    "event_type": (("id",), []),
+    "tournament": (("id",), [({"winning_team_id": "id"}, "team")]),
+    "tournament_team": (
+        ("tournament_id", "team_id"),
+        [({"tournament_id": "id"}, "tournament"), ({"team_id": "id"}, "team")],
+    ),
+    "tournament_squad": (
+        ("tournament_id", "team_id", "player_id"),
+        [
+            ({"tournament_id": "id"}, "tournament"),
+            ({"team_id": "id"}, "team"),
+            ({"player_id": "id"}, "player"),
+            ({"position_id": "id"}, "position"),
+        ],
+    ),
+    "tournament_manager": (
+        ("tournament_id", "manager_id"),
+        [
+            ({"tournament_id": "id"}, "tournament"),
+            ({"team_id": "id"}, "team"),
+            ({"manager_id": "id"}, "manager"),
+        ],
+    ),
+    "tournament_referee": (
+        ("tournament_id", "referee_id"),
+        [({"tournament_id": "id"}, "tournament"), ({"referee_id": "id"}, "referee")],
+    ),
+    "award_winner": (
+        ("tournament_id", "award_id", "player_id"),
+        [
+            ({"tournament_id": "id"}, "tournament"),
+            ({"award_id": "id"}, "award"),
+            ({"player_id": "id"}, "player"),
+        ],
+    ),
+    "match": (
+        ("id",),
+        [
+            ({"tournament_id": "id"}, "tournament"),
+            ({"stage_id": "id"}, "stage"),
+            ({"home_team_id": "id"}, "team"),
+            ({"away_team_id": "id"}, "team"),
+            ({"stadium_id": "id"}, "stadium"),
+        ],
+    ),
+    "match_replay": (
+        ("first_match_id", "second_match_id"),
+        [
+            ({"first_match_id": "id"}, "match"),
+            ({"second_match_id": "id"}, "match"),
+        ],
+    ),
+    "team_appearance": (
+        ("match_id", "team_id"),
+        [
+            ({"match_id": "id"}, "match"),
+            ({"team_id": "id"}, "team"),
+            ({"opponent_team_id": "id"}, "team"),
+        ],
+    ),
+    "match_player": (
+        ("match_id", "player_id"),
+        [
+            ({"match_id": "id"}, "match"),
+            ({"team_id": "id"}, "team"),
+            ({"player_id": "id"}, "player"),
+            ({"position_id": "id"}, "position"),
+        ],
+    ),
+    "penalty_kick": (
+        ("id",),
+        [
+            ({"match_id": "id"}, "match"),
+            ({"team_id": "id"}, "team"),
+            ({"player_id": "id"}, "player"),
+        ],
+    ),
+    "event": (
+        ("id",),
+        [
+            ({"match_id": "id"}, "match"),
+            ({"team_id": "id"}, "team"),
+            ({"player_id": "id"}, "player"),
+            ({"event_type_id": "id"}, "event_type"),
+        ],
+    ),
+    "tournament_schedule": (
+        ("tournament_id", "stage_id", "stage_detail"),
+        [({"tournament_id": "id"}, "tournament"), ({"stage_id": "id"}, "stage")],
+    ),
+    "tournament_team_group_performance": (
+        ("tournament_id", "stage_id", "stage_detail", "team_id"),
+        [
+            ({"tournament_id": "id"}, "tournament"),
+            ({"stage_id": "id"}, "stage"),
+            ({"team_id": "id"}, "team"),
+        ],
+    ),
+}
+
+
+def validate_worldcup(tables: dict[str, DataFrame]) -> dict[str, list[str]]:
+    """Run every declared PK/FK/NOT-NULL check; return violations per
+    table (empty dict ⇒ the build would have loaded cleanly into the
+    reference's DuckDB schema)."""
+    from world_cup_duckdb_spark.operators.validators import (
+        fk_orphans,
+        null_pk_rows,
+        pk_duplicates,
+    )
+
+    problems: dict[str, list[str]] = {}
+    for name, (pk, fks) in CONSTRAINTS.items():
+        issues: list[str] = []
+        df = tables[name]
+        if pk_duplicates(df, pk).limit(1).count() > 0:
+            issues.append(f"duplicate PK {pk}")
+        if null_pk_rows(df, pk).limit(1).count() > 0:
+            issues.append(f"null PK {pk}")
+        for on, parent in fks:
+            if fk_orphans(df, tables[parent], on).limit(1).count() > 0:
+                issues.append(f"FK orphans {on} → {parent}")
+        if issues:
+            problems[name] = issues
+    return problems

@@ -67,4 +67,5 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     lifecycle,
     reshape,
     scalars,
+    wc_pipeline,
 )
