@@ -1,0 +1,96 @@
+"""Scale-operator tests (operators/scale.py): salted rewrites return
+identical results to their plain forms, and bucketed co-located joins
+produce exchange-free plans — the 'would this survive 100×' checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.functions.strings import dec
+from world_cup_duckdb_spark.operators.scale import (
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from world_cup_duckdb_spark.sources.catalog import table
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    plain = li.join(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+    )
+    salted = salted_join(
+        li,
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        n_salts=4,
+        big_id_cols=["l_orderkey", "l_linenumber"],
+    )
+    assert _sorted_rows(salted.select(*sorted(salted.columns))) == _sorted_rows(
+        plain.select(*sorted(plain.columns))
+    )
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    # the salt column must take >1 value for a single hot key
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    hot = li.withColumn(
+        "_salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(4))
+    )
+    n = hot.select("_salt").distinct().count()
+    assert n == 4
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    plain = li.groupBy("l_orderkey").agg(
+        F.sum(dec("l_quantity")).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    salted = salted_agg(
+        li,
+        "l_orderkey",
+        aggs={"q": F.sum(dec("l_quantity")), "n": F.count(F.lit(1))},
+        merges={"q": F.sum("q"), "n": F.sum("n").cast("long")},
+        n_salts=4,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
+    assert _sorted_rows(salted.select("l_orderkey", "q", "n")) == _sorted_rows(
+        plain.select("l_orderkey", "q", "n")
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bl = write_bucketed(li, spark, "b_lineitem", "l_orderkey", 4, str(base / "li"))
+    bo = write_bucketed(
+        orders, spark, "b_orders", "o_orderkey", 4, str(base / "ord")
+    )
+    joined = bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+    # disable AQE wrapping for a readable static plan; broadcast off so the
+    # exchange-free property comes from bucketing, not from a tiny side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        plain = li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).count()
+        assert n == plain
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

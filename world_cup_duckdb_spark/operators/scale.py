@@ -1,0 +1,102 @@
+"""Skew & co-location operators — the shuffle-management toolkit for the
+100 TB design point (SURVEY.md Phase 5 scale design).
+
+Three mechanisms Spark needs explicit help with when AQE's runtime skew
+splitting isn't enough or when a shuffle can be designed away entirely:
+
+- **Salted replicated join**: a hot key overwhelms one reducer in a
+  shuffle join. Replicate the small side ``n_salts`` times (one row per
+  salt) and scatter the big side across salts with a deterministic hash
+  of its row identity; the join key becomes (key, salt) so the hot key's
+  rows spread over ``n_salts`` reducers. Result set is identical to the
+  plain join.
+- **Salted two-phase aggregation**: same idea for aggregations — partial
+  aggregate on (key, salt), final aggregate on key. Spark's partial/final
+  hash aggregation already does this per-partition; explicit salting
+  additionally splits a hot key *across* reducers in the shuffle.
+- **Bucketed co-located join**: persist both fact tables bucketed by the
+  join key; Spark then sort-merge-joins bucket-to-bucket with NO exchange
+  on either side — the shuffle is paid once at write time and amortized
+  over every subsequent join (tests/test_scale.py asserts the
+  exchange-free plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    big_id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inner equi-join on ``key`` with the small side replicated across
+    ``n_salts`` salts. Deterministic: the big side's salt is a hash of
+    ``big_id_cols`` (default: the key itself plus every big column used
+    would be overkill — pass the row-identity columns for an even
+    spread). Output columns = big ∪ small minus duplicate key, exactly
+    like ``big.join(small, key)``.
+    """
+    id_cols = big_id_cols or [key]
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in id_cols]), F.lit(n_salts))
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, Column],
+    merges: dict[str, Column],
+    n_salts: int = 8,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt: partial on
+    (key, salt), final merge on key. ``aggs`` maps output name → partial
+    aggregate expression; ``merges`` maps the same names → the merge
+    expression over the partial column (e.g. sum → sum, count → sum,
+    max → max). A hot key's input spreads over ``n_salts`` reducers in
+    the first exchange; the second exchange carries ≤ n_salts rows/key.
+    """
+    salt_src = salt_cols or [key]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in salt_src]), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        *[e.alias(name) for name, e in aggs.items()]
+    )
+    return partial.groupBy(key).agg(
+        *[e.alias(name) for name, e in merges.items()]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    spark: SparkSession,
+    table_name: str,
+    key: str,
+    n_buckets: int,
+    location: str,
+) -> DataFrame:
+    """Persist ``df`` bucketed+sorted by ``key`` as a session-catalog
+    table; returns the re-read table. Joins between two tables bucketed
+    the same way on the same key run with zero exchanges (the write IS
+    the shuffle, paid once)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        df.write.mode("overwrite")
+        .option("path", location)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)

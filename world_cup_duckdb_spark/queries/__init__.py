@@ -60,6 +60,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     core,
     ext_dedup,
     ext_multimodal,
+    ext_scale,
     ext_similarity,
     ext_stream,
     ext_text,
