@@ -13,6 +13,7 @@ from world_cup_duckdb_spark.operators.scale import (
     salted_agg,
     salted_join,
     write_bucketed,
+    write_partitioned,
 )
 from world_cup_duckdb_spark.sources.catalog import table
 
@@ -67,6 +68,67 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
     )
     assert _sorted_rows(salted.select("l_orderkey", "q", "n")) == _sorted_rows(
         plain.select("l_orderkey", "q", "n")
+    )
+
+
+def test_partition_pruning_static(spark, sf_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("part") / "orders")
+    orders = table(spark, sf_dir, "orders")
+    write_partitioned(orders, base, "o_orderstatus")
+    scan = spark.read.parquet(base).filter(F.col("o_orderstatus") == "F")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # pruned scan returns exactly the F partition
+    assert scan.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_join_constraint_prunes_partitions_statically(
+    spark, sf_dir, tmp_path_factory
+):
+    # A literal filter on the dim join key constant-folds into a STATIC
+    # partition filter on the fact scan (stronger than runtime DPP).
+    base = str(tmp_path_factory.mktemp("dpp") / "orders")
+    orders = table(spark, sf_dir, "orders")
+    write_partitioned(orders, base, "o_orderpriority")
+    fact = spark.read.parquet(base)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumnRenamed("o_orderpriority", "p")
+    )
+    joined = fact.join(dim, fact["o_orderpriority"] == dim["p"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "1-URGENT" in part_filters, plan
+    assert (
+        joined.count()
+        == orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    )
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path_factory):
+    # A dim filter NOT expressible as a literal on the join key (here on
+    # an aggregate) forces runtime dynamic partition pruning: the fact
+    # scan carries a dynamicpruning subquery on the partition column.
+    base = str(tmp_path_factory.mktemp("dpp2") / "orders")
+    orders = table(spark, sf_dir, "orders")
+    write_partitioned(orders, base, "o_orderpriority")
+    fact = spark.read.parquet(base)
+    counts = orders.groupBy("o_orderpriority").count()
+    median = sorted(r["count"] for r in counts.collect())[2]
+    dim = counts.filter(F.col("count") <= median).withColumnRenamed(
+        "o_orderpriority", "p"
+    )
+    joined = fact.join(dim, fact["o_orderpriority"] == dim["p"])
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan
+    keep = {r["p"] for r in dim.collect()}
+    assert (
+        joined.count()
+        == orders.filter(F.col("o_orderpriority").isin(*keep)).count()
     )
 
 

@@ -78,6 +78,15 @@ def salted_agg(
     )
 
 
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Persist ``df`` hive-partitioned by ``partition_col`` — the at-rest
+    layout for 100 TB facts. Filters on the partition column become
+    directory pruning (zero I/O for excluded partitions) and joins
+    against a filtered dimension trigger dynamic partition pruning
+    (tests/test_scale.py asserts both in the plan)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     spark: SparkSession,
