@@ -168,6 +168,100 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse index: (centroids, assigned corpus).
+
+    Centroids are a deterministic spread of corpus vectors (every
+    ``stride``-th id — standing in for a k-means fit, which would slot in
+    here unchanged). Every corpus vector is assigned to its nearest
+    centroid by cosine: a broadcast cross-score against ``n_lists``
+    centroids + an argmax window — O(N·n_lists) map-side work, the real
+    IVF build cost. Both outputs are persistable: at 100 TB the index is
+    built once and the assigned corpus is written partitioned by
+    ``list_id`` so probes read only their lists' partitions.
+    """
+    ids = corpus.select(F.col(id_col).alias("cid")).orderBy("cid")
+    w_all = Window.orderBy("cid")
+    picked = (
+        ids.withColumn("rn", F.row_number().over(w_all))
+        .withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("rn") % F.greatest(F.floor(F.col("total") / n_lists), F.lit(1)) == 0)
+        .limit(n_lists)
+    )
+    centroids = picked.join(
+        corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("centroid")),
+        "cid",
+    ).select(
+        F.row_number().over(Window.orderBy("cid")).cast("int").alias("list_id"),
+        "centroid",
+    )
+    c = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
+    scored = F.broadcast(centroids).crossJoin(c).select(
+        "vid", "v", "list_id", cosine(F.col("centroid"), F.col("v")).alias("c_sim")
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), F.asc("list_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "v", "list_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-probed approximate top-k, schema-compatible with
+    brute_force_topk.
+
+    Each query scores the ``n_lists`` centroids (broadcast), keeps its
+    ``n_probe`` nearest lists, and exact-rescoring runs only against
+    vectors assigned to those lists — the candidate join is an equi-join
+    on ``list_id`` instead of a cross join. With n_probe == n_lists the
+    result is exactly brute force (tests/test_similarity.py).
+    """
+    centroids, assigned = ivf_index(corpus, n_lists, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q_scored = F.broadcast(q).crossJoin(centroids).select(
+        "query_id", "qv", "list_id",
+        cosine(F.col("qv"), F.col("centroid")).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    cand = (
+        probes.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -58,6 +58,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     analytics,
     constraints,
     core,
+    csv_source,
     ext_dedup,
     ext_multimodal,
     ext_scale,

@@ -1,0 +1,63 @@
+"""CSV source fidelity: the reference's ingest edge is CSV
+(`pl.read_csv` with positional projection and `try_parse_dates`,
+scripts/build_db.py:104-108, :455-461). The registry's opNN scans read
+parquet (the at-rest format); this query exercises the actual CSV path:
+distributed CSV write → schema-declared CSV read → projection + filter +
+timestamp round-trip, compared against the oracle on the original table.
+
+Scale notes: the CSV reader prunes columns and pushes filters like the
+parquet one (no row-group stats, but it skips parsing unselected
+columns); explicit StructType avoids the inference pass that would scan
+the file twice (SURVEY.md §7 hard part 5: never rely on CSV inference).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+from world_cup_duckdb_spark.sources.catalog import table
+
+ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+@register(
+    "op02b_csv_scan",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def op02b_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip scan with explicit schema, projection and filter
+    (OP02+OP03 on the real CSV path). Timestamps survive the text
+    round-trip exactly (written/parsed as ISO with microseconds)."""
+    loc = _fresh_dir("op02b_orders_csv")
+    (
+        table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(os.path.join(loc, "orders"))
+    )
+    return (
+        spark.read.schema(ORDERS_CSV_SCHEMA)
+        .option("header", True)
+        .csv(os.path.join(loc, "orders"))
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate")
+    )

@@ -108,3 +108,20 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute_force_topk, not a SQL-expressible oracle."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, num_planes=4)
+
+
+@register("ext_ann_ivf", oracle=None)
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-5 for 10 query vectors: coarse-quantize
+    the corpus into 16 lists, probe the 4 nearest lists per query, exact
+    re-score only within them (operators/similarity.py:ivf_topk — the
+    candidate join is an equi-join on list_id, not a cross join).
+    Rows-only driver check; recall vs brute force and the
+    full-probe ≡ brute-force identity are pytest-verified
+    (tests/test_similarity.py)."""
+    from world_cup_duckdb_spark.operators.similarity import ivf_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=4
+    )
