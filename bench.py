@@ -61,7 +61,7 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in REGISTRY]
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))  # odd; median resists box noise
 
     def once(name: str) -> float:
         df = REGISTRY[name].fn(spark, sf_dir)
