@@ -69,5 +69,6 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     lifecycle,
     reshape,
     scalars,
+    sql_surface,
     wc_pipeline,
 )
