@@ -86,6 +86,20 @@ def test_real_codec_stub_fails_loudly():
         decode_image_real(b"\x89PNG...")
 
 
+def test_at_rest_metadata_scan_skips_blob(spark, mm, tmp_path_factory):
+    # The 100 TB layout claim: payload in its own parquet column means
+    # metadata-only queries never read blob pages. Write the multimodal
+    # table to disk, scan only metadata, and assert the reader's schema
+    # excludes the payload column entirely.
+    base = str(tmp_path_factory.mktemp("mm_at_rest") / "mm")
+    mm.write.mode("overwrite").parquet(base)
+    at_rest = spark.read.parquet(base).select("doc_id", "meta.media_type")
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "payload" not in read_schema, plan
+    assert at_rest.count() == mm.count()
+
+
 def test_no_shuffle_in_narrow_maps(spark, mm):
     # decode is a narrow map over the scan: no Exchange in the plan.
     plan = decode_media(mm)._jdf.queryExecution().executedPlan().toString()

@@ -121,6 +121,35 @@ def test_dedup_stream_matches_batch_keys(spark, sf_dir, staged):
     assert got.count() == want.count()
 
 
+def test_checkpoint_recovery_resumes_not_reprocesses(
+    spark, sf_dir, staged, tmp_path_factory
+):
+    # Production posture: a restarted query with the same checkpoint must
+    # resume from committed offsets — the second run over an unchanged
+    # source emits nothing new, it does not double-count.
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    out = str(tmp_path_factory.mktemp("out"))
+
+    def run_once():
+        q = (
+            read_event_stream(spark, staged, max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    run_once()  # restart against the same checkpoint: nothing to do
+    assert spark.read.parquet(out).count() == first
+    batch = table(spark, sf_dir, "events").count()
+    assert first == batch
+
+
 def test_stateful_profile_accumulates_across_batches(spark, sf_dir, staged):
     stream = read_event_stream(spark, staged, max_files_per_trigger=1)
     got = _run_stream(
