@@ -150,6 +150,49 @@ def test_checkpoint_recovery_resumes_not_reprocesses(
     assert first == batch
 
 
+def test_stream_validated_write_clean_and_dirty(
+    spark, sf_dir, staged, tmp_path_factory
+):
+    from pyspark.sql import functions as F
+    from world_cup_duckdb_spark.operators.validators import ValidationError
+    from world_cup_duckdb_spark.streaming.sinks import stream_validated_write
+
+    # clean stream: event_id PK holds → everything lands
+    out = str(tmp_path_factory.mktemp("wap_out"))
+    q = stream_validated_write(
+        read_event_stream(spark, staged),
+        out,
+        str(tmp_path_factory.mktemp("wap_ckpt")),
+        pk=["event_id"],
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == table(
+        spark, sf_dir, "events"
+    ).count()
+
+    # dirty stream: collapse every event_id to 0 → duplicate-PK batch must
+    # fail the query and write nothing
+    dirty = read_event_stream(spark, staged).withColumn(
+        "event_id", F.lit(0).cast("long")
+    )
+    out2 = str(tmp_path_factory.mktemp("wap_out2"))
+    q2 = stream_validated_write(
+        dirty, out2, str(tmp_path_factory.mktemp("wap_ckpt2")), pk=["event_id"]
+    )
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException) as exc:
+        q2.awaitTermination(120)
+    assert "duplicate PK" in str(exc.value) or "ValidationError" in str(
+        exc.value
+    )
+    import os
+
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(out2)
+    ), "dirty batch leaked into the sink"
+
+
 def test_stateful_profile_accumulates_across_batches(spark, sf_dir, staged):
     stream = read_event_stream(spark, staged, max_files_per_trigger=1)
     got = _run_stream(

@@ -18,6 +18,11 @@ database — see SURVEY.md), re-expressed Spark-first:
 """
 
 from world_cup_duckdb_spark.session import get_spark
+from world_cup_duckdb_spark.sources.catalog import (
+    load_tables,
+    register_views,
+    table,
+)
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "load_tables", "register_views", "table"]
 __version__ = "0.1.0"

@@ -1,3 +1,4 @@
+from world_cup_duckdb_spark.streaming.sinks import stream_validated_write
 from world_cup_duckdb_spark.streaming.stateful import running_user_profile
 from world_cup_duckdb_spark.streaming.windows import (
     dedup_within_watermark,
@@ -12,6 +13,7 @@ __all__ = [
     "read_event_stream",
     "running_user_profile",
     "sessionize",
+    "stream_validated_write",
     "sliding_counts",
     "tumbling_counts",
 ]

@@ -1,0 +1,64 @@
+"""Streaming write-audit-publish: constraint-validated micro-batch sink.
+
+The batch engine gates every load behind the §2.9 validators
+(operators/validators.py:validated_write — the replacement for DuckDB's
+insert-time enforcement). This extends the same guarantee to streams:
+each micro-batch is audited (PK duplicates within the batch, FK orphans
+against a dimension snapshot) inside ``foreachBatch`` BEFORE it is
+appended; a dirty batch fails the query instead of corrupting the sink.
+
+Scale notes: the audit runs on the micro-batch only (bounded by trigger
+size), so validation cost tracks ingest rate, not table size. The FK
+parent should be a broadcastable dimension snapshot; for huge parents,
+swap in a bloom-filter pre-screen and reconcile asynchronously.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from world_cup_duckdb_spark.operators.validators import (
+    ValidationError,
+    fk_orphans,
+    null_pk_rows,
+    pk_duplicates,
+)
+
+
+def stream_validated_write(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    pk: Sequence[str] | None = None,
+    fks: Sequence[tuple[DataFrame, dict[str, str]]] = (),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Audit each micro-batch with the declared constraints, then append.
+
+    Raises (failing the streaming query) on the first dirty batch —
+    the streaming analogue of DuckDB aborting a bad INSERT.
+    """
+
+    def audit_and_append(batch: DataFrame, batch_id: int) -> None:
+        problems: list[str] = []
+        if pk:
+            if pk_duplicates(batch, pk).limit(1).count() > 0:
+                problems.append(f"batch {batch_id}: duplicate PK {tuple(pk)}")
+            if null_pk_rows(batch, pk).limit(1).count() > 0:
+                problems.append(f"batch {batch_id}: null PK {tuple(pk)}")
+        for parent, on in fks:
+            if fk_orphans(batch, parent, on).limit(1).count() > 0:
+                problems.append(f"batch {batch_id}: FK orphans {on}")
+        if problems:
+            raise ValidationError("; ".join(problems))
+        batch.write.mode("append").parquet(path)
+
+    writer = stream.writeStream.foreachBatch(audit_and_append).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
