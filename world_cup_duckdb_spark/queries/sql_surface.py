@@ -85,6 +85,45 @@ SHARED_SQL: dict[str, str] = {
     ) a
     WHERE total > 2 * avg_price
     """,
+    # TPC-H Q4 shape: correlated EXISTS — Catalyst decorrelates to a
+    # semi join (SURVEY §4 "subquery decorrelation" exercised end-to-end)
+    "sql_order_priority_check": """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 49
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    # anti-join path: customers that never placed an urgent order
+    "sql_customers_without_orders": """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+    # multi-grain aggregation in one pass (OP49's SQL form)
+    "sql_grouping_sets": f"""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+    # calendar rollup: monthly order volume (event-time bucketing in SQL)
+    "sql_monthly_volume": """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM orders
+    GROUP BY 1
+    """,
     # window over SQL text: per-nation customer account-balance rank
     "sql_balance_rank": """
     SELECT n_name, c_custkey, bal_rank FROM (
