@@ -83,3 +83,23 @@ def test_unpivot_type_unification(spark):
     out = unpivot_measures(df, ["id"], ["m1", "m2"]).collect()
     vals = {(r["variable"], r["value"]) for r in out}
     assert vals == {("m1", 2.0), ("m2", 3.5)}
+
+
+def test_connected_components_chain_and_star(spark):
+    from world_cup_duckdb_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multi-round propagation),
+    # star 10-(11,12,13), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }

@@ -182,3 +182,66 @@ def with_recrawl(docs: DataFrame, id_col: str = "doc_id", offset: int = 1_000_00
     path produces non-trivial output on the synthetic corpus."""
     copy = docs.withColumn(id_col, F.col(id_col) + offset)
     return docs.unionByName(copy)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (doc_id, cluster_id) where
+    cluster_id = the minimum id reachable through the pair graph — the
+    step that turns pairwise near-dup evidence into dedup groups with a
+    deterministic canonical representative.
+
+    Iterative min-label propagation (Pregel-lite): every node starts
+    labeled with itself; each round takes the min of its own and its
+    neighbors' labels; convergence in O(component diameter) rounds —
+    near-dup clusters are shallow (stars around a canonical doc), so a
+    handful of rounds suffices. Each round is one shuffle keyed by node;
+    ``localCheckpoint`` truncates the growing lineage (on a cluster, use
+    a checkpoint dir for fault tolerance instead). The driver-side loop
+    iterates ROUNDS, never rows.
+    """
+    half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("node", F.col("label").alias("old")), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -157,3 +157,57 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return ngram_jaccard_pairs(d, threshold=0.5)
+
+
+@register(
+    "ext_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+      FROM tok
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed,
+             md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+    ),
+    sigs AS (SELECT doc_id, seed, MIN(h) AS sig FROM seeded GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             string_agg(sig, '' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs → connected
+    components by iterative min-label propagation (the pairwise→groups
+    step of dedup; operators/dedup.py:connected_components). The oracle
+    computes the same components via a recursive-CTE transitive closure —
+    two entirely different algorithms, equal hashes."""
+    from world_cup_duckdb_spark.operators.dedup import connected_components
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    bands = minhash_bands(with_recrawl(d), num_hashes=8, band_size=2)
+    return connected_components(lsh_candidate_pairs(bands))
