@@ -1,0 +1,106 @@
+"""Event-analytics extension queries over the `events` table: funnel
+conversion and cohort retention — the product-analytics shapes an event
+store exists to answer (complementing the windowing queries in
+ext_stream.py).
+
+Scale notes: both queries shuffle once on user_id and then work entirely
+within user partitions (window functions / conditional aggregation over
+tens of events per user) — the per-user state is bounded, so the plans
+scale with users, not events-per-shuffle-round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import load_tables
+
+
+@register(
+    "ext_funnel_click_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    conv AS (
+      SELECT c.user_id,
+             MIN(CAST(e.ts AS TIMESTAMP)) AS first_conversion
+      FROM clicks c
+      JOIN events e
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase'
+       AND CAST(e.ts AS TIMESTAMP) > c.click_ts
+       AND CAST(e.ts AS TIMESTAMP) <= c.click_ts + INTERVAL '30 minutes'
+      GROUP BY c.user_id
+    )
+    SELECT user_id, first_conversion FROM conv
+    """,
+)
+def ext_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: users who purchased within 30 minutes of a click, with
+    their earliest such conversion time. Expressed as a range self-join
+    (click → purchase within the window) + min-aggregate; Catalyst plans
+    one shuffle per side on user_id."""
+    e = load_tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_conversion"))
+    )
+
+
+@register(
+    "ext_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+               AS active_week
+      FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST((a.active_week - f.cohort_week) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted per subsequent active week. Two aggregations sharing the
+    user_id shuffle; the cohort join broadcasts (≤ distinct users)."""
+    e = load_tables(spark, sf_dir)["events"]
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("active_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select("cohort_week", "week_offset", "n_active")
+    )
