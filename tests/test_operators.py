@@ -103,3 +103,25 @@ def test_connected_components_chain_and_star(spark):
         10: 10, 11: 10, 12: 10, 13: 10,
         20: 20, 21: 20,
     }
+
+
+def test_asof_join_ties_and_no_match(spark):
+    from datetime import datetime
+    from world_cup_duckdb_spark.operators.relational import asof_join
+
+    ts = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "early"),   # before any right → drop
+         (1, ts("2024-01-01T12:00:00"), "tie"),     # ties right@12:00 → match it
+         (1, ts("2024-01-01T15:00:00"), "late"),    # after both → latest right
+         (2, ts("2024-01-01T12:00:00"), "other")],  # key with no right → drop
+        "k bigint, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T12:00:00"), "r1"),
+         (1, ts("2024-01-01T14:00:00"), "r2")],
+        "k bigint, rts timestamp, rval string",
+    )
+    got = {r["tag"]: r["rval"] for r in
+           asof_join(left, right, "k", "lts", "rts", ["rval"]).collect()}
+    assert got == {"tie": "r1", "late": "r2"}

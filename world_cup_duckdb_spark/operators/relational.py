@@ -79,3 +79,60 @@ def surrogate_key(
     return df.withColumn(
         key_col, F.concat(F.lit(prefix), F.row_number().over(w).cast("string"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for each left row, attach the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same ``key`` (inner:
+    left rows with no prior right row are dropped) — the time-series
+    operator Spark lacks natively (DuckDB: ``ASOF JOIN``; the oracle in
+    queries/ext_events.py uses exactly that).
+
+    Implementation is the scalable single-shuffle union+window technique,
+    NOT a range cross-join: tag both inputs, union them, sort within each
+    key by (ts, side) with right rows first on ties (≤ semantics), and
+    carry the latest right payload forward with ``last(..., ignorenulls)``
+    over an unbounded-preceding running window. One exchange on ``key``,
+    one sort — O(n log n) per key regardless of how many right rows
+    precede each left row.
+    """
+    # null struct literals need the payload struct's exact type
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(
+            F.struct(*[F.col(c) for c in left.columns]).alias("s")
+        ).schema["s"].dataType.simpleString()).alias("_lpay"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rpay"),
+    )
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
+        F.lit(None).cast(right.select(
+            F.struct(*[F.col(c) for c in right_cols]).alias("s")
+        ).schema["s"].dataType.simpleString()).alias("_rpay"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_r", F.last("_rpay", ignorenulls=True).over(w)
+    )
+    out = carried.filter((F.col("_side") == 1) & F.col("_r").isNotNull())
+    cols = [F.col(f"_lpay.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_r.{c}").alias(c) for c in right_cols
+    ]
+    return out.select(*cols)

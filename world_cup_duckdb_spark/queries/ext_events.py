@@ -104,3 +104,45 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .select("cohort_week", "week_offset", "n_active")
     )
+
+
+@register(
+    "ext_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS click_event_id, user_id,
+             CAST(ts AS TIMESTAMP) AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, c.click_event_id, c.click_ts
+    FROM purchases p
+    ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the same user's latest click
+    at-or-before it — DuckDB runs its native ASOF JOIN as the oracle;
+    Spark runs the union+window technique
+    (operators/relational.py:asof_join). Same single-shuffle cost shape
+    as a windowed aggregation; no range cross-join anywhere."""
+    from world_cup_duckdb_spark.operators.relational import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join(
+        purchases, clicks,
+        key="user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["click_event_id", "click_ts"],
+    )
