@@ -125,3 +125,43 @@ def test_asof_join_ties_and_no_match(spark):
     got = {r["tag"]: r["rval"] for r in
            asof_join(left, right, "k", "lts", "rts", ["rval"]).collect()}
     assert got == {"tie": "r1", "late": "r2"}
+
+
+def test_bucketed_range_join_spanning_intervals(spark):
+    from datetime import datetime
+    from world_cup_duckdb_spark.operators.relational import bucketed_range_join
+
+    ts = lambda s: datetime.fromisoformat(s)
+    points = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:30:00")),
+         (2, ts("2024-01-01T12:30:00")),
+         (3, ts("2024-01-01T13:30:00"))],
+        "pid bigint, pts timestamp",
+    )
+    # one interval spanning 3 hour-buckets, one disjoint
+    intervals = spark.createDataFrame(
+        [(100, ts("2024-01-01T10:00:00"), ts("2024-01-01T12:59:59")),
+         (200, ts("2024-01-01T20:00:00"), ts("2024-01-01T20:59:59"))],
+        "iid bigint, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bucketed_range_join(
+            points, intervals, "pts", "s", "e", bucket_seconds=3600
+        ).collect()
+    )
+    # point 3 (13:30) is outside both; spanning interval catches 1 and 2
+    # exactly once each despite covering several buckets
+    assert got == [(1, 100), (2, 100)]
+
+
+def test_kmv_estimate_accuracy_and_exact_fallback(spark):
+    from world_cup_duckdb_spark.operators.sketch import kmv_distinct_estimate
+
+    big = spark.range(0, 5000).selectExpr("'g' AS grp", "id AS v")
+    small = spark.range(0, 10).selectExpr("'s' AS grp", "id AS v")
+    df = big.unionByName(small)
+    est = {r["grp"]: r["kmv_estimate"]
+           for r in kmv_distinct_estimate(df, "v", ["grp"], k=64).collect()}
+    assert est["s"] == 10.0  # below k → exact
+    assert abs(est["g"] - 5000) / 5000 < 0.35  # ~1/sqrt(62) ≈ 13% expected

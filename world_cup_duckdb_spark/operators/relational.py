@@ -136,3 +136,44 @@ def asof_join(
         F.col(f"_r.{c}").alias(c) for c in right_cols
     ]
     return out.select(*cols)
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range-containment join (point ∈ [start, end]) without a cross
+    join — the interval-overlap operator Spark has no native strategy
+    for. Each interval explodes into the coarse time buckets it covers;
+    points bucket by the same grain; candidates equi-join on the bucket
+    and the exact containment predicate filters within — shuffle cost is
+    O(points + Σ interval-spans), never |points| × |intervals|.
+
+    Bucketing is epoch arithmetic (µs-exact). Pick ``bucket_seconds``
+    near the median interval length: too coarse inflates candidates, too
+    fine inflates the interval explosion.
+
+    Output: all (point, interval) pairs with containment, deduplicated
+    (an interval spanning several buckets meets its points once per
+    shared bucket).
+    """
+    bus = bucket_seconds * 1_000_000
+
+    def to_bucket(c: Column) -> Column:
+        return F.floor(F.unix_micros(c) / bus).cast("long")
+
+    p = points.withColumn("_b", to_bucket(F.col(point_ts)))
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(to_bucket(F.col(start_ts)), to_bucket(F.col(end_ts)))
+        ),
+    )
+    joined = p.join(i, "_b").filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_b").distinct()

@@ -146,3 +146,90 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id", left_ts="ts", right_ts="click_ts",
         right_cols=["click_event_id", "click_ts"],
     )
+
+
+@register(
+    "ext_range_join",
+    oracle="""
+    WITH hours AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+      ORDER BY c DESC, h LIMIT 5
+    ),
+    iv AS (
+      SELECT h AS window_start,
+             h + INTERVAL '1 hour' - INTERVAL '1 microsecond' AS window_end
+      FROM hours
+    )
+    SELECT e.event_id, e.user_id, iv.window_start
+    FROM events e
+    JOIN iv ON CAST(e.ts AS TIMESTAMP) BETWEEN iv.window_start AND iv.window_end
+    WHERE e.event_type = 'error'
+    """,
+)
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join: error events falling inside the 5 busiest
+    hours. Spark runs the bucketized rewrite (explode intervals to hour
+    buckets → equi-join → exact filter;
+    operators/relational.py:bucketed_range_join) — never a cross join;
+    the oracle runs the naive BETWEEN join."""
+    from world_cup_duckdb_spark.operators.relational import bucketed_range_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    hours = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("window_start"))
+        .limit(5)
+        .select(
+            "window_start",
+            (
+                F.col("window_start")
+                + F.expr("INTERVAL 1 HOUR")
+                - F.expr("INTERVAL 1 MICROSECOND")
+            ).alias("window_end"),
+        )
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return bucketed_range_join(
+        errors, hours, "ts", "window_start", "window_end", bucket_seconds=3600
+    ).select("event_id", "user_id", "window_start")
+
+
+@register(
+    "ext_kmv_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM hashed
+    ),
+    kth AS (
+      SELECT l_returnflag, MAX(rn) AS n_kept, MAX(h) AS kth_hash
+      FROM ranked WHERE rn <= 64 GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                ELSE 63.0 / (CAST(concat('0x', substring(kth_hash, 1, 13))
+                                  AS BIGINT) / 4503599627370496.0)
+           END AS kmv_estimate
+    FROM kth
+    """,
+)
+def ext_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per l_returnflag over l_partkey —
+    deterministic md5-based sketching, so the ESTIMATE (not just the
+    mechanism) is bit-identical across engines
+    (operators/sketch.py:kmv_distinct_estimate; mergeable min-k at
+    scale)."""
+    from world_cup_duckdb_spark.operators.sketch import kmv_distinct_estimate
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return kmv_distinct_estimate(li, "l_partkey", ["l_returnflag"], k=64)

@@ -116,6 +116,24 @@ SHARED_SQL: dict[str, str] = {
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
     """,
+    # hypertable-style continuous aggregate: one pass materializes the
+    # hour/day/week grains (time-chunked rollup over the event stream)
+    "sql_hypertable_rollup": """
+    SELECT grain_hour, grain_day, grain_week, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS grain_hour,
+             CAST(date_trunc('day',  CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS grain_day,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS grain_week,
+             event_type, value
+      FROM events
+    ) g
+    GROUP BY GROUPING SETS (
+      (grain_hour, event_type), (grain_day, event_type),
+      (grain_week, event_type)
+    )
+    """,
     # calendar rollup: monthly order volume (event-time bucketing in SQL)
     "sql_monthly_volume": """
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
