@@ -59,6 +59,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     constraints,
     core,
     csv_source,
+    ext_advanced,
     ext_dedup,
     ext_events,
     ext_multimodal,

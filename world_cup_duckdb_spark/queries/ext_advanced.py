@@ -1,0 +1,252 @@
+"""Advanced analytics extensions rounding out the engine's query surface:
+batch sessionization, exact quantiles, distribution windows, deterministic
+sampling, fuzzy string matching, and PII masking.
+
+These are the remaining shapes a 100 TB training-data / product-analytics
+pipeline leans on beyond SURVEY.md §2's inventory (reference scope:
+`README.md:1-3` — the schema exists to be queried; these are standard
+DuckDB-SQL-expressible analytics over it, so each has a full value-hash
+oracle).
+
+Scale notes per query are on the functions; the common theme is "one
+shuffle, then stay inside the partition" (sessionize, distribution windows)
+or "no shuffle at all" (hash sampling — a pure scan filter that pushes to
+parquet; fuzzy join — broadcast of a tiny dimension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.functions.strings import dec
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import table
+
+
+@register(
+    "ext_sessionize_batch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP)
+                       > LAG(CAST(ts AS TIMESTAMP)) OVER w
+                         + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_nr
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_nr AS BIGINT) AS session_nr,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_nr
+    """,
+)
+def ext_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions
+    at >30-minute gaps (lag → new-session flag → running sum = session id),
+    then aggregate per session. The batch twin of
+    ext_stream_session's `session_window`.
+
+    Scale: one shuffle on user_id; both window passes and the final
+    aggregate reuse that partitioning (Catalyst collapses them into a
+    single sort+window stage), so cost is a single exchange of the events
+    table regardless of session count. Tie-break on event_id makes session
+    numbering deterministic under equal timestamps.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.select("user_id", "event_id", "ts")
+        .withColumn("is_new", is_new)
+        .withColumn("session_nr", F.sum("is_new").over(run).cast("bigint"))
+        .groupBy("user_id", "session_nr")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "ext_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+             AS p25,
+           ROUND(PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+             AS p50,
+           ROUND(PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+             AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ext_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (p25/p50/p95) of extended price per
+    return flag — ANSI `PERCENTILE_CONT ... WITHIN GROUP`, identical
+    linear-interpolation semantics in Spark and DuckDB (rounded to 4
+    decimals to absorb last-ulp interpolation differences).
+
+    Scale: exact percentiles need the group's values together — fine here
+    because the group count is tiny (3 flags). At 100 TB with
+    high-cardinality groups the right tool is `percentile_approx`
+    (t-digest-style mergeable sketch, map-side partials); this query pins
+    the exact semantics the approximate path is graded against.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pc = (
+        "ROUND(PERCENTILE_CONT({p}) WITHIN GROUP (ORDER BY l_extendedprice), 4)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.expr(pc.format(p="0.25")).alias("p25"),
+        F.expr(pc.format(p="0.50")).alias("p50"),
+        F.expr(pc.format(p="0.95")).alias("p95"),
+    )
+
+
+@register(
+    "ext_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def ext_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucket, percentile rank,
+    and cumulative distribution of customers by account balance within
+    their market segment. Completes the window-function surface beyond
+    op45/op46 (rank/lag).
+
+    Scale: one shuffle on c_mktsegment; all three functions share a single
+    sort and window pass. The c_custkey tie-break pins NTILE's row order
+    (PERCENT_RANK/CUME_DIST are rank-based and tie-stable anyway).
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "ext_deterministic_sample",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '10'
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~6.25% sample of orders (md5(key) prefix < '10' keeps
+    16/256 of the hash space) aggregated by priority — the
+    reproducible-sampling primitive a training pipeline uses for eval
+    holdouts and data audits: same rows selected on every engine, every
+    run, every cluster size (unlike `df.sample`, which is seed- and
+    partitioning-dependent).
+
+    Scale: the predicate is a pure per-row function of the key — no
+    shuffle, no coordination; Catalyst evaluates it inside the scan stage.
+    Sampling rate tunes by hex-prefix threshold (two hex chars → 1/256
+    granularity; use more chars for finer rates).
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "10")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "ext_fuzzy_join",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 5
+    """,
+)
+def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-match of nation names within edit distance 5 —
+    the entity-resolution primitive (near-identical names across sources).
+    Both engines implement classic Levenshtein, so results hash-match.
+
+    Scale: all-pairs edit distance is only sane on small dimensions
+    (broadcast nested loop over 25×25 here). At corpus scale the engine's
+    scalable variants apply first — ext_dedup_minhash / ext_dedup_ngram
+    block candidate pairs down to near-duplicates, and Levenshtein runs
+    only inside those buckets.
+    """
+    n = table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 5)
+        .select("name_a", "name_b", F.col("edit_dist").cast("int"))
+    )
+
+
+@register(
+    "ext_pii_mask",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits,
+           md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS masked_md5
+    FROM documents
+    """,
+)
+def ext_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-token masking over the documents corpus — the shape of a
+    PII-scrub pass (mask digit runs, report how much was redacted).
+    Returns the masked text's md5 (not the text) so the oracle hash
+    compares full content without shipping megabytes through the harness.
+
+    Scale: embarrassingly parallel scan — regexp + md5 run inside
+    whole-stage codegen, no shuffle, no Python. A real scrub swaps the
+    pattern set (emails, phones, SSNs) into the same plan shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).cast("bigint").alias("n_digits"),
+        F.md5(F.regexp_replace("text", "[0-9]+", "<NUM>")).alias("masked_md5"),
+    )
