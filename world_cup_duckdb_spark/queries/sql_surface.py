@@ -142,6 +142,81 @@ SHARED_SQL: dict[str, str] = {
     FROM orders
     GROUP BY 1
     """,
+    # TPC-H Q7 shape: two roles of the same dimension (supplier nation vs
+    # customer nation) with a disjunctive cross-pair predicate — join-order
+    # and predicate-pushdown exercise over a 5-way join
+    "sql_nation_volume": f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+             {_REV} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    # TPC-H Q13 shape: outer-join aggregation distribution — customers
+    # bucketed by how many orders they placed, including the zero bucket
+    # (the LEFT JOIN is load-bearing)
+    "sql_order_count_distribution": """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    # TPC-H Q15 shape: CTE reused twice — once as a join input, once
+    # inside a scalar MAX subquery (exact decimal revenue, so the
+    # equality predicate is engine-stable)
+    "sql_top_supplier": f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    # TPC-H Q17 shape: correlated scalar subquery (per-part average
+    # quantity threshold) — Catalyst decorrelates to an aggregate+join;
+    # quantities are integer-valued doubles so the correlated AVG is
+    # order-independent and bit-stable across engines
+    "sql_small_quantity_revenue": """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l1
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+      )
+    """,
+    # TPC-H Q18 shape: IN-subquery over a grouped HAVING — large-order
+    # customers; the IN list is itself an aggregation result
+    "sql_large_orders": """
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    GROUP BY c_custkey, o_orderkey
+    """,
     # window over SQL text: per-nation customer account-balance rank
     "sql_balance_rank": """
     SELECT n_name, c_custkey, bal_rank FROM (
