@@ -22,6 +22,7 @@ from world_cup_duckdb_spark.streaming import (
     read_event_stream,
     sessionize,
     sliding_counts,
+    stream_funnel_pairs,
     tumbling_counts,
 )
 from world_cup_duckdb_spark.streaming.stateful import running_user_profile
@@ -118,6 +119,37 @@ def test_dedup_stream_matches_batch_keys(spark, sf_dir, staged):
     assert _rows(got, ["user_id", "event_type"]) == _rows(
         want, ["user_id", "event_type"]
     )
+    assert got.count() == want.count()
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, staged):
+    """Stream-stream funnel join (watermarked, time-range-bounded state)
+    emits exactly the pairs the identical batch join produces — including
+    pairs whose click and purchase arrive in different micro-batches."""
+    from pyspark.sql import functions as F
+
+    stream = read_event_stream(spark, staged)
+    got = _run_stream(spark, stream_funnel_pairs(stream), "append", "t_ssjoin")
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("then_event_id"),
+        "user_id",
+        F.col("ts").alias("then_ts"),
+    )
+    want = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("then_ts") > F.col("click_ts"))
+        & (F.col("then_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    cols = ["user_id", "click_event_id", "click_ts", "then_event_id", "then_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
     assert got.count() == want.count()
 
 

@@ -5,6 +5,7 @@ from world_cup_duckdb_spark.streaming.windows import (
     read_event_stream,
     sessionize,
     sliding_counts,
+    stream_funnel_pairs,
     tumbling_counts,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "running_user_profile",
     "sessionize",
     "stream_validated_write",
+    "stream_funnel_pairs",
     "sliding_counts",
     "tumbling_counts",
 ]

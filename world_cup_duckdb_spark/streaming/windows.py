@@ -112,6 +112,58 @@ def sessionize(
     )
 
 
+def stream_funnel_pairs(
+    events: DataFrame,
+    first: str = "click",
+    then: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: every (first → then) event pair for the
+    same user within ``within`` — the streaming twin of the batch funnel
+    (queries/ext_events.py:ext_funnel_click_purchase's join stage).
+
+    Both sides carry a watermark and the join condition carries an
+    event-time range, so Spark bounds each side's join state: a buffered
+    click can be dropped once the watermark passes click_ts + within, a
+    purchase once it can no longer match any live click. Without the time
+    bound the state would grow forever — this is THE correctness
+    requirement for stream-stream joins at scale.
+
+    Works as a self-join of one source stream (Spark plans two independent
+    scans); append output mode, matches emitted as they arrive.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == first)
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    follows = (
+        events.filter(F.col("event_type") == then)
+        .select("event_id", "user_id", F.col("ts").alias("then_ts"))
+        .withWatermark("then_ts", watermark)
+    )
+    return clicks.join(
+        follows,
+        F.expr(
+            f"""click_user = user_id
+                AND then_ts > click_ts
+                AND then_ts <= click_ts + INTERVAL {within}"""
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_event_id",
+        "click_ts",
+        F.col("event_id").alias("then_event_id"),
+        "then_ts",
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
 ) -> DataFrame:
