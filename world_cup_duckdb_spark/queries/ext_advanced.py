@@ -192,6 +192,82 @@ def ext_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_upsert_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) v WHERE rn = 1
+    """,
+)
+def ext_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest upsert semantics: one surviving row per
+    (user_id, event_type), the one with the newest timestamp — how a
+    training pipeline collapses multiple versions of a record (latest
+    document revision, current user state) without a transactional table
+    format. Deterministic via the event_id tie-break.
+
+    Scale: one shuffle on the key, one window pass, filter rn=1 — the
+    same cost shape as a groupBy max-struct. For continuous upserts the
+    streaming twin is dedup_within_watermark with reversed ordering.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.select("user_id", "event_type", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "ext_stratified_sample",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM events
+    WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2)
+          < CASE event_type WHEN 'purchase' THEN 'ff'
+                            WHEN 'click' THEN '1a'
+                            ELSE '0d' END
+    GROUP BY event_type
+    """,
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: different keep-rates per class
+    (~100% of rare purchases, ~10% of clicks, ~5% of the rest) — the
+    class-rebalancing primitive for training-set construction, with the
+    same reproducibility guarantee as ext_deterministic_sample (md5 of
+    the key, so membership is stable across engines, runs, and cluster
+    sizes).
+
+    Scale: per-row hash + branch-free CASE threshold inside the scan
+    stage; the only shuffle is the final tiny count-by-class.
+    """
+    e = table(spark, sf_dir, "events")
+    threshold = (
+        F.when(F.col("event_type") == "purchase", "ff")
+        .when(F.col("event_type") == "click", "1a")
+        .otherwise("0d")
+    )
+    return (
+        e.filter(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < threshold
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register(
     "ext_fuzzy_join",
     oracle="""
     SELECT a.n_name AS name_a, b.n_name AS name_b,
