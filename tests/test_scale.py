@@ -156,3 +156,98 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_approx_aggregates_within_error_bounds(spark, sf_dir):
+    """The approximate scale path (HLL++ distinct, mergeable approx
+    percentiles) stays within its advertised error of the exact answers
+    it replaces at 100 TB."""
+    from world_cup_duckdb_spark.operators.sketch import approx_group_stats
+
+    li = table(spark, sf_dir, "lineitem")
+    approx = {
+        r["l_returnflag"]: r
+        for r in approx_group_stats(
+            li, ["l_returnflag"], "l_partkey", "l_extendedprice"
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.expr(
+                "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        # HLL++ rsd=0.05 → allow 3 sigma
+        assert abs(a["approx_distinct"] - e["nd"]) <= max(3, 0.15 * e["nd"])
+        # rank error 1/accuracy=1e-4 → value error is data-dependent but
+        # tiny on a smooth distribution; 1% is a generous ceiling
+        assert abs(a["approx_p50"] - e["p50"]) <= 0.01 * abs(e["p50"])
+        assert abs(a["approx_p95"] - e["p95"]) <= 0.01 * abs(e["p95"])
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path_factory):
+    """Z-order layout bounds per-file min/max spans on BOTH clustered
+    columns (the data-skipping property); a single-column sort leaves the
+    second column's spans at ~full range."""
+    from world_cup_duckdb_spark.operators.scale import write_zordered
+
+    base = tmp_path_factory.mktemp("zorder")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    stats = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    pk_span = stats[1] - stats[0]
+    sk_span = stats[3] - stats[2]
+
+    def mean_file_spans(path):
+        import glob
+        import pyarrow.parquet as pq
+
+        pk, sk = [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f)
+            if t.num_rows == 0:
+                continue
+            import pyarrow.compute as pc
+
+            pk.append(
+                pc.max(t["l_partkey"]).as_py() - pc.min(t["l_partkey"]).as_py()
+            )
+            sk.append(
+                pc.max(t["l_suppkey"]).as_py() - pc.min(t["l_suppkey"]).as_py()
+            )
+        return sum(pk) / len(pk), sum(sk) / len(sk)
+
+    # baseline: single-column range sort (16 files, like the zorder write)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(str(base / "plain"))
+    )
+    write_zordered(
+        li,
+        str(base / "z"),
+        [("l_partkey", stats[0], stats[1]), ("l_suppkey", stats[2], stats[3])],
+        n_files=16,
+    )
+    _, plain_sk = mean_file_spans(str(base / "plain"))
+    z_pk, z_sk = mean_file_spans(str(base / "z"))
+
+    assert plain_sk > 0.9 * sk_span          # partkey sort can't skip on suppkey
+    assert z_sk < 0.6 * sk_span              # zorder bounds suppkey spans...
+    assert z_pk < 0.6 * pk_span              # ...while ALSO bounding partkey
+    # and no rows were lost in the rewrite
+    assert spark.read.parquet(str(base / "z")).count() == li.count()

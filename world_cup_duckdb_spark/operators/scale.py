@@ -109,3 +109,64 @@ def write_bucketed(
         .saveAsTable(table_name)
     )
     return spark.table(table_name)
+
+
+def zorder_value(
+    cols: list[tuple[Column | str, float, float]], bits: int = 8
+) -> Column:
+    """Z-order (Morton) curve value for multi-dimensional clustering.
+
+    Each entry is ``(column, min, max)``; the value is scaled to
+    ``[0, 2^bits)`` and the columns' bits are interleaved, so rows close
+    on the curve are close in EVERY dimension at once. Sorting files by
+    this value gives parquet min/max skipping on all participating
+    columns — a single-column sort only skips on that column.
+
+    Pure built-in bit arithmetic (shift/and/or) — stays inside
+    whole-stage codegen; the expression has bits×len(cols) terms, so keep
+    ``bits`` modest (8 bits/dim ≈ 256 buckets/dim is plenty for file
+    skipping).
+    """
+    quantized = []
+    top = (1 << bits) - 1
+    for c, mn, mx in cols:
+        c = F.col(c) if isinstance(c, str) else c
+        span = (mx - mn) or 1.0
+        quantized.append(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    ((c.cast("double") - F.lit(float(mn))) * top / span).cast("int"),
+                ),
+            )
+        )
+    z = F.lit(0)
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(quantized) + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[tuple[str, float, float]],
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Cluster-and-write: range-partition on the Z-value (tight,
+    non-overlapping curve ranges per file), sort within each file, write
+    parquet. Readers filtering on ANY of the clustered columns skip most
+    files via footer min/max — the lakehouse data-skipping layout without
+    a table format."""
+    z = zorder_value(list(cols), bits=bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

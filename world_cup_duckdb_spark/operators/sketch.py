@@ -27,6 +27,43 @@ HEX_DIGITS = 13
 _SCALE = float(16**HEX_DIGITS)
 
 
+def approx_group_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    quantile_col: str,
+    percentages: list[float] | None = None,
+    accuracy: int = 10000,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """The approximate-aggregation scale path: per-group HLL++ distinct
+    count (`approx_count_distinct`, relative std dev ``rsd``) and
+    approximate percentiles (`percentile_approx`, Greenwald-Khanna-style
+    mergeable summary with 1/``accuracy`` rank error).
+
+    This is what replaces exact COUNT(DISTINCT) / PERCENTILE_CONT at
+    100 TB: both sketches aggregate partially map-side and merge in one
+    shuffle round, state is O(sketch) per group instead of O(values), and
+    the error is tunable. Estimates are engine-specific (unlike
+    kmv_distinct_estimate), so correctness is asserted as an error bound
+    against the exact answers (tests/test_scale.py), not an oracle hash.
+
+    Output: group cols + ``approx_distinct`` (bigint) + one
+    ``approx_p{pct}`` column per requested percentage.
+    """
+    percentages = percentages or [0.5, 0.95]
+    aggs = [
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("approx_distinct")
+    ]
+    for p in percentages:
+        aggs.append(
+            F.percentile_approx(quantile_col, p, accuracy).alias(
+                f"approx_p{int(p * 100)}"
+            )
+        )
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def kmv_distinct_estimate(
     df: DataFrame,
     value_col: str,

@@ -23,6 +23,11 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter join pruning: when one join side is selectively
+    # filtered, inject a bloom filter of its keys into the other side's
+    # scan — at 100 TB this cuts the probe side's shuffle volume before it
+    # happens (complements static/dynamic partition pruning).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for toPandas / pandas_udf boundaries.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # DuckDB timestamps are UTC-naive; pin the session so timestamp
