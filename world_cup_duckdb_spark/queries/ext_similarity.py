@@ -125,3 +125,70 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=4
     )
+
+
+@register(
+    "ext_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+           )), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def ext_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via a sequential array fold (`F.aggregate`) —
+    the normalization primitive every cosine pipeline needs. The fold
+    walks each array in element order on both engines, so the double
+    result matches the DuckDB list_sum oracle (rounded to 6 to absorb
+    the last ulp of sqrt).
+
+    Scale: embarrassingly parallel, zero shuffle; the arithmetic is a
+    JVM higher-order function, not Python."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select("vec_id", F.round(F.sqrt(sq_sum), 6).alias("l2_norm"))
+
+
+@register(
+    "ext_embedding_centroids",
+    oracle="""
+    SELECT label, CAST(dim - 1 AS INT) AS dim_idx,
+           CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
+    FROM (
+      SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ) t
+    GROUP BY label, dim
+    """,
+)
+def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — the k-means
+    update step / class-prototype computation. Components are scaled to
+    integer micro-units before summing so the distributed sum is exact
+    and partition-order independent (the float-sum analogue of the
+    decimal money rule), then divided back to a double.
+
+    Scale: posexplode multiplies rows by dimension count, but the partial
+    aggregation reduces to (labels × dims) rows before the single
+    shuffle — the classic map-side-combine win."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim_idx", "x"))
+        .groupBy("label", "dim_idx")
+        .agg(
+            (
+                F.sum(F.round(F.col("x").cast("double") * 1000000).cast("bigint"))
+                .cast("double")
+                / (F.count(F.lit(1)) * 1000000.0)
+            ).alias("centroid")
+        )
+        .select("label", F.col("dim_idx").cast("int"), "centroid")
+    )

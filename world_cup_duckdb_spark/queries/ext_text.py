@@ -174,3 +174,36 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_fingerprint(toks, 0).alias("fp0"),
         rolling_fingerprint(toks, 1).alias("fp1"),
     )
+
+
+@register(
+    "ext_vocab_topk",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency — the first step of
+    any tokenizer/vocab build over a training corpus.
+
+    Scale: explode → partial map-side count → one shuffle of (token,
+    partial_count) pairs (NOT of exploded tokens — Catalyst's partial
+    aggregation makes shuffle volume proportional to vocabulary, not
+    corpus size); TakeOrderedAndProject keeps only the top-k per
+    partition. Tie-broken on token for determinism."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
