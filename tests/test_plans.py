@@ -69,3 +69,24 @@ def test_whole_stage_codegen_on_agg(spark, sf_dir):
     tree = p.split("(1) Scan")[0]
     assert tree.count("HashAggregate") == 2
     assert tree.count("Exchange") == 1
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # Both window passes and the per-session aggregate reuse the one
+    # user_id shuffle — cost is a single exchange of the events table.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_sessionize_batch"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, p
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    # Top-k over exploded tokens must not globally sort the vocabulary.
+    p = plan(REGISTRY["ext_vocab_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    # The explode feeds a partial aggregate — shuffle volume is
+    # vocabulary-sized, not corpus-sized.
+    assert "partial_count" in p or "partial" in p, p
