@@ -265,3 +265,87 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "ext_quality_filter_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+             CAST(len(list_filter(string_split(text,' '), w -> w IN ({en}))) AS INT)
+               AS n_stop,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ({en}))) AS INT) AS en_score,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ({es}))) AS INT) AS es_score,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ({de}))) AS INT) AS de_score,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ({fr}))) AS INT) AS fr_score
+      FROM documents
+    ),
+    decided AS (
+      SELECT doc_id,
+             least(1.0, n_tokens / 200.0) * 0.5
+               + least(1.0, (n_stop / CAST(n_tokens AS DOUBLE)) * 8.0) * 0.5
+               AS quality_score,
+             CASE WHEN en_score >= es_score AND en_score >= de_score
+                       AND en_score >= fr_score AND en_score > 0 THEN 'en'
+                  WHEN es_score >= de_score AND es_score >= fr_score
+                       AND es_score > 0 THEN 'es'
+                  WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+                  WHEN fr_score > 0 THEN 'fr'
+                  ELSE 'und' END AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS copy_nr
+      FROM scored
+    )
+    SELECT doc_id, quality_score, pred_lang,
+           copy_nr = 1 AS is_canonical,
+           (quality_score >= 0.5 AND pred_lang <> 'und' AND copy_nr = 1)
+             AS keep
+    FROM decided
+    """.format(
+        en=_sql_list("en"), es=_sql_list("es"), de=_sql_list("de"), fr=_sql_list("fr")
+    ),
+)
+def ext_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data keep decision, composed from the
+    engine's individually-verified pieces: quality threshold
+    (ext_quality_score's formula) AND confident language id
+    (ext_lang_id's argmax) AND exact-dedup canonical copy (first doc_id
+    per md5(text)). One boolean per document — what a corpus filter
+    actually emits.
+
+    Scale: scoring and language id are pure map-side expressions; the
+    only shuffle is the md5(text) dedup window — content-hash keys are
+    uniform, so no skew; at 100 TB the same decision column drives a
+    partitioned write of the kept subset."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    stop_ratio = stopword_count(toks, "en") / n_tokens.cast("double")
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 8.0) * 0.5
+    )
+    pred = predict_lang(lang_scores(toks))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            quality.alias("quality_score"),
+            pred.alias("pred_lang"),
+            F.row_number().over(w).alias("copy_nr"),
+        )
+        .select(
+            "doc_id",
+            "quality_score",
+            "pred_lang",
+            (F.col("copy_nr") == 1).alias("is_canonical"),
+            (
+                (F.col("quality_score") >= 0.5)
+                & (F.col("pred_lang") != "und")
+                & (F.col("copy_nr") == 1)
+            ).alias("keep"),
+        )
+    )

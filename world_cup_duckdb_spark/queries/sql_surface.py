@@ -217,6 +217,26 @@ SHARED_SQL: dict[str, str] = {
     )
     GROUP BY c_custkey, o_orderkey
     """,
+    # event-time RANGE frame (interval-bounded, not row-counted): rolling
+    # 7-day order volume — the moving-aggregate shape a RANGE window
+    # exists for; frame membership is by date arithmetic, so gaps in the
+    # calendar are handled correctly (a ROWS frame would not)
+    "sql_rolling_7day": """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS vol
+      FROM orders GROUP BY 1
+    )
+    SELECT day, n,
+           CAST(SUM(n) OVER (ORDER BY day
+             RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_7d,
+           CAST(SUM(vol) OVER (ORDER BY day
+             RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS vol_7d
+    FROM daily
+    """,
     # window over SQL text: per-nation customer account-balance rank
     "sql_balance_rank": """
     SELECT n_name, c_custkey, bal_rank FROM (
