@@ -249,6 +249,230 @@ SHARED_SQL: dict[str, str] = {
     ) ranked
     WHERE bal_rank <= 3
     """,
+    # TPC-H Q2 shape: correlated scalar MIN — for each small part, the
+    # supplier rows hitting its minimum observed price. The equality is on
+    # an untouched double column (selection, not arithmetic), so both
+    # engines compare identical bit patterns.
+    "sql_min_price_supplier": """
+    SELECT p_partkey, s_suppkey, s_name,
+           CAST(l_extendedprice AS DOUBLE) AS price
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 5
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    # TPC-H Q8 shape: market share — one nation's fraction of regional
+    # revenue per year; exact decimal sums feed a double division, and the
+    # nation dimension appears in two roles (supplier side vs customer side)
+    "sql_market_share": f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                              ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+             {_REV} AS volume,
+             n1.n_name AS nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    # TPC-H Q9 shape: profit by supplier nation and year over a 5-way join
+    # with a LIKE part filter; amount is a decimal difference (exact)
+    "sql_nation_profit": """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               - CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_tax AS DECIMAL(18,2)) AS amount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    # TPC-H Q10 shape: returned-item reporting — top-20 customers by
+    # revenue lost to returns in a half-year window
+    "sql_returned_items": f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    # TPC-H Q12 shape: dual conditional counts after a fact-fact join,
+    # split by order priority class inside a one-year shipping window
+    "sql_priority_linestatus": """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    # TPC-H Q14 shape: promo revenue ratio — two exact decimal sums from
+    # one scan, divided as doubles only at the end
+    "sql_promo_revenue_ratio": f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM({_REV}) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-04-01'
+    """,
+    # TPC-H Q16 shape: COUNT DISTINCT per attribute triple with a NOT IN
+    # subquery knocking out low-balance suppliers (null-safe anti join)
+    "sql_supplier_part_counts": """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier
+        WHERE CAST(s_acctbal AS DECIMAL(18,2)) < 2000.00
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    # TPC-H Q19 shape: three-arm disjunctive join predicate mixing part
+    # attributes and lineitem quantity ranges — Catalyst must keep the
+    # equi-join key and push the residual disjunction above the join
+    "sql_disjunctive_parts": f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    # TPC-H Q20 shape: two nested IN subqueries — suppliers who moved a
+    # large volume of a name-matched part family
+    "sql_top_part_suppliers": """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+      )
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 500.00
+    )
+    """,
+    # TPC-H Q21 shape: EXISTS + NOT EXISTS over two self-references of the
+    # fact — the supplier who alone returned lines on a multi-supplier
+    # finished order (two correlated semi/anti joins on the same table)
+    "sql_sole_returner": """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    # TPC-H Q22 shape: substring-derived country code, an above-average
+    # balance threshold (expressed as exact decimal cross-multiplication,
+    # sidestepping engine-specific AVG-of-decimal typing), and NOT EXISTS
+    "sql_idle_customers": """
+    SELECT cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT SUBSTRING(c_name, LENGTH(c_name), 1) AS cntrycode,
+             c_acctbal, c_custkey
+      FROM customer
+    ) c
+    CROSS JOIN (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+             COUNT(*) AS bal_n
+      FROM customer
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 3000.00
+    ) a
+    WHERE cntrycode IN ('1', '3', '5', '7', '9')
+      AND CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY cntrycode
+    """,
+    # set operators (INTERSECT / EXCEPT) — absent from the reference's ELT
+    # but part of the DuckDB SQL surface it serves; hash-distinct semantics
+    "sql_nation_set_ops": """
+    SELECT 'both' AS side, CAST(nationkey AS INT) AS nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    ) b
+    UNION ALL
+    SELECT 'customer_only' AS side, CAST(nationkey AS INT) AS nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    ) e
+    """,
+    # frame-exact value windows: FIRST/LAST/NTH over an explicit
+    # unbounded ROWS frame (LAST_VALUE is wrong without it — the default
+    # frame stops at CURRENT ROW)
+    "sql_first_last_window": """
+    SELECT n_name, c_custkey,
+           CAST(FIRST_VALUE(c_acctbal) OVER (
+             PARTITION BY n_name
+             ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS DOUBLE) AS richest_bal,
+           CAST(LAST_VALUE(c_acctbal) OVER (
+             PARTITION BY n_name
+             ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS DOUBLE) AS poorest_bal,
+           CAST(NTH_VALUE(c_acctbal, 2) OVER (
+             PARTITION BY n_name
+             ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS DOUBLE) AS second_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
 }
 
 
