@@ -257,3 +257,19 @@ def test_stateful_profile_accumulates_across_batches(spark, sf_dir, staged):
         assert n == r["n"]
         assert total == pytest.approx(r["total"], rel=1e-9)
         assert last_id == r["last_id"]
+
+
+def test_enrich_stream_equals_batch(spark, sf_dir, staged):
+    """Stream-static broadcast join: the streaming enrichment pipeline
+    (3 micro-batches probing the static customer dim) must equal the
+    batch join+rollup — and the join itself must add no streaming state
+    (it's stateless; only the windowed agg keeps state)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.streaming import enrich_events
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=1)
+    dim = table(spark, sf_dir, "customer")
+    got = _run_stream(spark, enrich_events(stream, dim), "complete", "t_enrich")
+    want = REGISTRY["ext_stream_enrich"].fn(spark, sf_dir)
+    cols = ["window_start", "c_mktsegment", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)

@@ -61,3 +61,69 @@ def op02b_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "O")
         .select("o_orderkey", "o_orderstatus", "o_orderdate")
     )
+
+
+CUSTOMER_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.LongType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@register(
+    "op02c_json_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def op02c_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip scan with explicit schema (the semi-structured
+    ingest edge the CSV path doesn't cover). Doubles survive the text
+    round-trip exactly (Spark writes shortest-round-trip reprs); the
+    declared StructType skips the schema-inference pass that would read
+    the files twice — at 100 TB inference is a full extra scan."""
+    loc = _fresh_dir("op02c_customer_json")
+    (
+        table(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .json(os.path.join(loc, "customer"))
+    )
+    return (
+        spark.read.schema(CUSTOMER_JSON_SCHEMA)
+        .json(os.path.join(loc, "customer"))
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "op02d_orc_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity >= 49
+    """,
+)
+def op02d_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip scan (the second columnar at-rest format Spark
+    serves natively). Like parquet, ORC carries stripe-level min/max
+    stats, so the selective quantity predicate is pushed to the reader
+    and non-matching stripes are skipped without decoding."""
+    loc = _fresh_dir("op02d_lineitem_orc")
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.mode("overwrite")
+        .orc(os.path.join(loc, "lineitem"))
+    )
+    return (
+        spark.read.orc(os.path.join(loc, "lineitem"))
+        .filter(F.col("l_quantity") >= 49)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )

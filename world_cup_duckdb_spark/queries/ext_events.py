@@ -233,3 +233,68 @@ def ext_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_tables(spark, sf_dir)["lineitem"]
     return kmv_distinct_estimate(li, "l_partkey", ["l_returnflag"], k=64)
+
+
+@register(
+    "ext_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MAX(k) AS INT) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    ) e
+    GROUP BY event_type
+    """,
+)
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: `events.props` holds a JSON payload as
+    a string; pull the typed field out and aggregate it per event type.
+
+    Uses `from_json` with a declared schema rather than per-field
+    `get_json_object`: one parse per row materializes every needed field
+    (n extractions with get_json_object would parse the document n
+    times), stays JVM-side (Jackson inside codegen — no Python), and
+    malformed documents become NULL rather than failing the scan, which
+    is the posture a 100 TB corpus with dirty payloads needs."""
+    e = load_tables(spark, sf_dir)["events"]
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
+@register(
+    "ext_stream_enrich",
+    oracle="""
+    SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000)
+                          * 600000000) AS window_start,
+           c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def ext_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch twin): events joined to the
+    customer dimension, rolled up per (10-min window, market segment).
+
+    Runs streaming/windows.py:enrich_events verbatim on batch frames —
+    the unified-API proof that the streaming enrichment pipeline computes
+    exactly the batch join+rollup (tests/test_streaming.py drives the
+    same function from readStream and compares). The dim side is
+    broadcast: at 100 TB of events the join adds no shuffle and no
+    streaming state."""
+    from world_cup_duckdb_spark.streaming.windows import enrich_events
+
+    t = load_tables(spark, sf_dir)
+    return enrich_events(t["events"], t["customer"])

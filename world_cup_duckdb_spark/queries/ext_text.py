@@ -349,3 +349,59 @@ def ext_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "ext_bigram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+      ) t
+    ),
+    bi AS (
+      SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bi
+    WHERE bigram IS NOT NULL
+      AND bigram NOT LIKE ' %' AND bigram NOT LIKE '% '
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+)
+def ext_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 adjacent token pairs across the corpus.
+
+    Bigram construction is array-native — `zip_with` over the token array
+    and its shifted self, entirely per-row inside whole-stage codegen.
+    The oracle builds the same pairs with a LEAD window, which is what a
+    naive engine would do at scale: explode to one row per token, then
+    shuffle every token by doc_id to line up neighbors. The zip_with
+    formulation skips that shuffle completely; the only exchange is the
+    final count-by-bigram, and top-k is TakeOrderedAndProject (no global
+    sort)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bigrams = (
+        d.select(F.split(F.lower("text"), " ").alias("l"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(l, 1, greatest(size(l) - 1, 0)),"
+                    "         slice(l, 2, greatest(size(l) - 1, 0)),"
+                    "         (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.filter(~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" "))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(25)
+    )

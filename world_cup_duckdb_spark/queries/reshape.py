@@ -105,3 +105,40 @@ def op33_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surrogate_key(brands, "BR-", ["p_brand"], key_col="brand_id").select(
         "brand_id", "p_brand"
     )
+
+
+@register(
+    "ext_pivot_wide",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot — the inverse of OP32's unpivot: order counts
+    per priority, one column per order status.
+
+    The pivot values are declared explicitly, which matters twice at
+    scale: Spark skips the extra distinct-values job it would otherwise
+    run over the whole fact, and the plan stays a single partial+final
+    hash aggregate (one shuffle on the groupBy key, each status count a
+    pivoted aggregate slot — no per-status scans). `sum(1)` rather than
+    `count(*)` so an absent (priority, status) cell is NULL on both
+    engines (DuckDB's conditional SUM over zero rows is NULL; COUNT
+    would be 0)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.lit(1)).cast("bigint"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("n_f"),
+        F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"),
+    )

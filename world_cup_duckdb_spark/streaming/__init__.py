@@ -2,6 +2,7 @@ from world_cup_duckdb_spark.streaming.sinks import stream_validated_write
 from world_cup_duckdb_spark.streaming.stateful import running_user_profile
 from world_cup_duckdb_spark.streaming.windows import (
     dedup_within_watermark,
+    enrich_events,
     read_event_stream,
     sessionize,
     sliding_counts,
@@ -11,6 +12,7 @@ from world_cup_duckdb_spark.streaming.windows import (
 
 __all__ = [
     "dedup_within_watermark",
+    "enrich_events",
     "read_event_stream",
     "running_user_profile",
     "sessionize",

@@ -171,3 +171,47 @@ def dedup_within_watermark(
     expiry bounded by the watermark (`dropDuplicatesWithinWatermark`)."""
     keys = keys or ["user_id", "event_type"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    key_left: str = "user_id",
+    key_right: str = "c_custkey",
+    label: str = "c_mktsegment",
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: join each event to
+    a slowly-changing dimension, then aggregate per (window, label).
+
+    The static side is broadcast, so the join is STATELESS — each
+    micro-batch probes the in-memory dim copy with zero streaming join
+    state and zero shuffle on the stream side (contrast
+    stream_funnel_pairs, whose stream-stream state needs time bounds).
+    This is the canonical enrichment pattern at scale: the only stateful
+    operator left is the windowed aggregation, bounded by the watermark.
+
+    Unified batch/streaming: pass batch DataFrames and the same code is
+    the batch query (queries/ext_events.py:ext_stream_enrich oracle-checks
+    it).
+    """
+    enriched = events.join(
+        F.broadcast(dim.select(key_right, label)),
+        F.col(key_left) == F.col(key_right),
+        "inner",
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), label)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            label,
+            "n_events",
+            "total_value",
+        )
+    )
