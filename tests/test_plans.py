@@ -90,3 +90,51 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
     # The explode feeds a partial aggregate — shuffle volume is
     # vocabulary-sized, not corpus-sized.
     assert "partial_count" in p or "partial" in p, p
+
+
+def test_pivot_two_phase_agg_shape(spark, sf_dir):
+    # Declared pivot values skip the distinct-values pre-job entirely
+    # (that job runs at DataFrame-construction time and would not even
+    # appear in this plan). Spark plans pivot as two aggregates — the
+    # (key, pivot-col) rollup, then PivotFirst over the key — so two
+    # exchanges appear, but BOTH carry aggregate-reduced rows (at most
+    # |priorities × statuses|): the map-side partial combine on the first
+    # aggregate has already collapsed the fact table.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_pivot_wide"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 2, p
+    assert "partial" in p, p
+    assert "pivotfirst" in p.lower() or "PivotFirst" in p, p
+
+
+def test_bigram_topk_single_exchange(spark, sf_dir):
+    # zip_with builds bigrams per-row: the only exchange is the
+    # count-by-bigram aggregate (already partial-combined), and top-k is
+    # TakeOrderedAndProject, not a global sort.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_bigram_topk"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p  # no LEAD-window shuffle-by-doc
+
+
+def test_stream_enrich_batch_twin_broadcasts_dim(spark, sf_dir):
+    # The enrichment dim must be broadcast — no shuffle of the event
+    # stream for the join (the windowed agg's exchange is the only one).
+    p = plan(REGISTRY["ext_stream_enrich"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_json_extract_stays_jvm_side(spark, sf_dir):
+    # from_json is Jackson-in-codegen, not Python.
+    p = plan(REGISTRY["ext_json_extract"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p, p
+    assert "from_json" in p, p
