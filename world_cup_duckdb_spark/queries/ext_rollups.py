@@ -1,0 +1,248 @@
+"""Hierarchical / multi-granularity aggregation extensions: cascading
+time rollups (the "hypertable continuous aggregate" pattern), GROUPING
+SETS, Markov transition matrices, RFM segmentation, and fixed-width
+histograms.
+
+Reference scope: the World-Cup schema exists to be aggregated at multiple
+grains (per-match, per-tournament, all-time — e.g. the rollup sites in
+`scripts/build_db.py:945-947` full-table scans); these queries express that
+multi-grain capability in the shapes a 100 TB product/training pipeline
+uses daily. All are DuckDB-SQL-expressible, so each carries a full
+value-hash oracle.
+
+The unifying scale theme: **reaggregate partials, never rescan facts**.
+The hypertable rollup computes the day grain FROM the hour grain (mergeable
+partial aggregates — the same property that makes Spark's map-side combine
+correct); grouping sets expand inside one hash-aggregate pass; the
+transition matrix reuses the sessionization exchange shape (one shuffle by
+user, then window + count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.functions.strings import dec
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import table
+
+
+@register(
+    "ext_rollup_hypertable",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ext_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading time rollup (hypertable continuous-aggregate pattern):
+    aggregate events to the HOUR grain, then compute the DAY grain by
+    reaggregating the hourly partials — never rescanning the fact table.
+    The oracle aggregates straight to day, proving the cascade is exact
+    (count and decimal-sum are mergeable; that is the same algebraic
+    property Spark's map-side partial aggregation relies on).
+
+    Scale: this is THE pattern for time-series at 100 TB — the hour grain
+    is materialized once per ingest window (here, computed in-plan), and
+    every coarser grain (day/week/month) derives from it at hourly-rollup
+    cost, orders of magnitude smaller than the raw facts. Both aggregates
+    partial-combine map-side; the second exchange carries at most
+    |hours × types| rows.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.date_trunc("hour", "ts").alias("hour"), "event_type",
+                 dec("value").alias("v"))
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ext_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() disambiguation flags — the general
+    form of op49's ROLLUP: an explicit lattice of (priority, status),
+    (priority), and grand-total grains in one pass, with grouping flags
+    distinguishing "subtotal row" from "the data really was NULL".
+
+    Scale: like rollup, Spark expands the sets inside a single
+    partial+final hash aggregate (Expand → Aggregate) — the fact table is
+    scanned once and the exchange carries one partial row per (set ×
+    group), not one per input row.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("int").alias("g_st"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "ext_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY src) AS DOUBLE),
+                 6) AS p
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def ext_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over the event stream: for each user's
+    time-ordered events, count (event_type → next event_type) pairs and
+    normalize to transition probabilities — the sequence-mining primitive
+    behind funnel discovery and next-action models.
+
+    Scale: one shuffle on user_id for the LEAD window (same exchange shape
+    as sessionization), then a tiny |types|² aggregate; the probability
+    window runs over that tiny result. Integer counts divide exactly the
+    same on both engines (single IEEE division, then round).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "ext_rfm",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, last_order, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY last_order DESC, custkey) AS INT)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS INT)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS INT)
+             AS m_score
+    FROM rfm
+    """,
+)
+def ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (last order), frequency
+    (order count), monetary (lifetime spend), each bucketed into quintile
+    scores 1–5 — the classic customer-value segmentation, deterministic
+    via custkey tie-breaks.
+
+    Scale: the per-customer aggregate shuffles once on custkey and
+    partial-combines map-side. The three global NTILEs are single-partition
+    sorts over ONE ROW PER CUSTOMER (already aggregate-reduced); at 100 TB
+    with billions of customers, swap NTILE for percentile_approx(metric,
+    [.2,.4,.6,.8]) cutoffs broadcast back — same scores, no global sort —
+    as ext_quantiles documents for the exact→approx grading path.
+    """
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    return rfm.select(
+        "custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+        .alias("m_score"),
+    )
+
+
+@register(
+    "ext_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 25000.0) * 25000.0 AS DOUBLE)
+             AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals ($25k buckets) — the
+    distribution-profiling primitive behind data-quality dashboards and
+    skew detection (the engine's own salting decisions start from exactly
+    this shape run over join keys).
+
+    Scale: bucket id is a per-row arithmetic expression inside the scan
+    stage; the aggregate exchange carries one partial row per bucket.
+    A single IEEE division + floor is bit-identical on both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0))
+    return (
+        o.select(
+            bucket.cast("bigint").alias("bucket"),
+            (bucket * F.lit(25000.0)).cast("double").alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
