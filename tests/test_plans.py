@@ -138,3 +138,57 @@ def test_json_extract_stays_jvm_side(spark, sf_dir):
     p = plan(REGISTRY["ext_json_extract"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in p, p
     assert "from_json" in p, p
+
+
+def test_hypertable_rollup_cascade_shape(spark, sf_dir):
+    # Two aggregates (hour grain, then day FROM hour): two exchanges, but
+    # the second carries hourly partials (|hours × types| rows), never the
+    # fact table — the incremental-maintenance property.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_rollup_hypertable"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 2, p
+    assert "partial" in p, p  # map-side combine on the hour grain
+    # events is scanned exactly once
+    assert tree.count("Scan parquet") == 1, p
+
+
+def test_grouping_sets_single_scan_expand(spark, sf_dir):
+    # GROUPING SETS plans as Expand → one partial+final hash aggregate:
+    # orders scanned once, one exchange of aggregate-reduced rows.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_grouping_sets"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert "Expand" in p, p
+    assert tree.count("Exchange") == 1, p
+    assert tree.count("Scan parquet") == 1, p
+    assert "partial" in p, p
+
+
+def test_transition_matrix_single_fact_scan(spark, sf_dir):
+    # LEAD window shuffles events once by user_id; the count + probability
+    # window then operate on |types|²-sized data. One scan of the facts,
+    # no Python.
+    p = plan(REGISTRY["ext_transition_matrix"].fn(spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_histogram_single_exchange(spark, sf_dir):
+    # Bucket arithmetic runs inside the scan stage; the only exchange is
+    # the aggregate's, already partial-combined.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_histogram"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, p
+    assert "partial" in p, p

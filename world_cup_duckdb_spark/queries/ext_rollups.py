@@ -46,6 +46,11 @@ def ext_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count and decimal-sum are mergeable; that is the same algebraic
     property Spark's map-side partial aggregation relies on).
 
+    Complements sql_hypertable_rollup, which materializes hour/day/week
+    grains in ONE pass via GROUPING SETS (3× the fact scan cost but a
+    single job); this query is the incremental-maintenance shape — coarse
+    grains derived from the fine grain without touching the facts again.
+
     Scale: this is THE pattern for time-series at 100 TB — the hour grain
     is materialized once per ingest window (here, computed in-plan), and
     every coarser grain (day/week/month) derives from it at hourly-rollup
@@ -90,6 +95,8 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of op49's ROLLUP: an explicit lattice of (priority, status),
     (priority), and grand-total grains in one pass, with grouping flags
     distinguishing "subtotal row" from "the data really was NULL".
+    The DataFrame-native twin of sql_grouping_sets (shared-SQL-text
+    surface): this one exercises `DataFrame.groupingSets` + `F.grouping`.
 
     Scale: like rollup, Spark expands the sets inside a single
     partial+final hash aggregate (Expand → Aggregate) — the fact table is
