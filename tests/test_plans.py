@@ -192,3 +192,31 @@ def test_histogram_single_exchange(spark, sf_dir):
     tree = p.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1, p
     assert "partial" in p, p
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    # Explode-based chunking runs entirely inside the scan stage: no
+    # exchange, no Python, a Generate node doing the window expansion.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_chunk_documents"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 0, p
+    assert "Generate" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_packing_single_exchange(spark, sf_dir):
+    # The cumsum window shuffles on source; the (source, pack_id) aggregate
+    # is satisfied by that same hash partitioning (subset-of-keys rule), so
+    # no second exchange appears.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_pack_sequences"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, p
+    assert "Window" in p, p

@@ -68,6 +68,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_similarity,
     ext_stream,
     ext_text,
+    ext_training,
     joins,
     lifecycle,
     reshape,
