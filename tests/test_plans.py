@@ -220,3 +220,32 @@ def test_packing_single_exchange(spark, sf_dir):
     tree = p.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1, p
     assert "Window" in p, p
+
+
+def test_corpus_mix_is_map_only(spark, sf_dir):
+    # Deterministic weighted mixing is a pure scan-stage transform:
+    # hash-coin, CASE, explode — zero exchanges, zero Python.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_corpus_mix"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 0, p
+    assert "Generate" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    # The dominant (train) shingle stream must reach the join without an
+    # exchange: its dedup happens after the broadcast probe, on hits only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_contamination"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastHashJoin" in p, p
+    # Shuffle exchanges: eval-side distinct, hit-set distinct, final agg —
+    # never a fourth for the raw train shingles.
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange hashpartitioning") <= 3, p

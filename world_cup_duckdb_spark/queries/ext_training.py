@@ -23,6 +23,9 @@ from world_cup_duckdb_spark.sources.catalog import table
 CHUNK = 200  # chars per training chunk
 STRIDE = 150  # chunk start step (CHUNK - STRIDE = 50 chars of overlap)
 BUDGET = 4096  # chars per packed training sequence
+SHINGLE = 16  # chars per contamination shingle
+SHINGLE_STEP = 4  # shingle start step
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out eval doc
 
 
 @register(
@@ -134,4 +137,134 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("pack_chars"),
             F.min("doc_id").alias("first_doc"),
         )
+    )
+
+
+@register(
+    "ext_corpus_mix",
+    oracle="""
+    WITH weighted AS (
+      SELECT source, doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+             CASE
+               WHEN source IN ('src0','src1','src2','src3','src4') THEN
+                 2 + (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                           < '4ccc' THEN 1 ELSE 0 END)
+               WHEN source IN ('src5','src6','src7','src8','src9') THEN 1
+               ELSE (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                          < '6666' THEN 1 ELSE 0 END)
+             END AS n_copies
+      FROM documents
+    )
+    SELECT source, doc_id,
+           CAST(unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS INT)
+             AS copy_nr
+    FROM weighted WHERE n_copies > 0
+    """,
+)
+def ext_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing with fractional up/down-sampling: premium
+    sources (src0–4) repeat ×2.3, mid sources (src5–9) ×1.0, the tail
+    ×0.4. The fractional part is realized per-document by a deterministic
+    md5 coin (doc_id hash < threshold), so the mix is reproducible across
+    engines, runs, and cluster sizes — the corpus-reweighting step every
+    LLM data recipe applies before packing.
+
+    Scale: per-row CASE + hash + explode inside the scan stage — no
+    shuffle, no Python; output rows = sum of realized copy counts.
+    Changing the recipe is a constants edit; membership never depends on
+    partitioning (unlike `df.sample(fraction, seed)`).
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    n_copies = (
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            F.lit(2) + (h < "4ccc").cast("int"),
+        )
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"),
+              F.lit(1))
+        .otherwise((h < "6666").cast("int"))
+    )
+    return (
+        d.select("source", "doc_id", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_nr"),
+        )
+        .withColumn("copy_nr", F.col("copy_nr").cast("int"))
+    )
+
+
+@register(
+    "ext_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(text, CAST(s AS INT) + 1, {SHINGLE})) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(n_chars AS BIGINT) - {SHINGLE - 1},
+                                {SHINGLE_STEP})) AS s
+            FROM documents WHERE n_chars >= {SHINGLE})
+    )
+    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh t JOIN sh e
+      ON t.h = e.h AND e.doc_id % {EVAL_MOD} = 0
+     AND t.doc_id % {EVAL_MOD} <> 0
+    GROUP BY 1, 2
+    """,
+)
+def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection: shingle every document into
+    {SHINGLE}-char windows (step {SHINGLE_STEP}), hash them, and count
+    distinct shingles shared between each training document and each
+    held-out eval document (doc_id % {EVAL_MOD} == 0) — the
+    decontamination scan run before any benchmark-adjacent corpus ships.
+
+    Scale: the eval set is tiny by construction, so its shingle table is
+    BROADCAST — the full training corpus never shuffles; each scan task
+    probes the in-memory eval hash map and only matching (train, eval,
+    shingle) hits reach the count aggregate. At 100 TB this is a map-side
+    join over the dominant table plus an aggregate over the (sparse) hit
+    set; swap char shingles for token shingles via ext_token_count
+    unchanged.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= SHINGLE)
+    starts = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                (F.col("n_chars") - SHINGLE).cast("bigint"),
+                F.lit(SHINGLE_STEP).cast("bigint"),
+            )
+        ).alias("s"),
+    )
+    sh = starts.select(
+        "doc_id",
+        F.md5(
+            F.substring(F.col("text"), F.col("s").cast("int") + 1, SHINGLE)
+        ).alias("h"),
+    )
+    # Train side stays RAW (no distinct): deduping it would shuffle the
+    # dominant table. Duplicates are collapsed AFTER the broadcast join,
+    # on the sparse hit set only.
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0).withColumnRenamed(
+        "doc_id", "train_doc"
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .withColumnRenamed("doc_id", "eval_doc")
+        .distinct()  # tiny by construction; must be exact for the counts
+    )
+    return (
+        train.join(F.broadcast(ev), "h")
+        .select("train_doc", "eval_doc", "h")
+        .distinct()
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
