@@ -273,3 +273,51 @@ def test_enrich_stream_equals_batch(spark, sf_dir, staged):
     want = REGISTRY["ext_stream_enrich"].fn(spark, sf_dir)
     cols = ["window_start", "c_mktsegment", "n_events", "total_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_incremental_rollup_matches_batch_and_replay_is_idempotent(
+    spark, staged, sf_dir, tmp_path
+):
+    from world_cup_duckdb_spark.streaming.rollup import (
+        _day_partials,
+        maintain_day_rollup,
+        merge_batch_into_rollup,
+        read_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    stream = read_event_stream(spark, staged)
+    q = maintain_day_rollup(stream, path, ck)
+    q.awaitTermination(120)
+
+    def norm(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["n_events"],
+             float(r["sum_value"]))
+            for r in df.collect()
+        )
+
+    # 3 micro-batches of incremental merging == one batch aggregation
+    got = read_rollup(spark, path)
+    want = _day_partials(
+        spark.read.parquet(staged).selectExpr(
+            "ts", "event_type", "value"
+        )
+    )
+    assert norm(got) == norm(want)
+
+    # Crash-replay: re-running the LAST micro-batch (same batch_id) must
+    # rebuild, not double-count. Drive the merges explicitly (the stream's
+    # file→batch_id order is listing-dependent) on a fresh rollup dir.
+    import glob
+
+    files = sorted(glob.glob(f"{staged}/events_*.parquet"))
+    path2 = str(tmp_path / "rollup2")
+    for bid, f in enumerate(files):
+        merge_batch_into_rollup(spark.read.parquet(f), bid, path2)
+    assert norm(read_rollup(spark, path2)) == norm(want)
+    # replay the last batch twice more — result must not change
+    merge_batch_into_rollup(spark.read.parquet(files[-1]), 2, path2)
+    merge_batch_into_rollup(spark.read.parquet(files[-1]), 2, path2)
+    assert norm(read_rollup(spark, path2)) == norm(want)

@@ -50,6 +50,10 @@ def ext_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     grains in ONE pass via GROUPING SETS (3× the fact scan cost but a
     single job); this query is the incremental-maintenance shape — coarse
     grains derived from the fine grain without touching the facts again.
+    The continuously-maintained version is
+    streaming/rollup.py:maintain_day_rollup (foreachBatch merge of these
+    same partials, versioned publish, replay-idempotent), proven
+    equivalent to this batch shape in tests/test_streaming.py.
 
     Scale: this is THE pattern for time-series at 100 TB — the hour grain
     is materialized once per ingest window (here, computed in-plan), and

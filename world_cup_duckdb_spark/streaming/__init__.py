@@ -1,3 +1,7 @@
+from world_cup_duckdb_spark.streaming.rollup import (
+    maintain_day_rollup,
+    read_rollup,
+)
 from world_cup_duckdb_spark.streaming.sinks import stream_validated_write
 from world_cup_duckdb_spark.streaming.stateful import running_user_profile
 from world_cup_duckdb_spark.streaming.windows import (
@@ -13,6 +17,8 @@ from world_cup_duckdb_spark.streaming.windows import (
 __all__ = [
     "dedup_within_watermark",
     "enrich_events",
+    "maintain_day_rollup",
+    "read_rollup",
     "read_event_stream",
     "running_user_profile",
     "sessionize",
