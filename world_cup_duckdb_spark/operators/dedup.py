@@ -70,30 +70,34 @@ def minhash_bands(
             "shingle"
         ),
     )
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        id_col,
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias(
-            "h"
-        ),
+    # All num_hashes signatures in ONE aggregate pass: k min() columns over
+    # the shingle rows, each seeded by a distinct hash prefix. The k hashes
+    # are computed map-side and partial-combined, so the exchange carries
+    # |docs| rows of k strings — not the k×|shingles| row explosion a
+    # (doc, seed) unpivot would shuffle.
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
+            ).alias(f"sig{seed}")
+            for seed in range(num_hashes)
+        ]
     )
-    sigs = seeded.groupBy(id_col, "seed").agg(F.min("h").alias("sig"))
-    return (
-        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                    lambda s: s["sig"],
-                ),
-                "",
-            ).alias("band_key")
+    # (doc, band, band_key) via stack — a map-side unpivot of the tiny
+    # per-doc signature row; band keys concatenate consecutive signatures.
+    n_bands = num_hashes // band_size
+    stack_args = ", ".join(
+        "{b}, concat({cols}) ".format(
+            b=b,
+            cols=", ".join(
+                f"sig{b * band_size + i}" for i in range(band_size)
+            ),
         )
+        for b in range(n_bands)
+    )
+    return sigs.selectExpr(
+        id_col,
+        f"stack({n_bands}, {stack_args}) AS (band, band_key)",
     )
 
 
@@ -210,10 +214,11 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Seed one propagation round ahead: label_0 = min(self, neighbors) —
+    # star-shaped dup clusters (the common case) converge immediately.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.min("src")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iterations):
@@ -222,6 +227,8 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # Keep the old label in the checkpointed frame so convergence is a
+        # filter over materialized data — no extra join job per round.
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
@@ -229,17 +236,12 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
                     "label"
                 ),
+                F.col("label").alias("old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("node", F.col("label").alias("old")), "node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = new_labels.drop("old")
         if changed == 0:
             break
     return labels.select(
