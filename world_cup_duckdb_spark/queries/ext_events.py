@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.queries import register
-from world_cup_duckdb_spark.sources.catalog import load_tables
+from world_cup_duckdb_spark.sources.catalog import load_tables, table
 
 
 @register(
@@ -298,3 +298,44 @@ def ext_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return enrich_events(t["events"], t["customer"])
+
+
+@register(
+    "ext_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type, value AS state_value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER (
+                  PARTITION BY user_id, event_type ORDER BY ts, event_id
+                ) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM events
+    """,
+)
+def ext_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: turn a change stream into
+    validity intervals — each (user, attribute) version is valid from its
+    event time until the next version's (valid_to NULL + is_current=1 on
+    the open-ended latest row). The warehouse primitive behind
+    as-of-correct historical joins; ext_asof_join is its query-side twin,
+    and ext_upsert_latest is the degenerate keep-only-current case.
+
+    Scale: one shuffle on (user_id, event_type), one LEAD window pass —
+    no self-join (the naive interval build joins the stream to itself;
+    LEAD halves the cost and cannot skew worse than the key already
+    does). Incremental maintenance appends new versions and closes only
+    the previously-open rows of touched keys.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
