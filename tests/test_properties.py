@@ -69,3 +69,99 @@ def test_diagonal_union_schema_and_null_fill(spark, left, right):
     got_b = sorted(r["b"] for r in rows)
     want_b = sorted([t[1] for t in left] + [t[0] for t in right])
     assert got_b == want_b
+
+
+_doc_texts = st.lists(
+    st.text(alphabet="abc d", min_size=0, max_size=40),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=_doc_texts)
+@_slow
+def test_chunking_covers_every_char_exactly_by_stride(spark, texts):
+    """Invariants of ext_chunk_documents' construction, on arbitrary
+    corpora: ceil(n/STRIDE) chunks per non-empty doc, first chunk at 0,
+    consecutive starts exactly STRIDE apart, and concatenating the
+    stride-prefixes of all chunks reconstructs the document."""
+    from world_cup_duckdb_spark.queries.ext_training import CHUNK, STRIDE
+
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    starts = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                (F.col("n_chars") - 1).cast("bigint"),
+                F.lit(STRIDE).cast("bigint"),
+            )
+        ).alias("chunk_idx", "start"),
+    )
+    rows = starts.select(
+        "doc_id", "chunk_idx", "start",
+        F.substring("text", F.col("start").cast("int") + 1, CHUNK).alias("c"),
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in by_doc
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert len(chunks) == -(-len(t) // STRIDE)  # ceil
+        assert [r["start"] for r in chunks] == [
+            j * STRIDE for j in range(len(chunks))
+        ]
+        assert "".join(r["c"][:STRIDE] for r in chunks) == t
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=7000), min_size=1,
+                   max_size=12)
+)
+@_slow
+def test_packing_partitions_corpus_exactly(spark, sizes):
+    """ext_pack_sequences invariants on arbitrary size distributions:
+    every document lands in exactly one pack, pack char totals sum to the
+    corpus total, pack ids start at 0 and never decrease in doc order
+    (they may skip when one document spans several budgets), and each
+    doc's pack is exactly its running offset div BUDGET."""
+    from world_cup_duckdb_spark.queries.ext_training import BUDGET
+
+    docs = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate(sizes)],
+        "doc_id long, source string, n_chars long",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "doc_id", "n_chars",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(BUDGET)
+        ).alias("pack_id"),
+    ).collect()
+    assert len(packed) == len(sizes)  # every doc placed once
+    assert sum(r["n_chars"] for r in packed) == sum(sizes)
+    by_doc = sorted(packed, key=lambda r: r["doc_id"])
+    offset, prev_pack = 0, 0
+    for r in by_doc:
+        assert r["pack_id"] == offset // BUDGET  # formula holds per doc
+        assert r["pack_id"] >= prev_pack  # monotone in doc order
+        prev_pack = r["pack_id"]
+        offset += r["n_chars"]
+    assert by_doc[0]["pack_id"] == 0
+    # contiguous fill: cumulative chars through pack p reach past p*BUDGET
+    ids = sorted({r["pack_id"] for r in packed})
+    for p in ids[:-1]:
+        through = sum(r["n_chars"] for r in packed if r["pack_id"] <= p)
+        assert through >= (p + 1) * BUDGET
