@@ -249,3 +249,23 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     # never a fourth for the raw train shingles.
     tree = p.split("(1) Scan")[0]
     assert tree.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    # rn<=3 must push into the window as WindowGroupLimit: each partition
+    # keeps k rows per group during the sort, never the full group.
+    p = plan(REGISTRY["ext_topk_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+
+
+def test_mode_per_group_two_reduced_exchanges(spark, sf_dir):
+    # Count agg partial-combines map-side; the rank window's exchange
+    # carries only |segments × nations| aggregate-reduced rows.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_mode_per_group"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert "partial" in p, p
+    assert tree.count("Exchange") == 2, p

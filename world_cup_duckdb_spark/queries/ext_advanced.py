@@ -326,3 +326,83 @@ def ext_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_digits"),
         F.md5(F.regexp_replace("text", "[0-9]+", "<NUM>")).alias("masked_md5"),
     )
+
+
+@register(
+    "ext_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey
+             ) AS rn
+      FROM part
+    ) r WHERE rn <= 3
+    """,
+)
+def ext_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price — per-group top-k, the
+    group-scoped complement of op47's global TakeOrderedAndProject
+    (deterministic via the p_partkey tie-break).
+
+    Scale: one shuffle on the group key, then a rank window + filter;
+    Spark pushes the rn<=3 predicate into the window as a
+    WindowGroupLimit, so each partition keeps only k rows per group
+    during the sort — no full per-group materialization.
+    """
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "ext_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nationkey,
+           CAST(n AS BIGINT) AS n_customers
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_mktsegment ORDER BY n DESC, c_nationkey
+      ) AS rn FROM c
+    ) r WHERE rn = 1
+    """,
+)
+def ext_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group: the most common nationality within
+    each market segment (count-then-rank, ties to the smallest key) —
+    the categorical summary aggregate SQL lacks natively.
+
+    Scale: the count aggregate partial-combines map-side, so its
+    exchange carries combined partials, and the window's second exchange
+    carries only |segments × nations| aggregate-reduced rows. (Forcing a
+    shared single exchange by pre-partitioning on segment alone would
+    shuffle the RAW fact rows before any combining — strictly worse.)
+    """
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("c_nationkey")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nationkey"),
+            F.col("n").alias("n_customers"),
+        )
+    )
