@@ -473,6 +473,39 @@ SHARED_SQL: dict[str, str] = {
            ) AS DOUBLE) AS second_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     """,
+    # recursive CTE (Spark 4.0+ / DuckDB): calendar spine over the full
+    # order-date range, LEFT-joined so months without qualifying orders
+    # surface as zero rows — the gap-filling shape reporting pipelines
+    # need (a plain GROUP BY silently drops empty months)
+    "sql_recursive_calendar": """
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+      FROM months WHERE m < CAST('2001-08-01' AS DATE)
+    ),
+    big AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om
+      FROM orders WHERE o_totalprice > 70000
+    )
+    SELECT m AS order_month, CAST(COUNT(om) AS BIGINT) AS n_big_orders
+    FROM months LEFT JOIN big ON om = m
+    GROUP BY m
+    """,
+    # correlated LATERAL subquery with per-row LIMIT: top-2 nations by
+    # customer count within each region — the join-then-rank pattern
+    # written as a lateral, planned by both engines as a per-group limit
+    "sql_lateral_topk": """
+    SELECT r_name, l.n_name, l.n_customers
+    FROM region, LATERAL (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      WHERE n_regionkey = r_regionkey
+      GROUP BY n_name
+      ORDER BY n_customers DESC, n_name
+      LIMIT 2
+    ) l
+    """,
 }
 
 
