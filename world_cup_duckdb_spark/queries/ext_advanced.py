@@ -406,3 +406,131 @@ def ext_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_customers"),
         )
     )
+
+
+@register(
+    "ext_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag,
+             ROUND(PERCENTILE_CONT(0.5)
+                   WITHIN GROUP (ORDER BY l_extendedprice), 4) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+             l.l_extendedprice, m.med,
+             ABS(l.l_extendedprice - m.med) AS adev
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag,
+             ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY adev), 4)
+               AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag, d.l_orderkey, d.l_linenumber, d.l_extendedprice,
+           ROUND((d.l_extendedprice - d.med) / (1.4826 * m2.mad), 4)
+             AS robust_z
+    FROM dev d JOIN mad m2 ON d.l_returnflag = m2.l_returnflag
+    ORDER BY ABS(ROUND((d.l_extendedprice - d.med) / (1.4826 * m2.mad), 4))
+             DESC, d.l_orderkey, d.l_linenumber
+    LIMIT 20
+    """,
+)
+def ext_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier ranking: the 20 line items whose extended price
+    deviates most from their return-flag group's MEDIAN, in scaled-MAD
+    units (median absolute deviation × 1.4826 ≈ a robust σ) — the
+    data-quality screen that, unlike z-scores, is not dragged by the
+    outliers it hunts. Medians round to 4 decimals so both engines rank
+    identical values; order fully tie-broken by (orderkey, linenumber).
+
+    Scale: two tiny per-group median aggregates (3 groups) broadcast back
+    onto the fact scan — the fact table is read twice but never shuffled
+    (both joins are broadcast), and the top-20 is TakeOrderedAndProject,
+    not a global sort. At high-cardinality grouping swap PERCENTILE_CONT
+    for percentile_approx partials, same shape as ext_quantiles documents.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    pc = "ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY {c}), 4)"
+    med = li.groupBy("l_returnflag").agg(
+        F.expr(pc.format(c="l_extendedprice")).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr(pc.format(c="adev")).alias("mad")
+    )
+    scaled = F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.round((F.col("l_extendedprice") - F.col("med")) / scaled, 4)
+            .alias("robust_z"),
+        )
+        .orderBy(
+            F.abs(F.col("robust_z")).desc(),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "ext_null_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def ext_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-audit primitive): row count, null
+    count, and distinct count per profiled column of `orders`, long-form.
+
+    Scale: ONE scan computes every column's stats in a single aggregate
+    (the oracle text scans per column for SQL clarity; Spark's plan
+    reads the table once — multiple count-distincts expand inside one
+    aggregation), then a map-side stack to long form. At 100 TB swap
+    count_distinct for approx_count_distinct and keep the plan shape.
+    """
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
