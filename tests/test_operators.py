@@ -165,3 +165,27 @@ def test_kmv_estimate_accuracy_and_exact_fallback(spark):
            for r in kmv_distinct_estimate(df, "v", ["grp"], k=64).collect()}
     assert est["s"] == 10.0  # below k → exact
     assert abs(est["g"] - 5000) / 5000 < 0.35  # ~1/sqrt(62) ≈ 13% expected
+
+
+def test_apply_in_pandas_fit_matches_regr_aggregates(spark, sf_dir):
+    """The applyInPandas group-map OLS equals the JVM REGR_* aggregate
+    fit (tolerance-based: numpy and SQL accumulate floats in different
+    orders)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    agg = {
+        r["event_type"]: r
+        for r in REGISTRY["ext_regr_per_group"].fn(spark, sf_dir).collect()
+    }
+    pdf = {
+        r["event_type"]: r
+        for r in REGISTRY["ext_fit_pandas"].fn(spark, sf_dir).collect()
+    }
+    assert set(agg) == set(pdf)
+    for k, a in agg.items():
+        p = pdf[k]
+        assert p["n"] == a["n"]
+        for fld in ("slope", "intercept", "r2"):
+            assert abs(p[fld] - a[fld]) <= 1e-3 + 1e-3 * abs(a[fld]), (
+                k, fld, p[fld], a[fld],
+            )
