@@ -174,3 +174,35 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("first_ts"),
         )
     )
+
+
+@register(
+    "ext_window_distinct_users",
+    oracle="""
+    SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                          * 3600000000) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def ext_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per tumbling hour — the cardinality-per-
+    window shape behind DAU/HAU dashboards, exact here (expand-based
+    distinct aggregate inside the window group).
+
+    Scale: count_distinct expands to a two-phase aggregate keyed
+    (window, user) then (window) — both partial-combine. For streaming or
+    for billions of users per window, swap in approx_count_distinct
+    (HLL++ partials merge across triggers; operators/sketch.py documents
+    the error bound) without changing the window shape.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )
