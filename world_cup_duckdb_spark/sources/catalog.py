@@ -58,6 +58,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    if name == "events":
+        # Runtime-settable; without it the TIMESTAMP(NANOS) scan throws
+        # PARQUET_TYPE_ILLEGAL — set proactively so a caller-provided
+        # session (the round driver's) needs no special build config.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
