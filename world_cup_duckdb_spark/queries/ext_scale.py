@@ -66,3 +66,93 @@ def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, orders, "l_orderkey", n_salts=4,
         big_id_cols=["l_orderkey", "l_linenumber"],
     ).select("l_orderkey", "l_linenumber", "o_orderstatus")
+
+
+@register(
+    "ext_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys FROM k)
+    SELECT k.l_orderkey, k.n,
+           ROUND(CAST(k.n AS DOUBLE) / CAST(t.total AS DOUBLE), 8)
+             AS share,
+           ROUND(CAST(k.n AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 4) AS x_mean
+    FROM k, tot t
+    ORDER BY k.n DESC, k.l_orderkey LIMIT 10
+    """,
+)
+def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the 10 heaviest l_orderkey values with
+    their share of all rows and their multiple of the mean key weight —
+    the diagnostic run BEFORE choosing a salting factor or trusting AQE's
+    skew-join split (operators/scale.py:salted_join consumes exactly this
+    signal). x_mean ≈ 1 everywhere means don't salt.
+
+    Scale: one partial-combined count by key, a broadcast-able 1-row
+    total, and a TakeOrdered top-10 — the profile costs one aggregate
+    exchange however large the fact table is.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total").cast("double"), 8)
+            .alias("share"),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total").cast("double"),
+                4,
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "ext_seasonality",
+    oracle="""
+    SELECT CAST(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400.0)
+                     AS BIGINT) % 7 AS INT) AS day_nr,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ext_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality matrix: event volume by (day-of-week × hour-of-day) —
+    the load-shape profile behind capacity planning and anomaly baselines.
+    Day number is computed as epoch-days mod 7 (not the engines' DOW
+    functions, whose 0/1-origin and week-start conventions differ).
+
+    Scale: pure per-row time arithmetic in the scan stage; the aggregate
+    exchange carries at most 7×24 partial rows per map task.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            ((F.unix_timestamp("ts") / F.lit(86400)).cast("bigint") % 7)
+            .cast("int")
+            .alias("day_nr"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            dec("value").alias("v"),
+        )
+        .groupBy("day_nr", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )

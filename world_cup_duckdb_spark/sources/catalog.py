@@ -58,6 +58,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    # Calendar functions (hour, date_trunc, ...) follow the session
+    # timezone in Spark but read naively by the DuckDB oracle; pin UTC at
+    # runtime so results are caller-session independent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Runtime-settable; without it the TIMESTAMP(NANOS) scan throws
         # PARQUET_TYPE_ILLEGAL — set proactively so a caller-provided
