@@ -269,3 +269,33 @@ def test_mode_per_group_two_reduced_exchanges(spark, sf_dir):
     tree = p.split("(1) Scan")[0]
     assert "partial" in p, p
     assert tree.count("Exchange") == 2, p
+
+
+def test_skew_profile_takeordered_broadcast(spark, sf_dir):
+    # Top-10 keys via TakeOrderedAndProject; the 1-row totals side is
+    # broadcast (BroadcastNestedLoopJoin for the keyless cross join) —
+    # never a shuffle of the per-key counts against totals.
+    p = plan(REGISTRY["ext_skew_profile"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_regr_aggregates_stay_jvm_side(spark, sf_dir):
+    # REGR_* are algebraic aggregates: partial-combined, no Python.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(REGISTRY["ext_regr_per_group"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    tree = p.split("(1) Scan")[0]
+    assert "BatchEvalPython" not in p, p
+    assert tree.count("Exchange") == 1, p
+    assert "partial" in p, p
+
+
+def test_fit_pandas_is_arrow_group_map(spark, sf_dir):
+    # The escape hatch runs as FlatMapGroupsInPandas (Arrow), not
+    # row-at-a-time Python.
+    p = plan(REGISTRY["ext_fit_pandas"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "BatchEvalPython" not in p, p
