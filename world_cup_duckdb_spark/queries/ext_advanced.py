@@ -534,3 +534,53 @@ def ext_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)",
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@register(
+    "ext_udtf_ngrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    pos AS (
+      SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+      FROM t WHERE len(l) >= 3
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS pos,
+           array_to_string(l[i:i+2], ' ') AS ngram
+    FROM pos
+    """,
+)
+def ext_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4.x user-defined TABLE function) in a
+    LATERAL join: one input document row expands to (pos, trigram) rows.
+
+    This exists to exercise the UDTF API surface — arrow-serialized,
+    registered in the SQL catalog, lateral-joined per row. The engine's
+    POLICY remains: expansion like this belongs in JVM-side builtins
+    (exactly what ext_repetition's transform+explode trigrams do — same
+    output, whole-stage codegen, no Python workers); reach for a UDTF
+    only when per-row expansion logic genuinely cannot be expressed with
+    higher-order array functions (e.g. a real BPE tokenizer). The 1-based
+    `pos` makes the output order-insensitive and join-ready (winnowing,
+    span labeling).
+
+    Scale: map-side only — no shuffle; Python workers stream arrow
+    batches, so cost is linear with a constant-factor serialization tax
+    over the builtin form."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string", useArrow=True)
+    class NgramSpans:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                yield i + 1, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("ngram_spans", NgramSpans)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.pos, g.ngram
+        FROM documents_v d, LATERAL ngram_spans(d.text) g
+        """
+    )

@@ -339,3 +339,60 @@ def ext_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+@register(
+    "ext_variant_json",
+    oracle="""
+    WITH j AS (
+      SELECT event_type,
+             '{"user":' || user_id || ',"type":"' || event_type
+               || '","payload":' || props || '}' AS doc
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(doc, '$.user')
+                                    AS BIGINT)) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(json_extract_string(doc, '$.payload.k')
+                         AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(doc, '$.payload.k')
+                         AS INTEGER)) AS INT) AS max_k
+    FROM j
+    GROUP BY event_type
+    """,
+)
+def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4.0): each
+    event's payload is wrapped into a nested JSON document, parsed ONCE
+    into Spark's binary variant encoding with `parse_json`, then fields
+    come out through `variant_get` path extraction with per-path result
+    types — no schema declared up front, unlike ext_json_extract's
+    `from_json`, which is the right tool only when the shape is known.
+
+    Scale: variant's binary encoding makes repeated path extraction cheap
+    (no re-parse per field, unlike chained get_json_object), and at rest
+    parquet shreds variant columns so scans prune to the touched paths.
+    The whole pipeline is JVM-side codegen; the aggregate is a standard
+    two-phase hash agg on a 5-value key. The oracle runs DuckDB's JSON
+    extraction over the identical constructed document."""
+    e = load_tables(spark, sf_dir)["events"]
+    doc = F.concat(
+        F.lit('{"user":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"type":"'),
+        F.col("event_type"),
+        F.lit('","payload":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    parsed = e.select(
+        "event_type",
+        F.try_variant_get(v, "$.user", "bigint").alias("u"),
+        F.try_variant_get(v, "$.payload.k", "int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.countDistinct("u").alias("n_users"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )

@@ -352,6 +352,103 @@ def ext_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    tc AS (
+      SELECT doc_id, tok, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(l) AS tok FROM t) GROUP BY doc_id, tok
+    ),
+    top AS (SELECT doc_id, MAX(n) AS max_n FROM tc GROUP BY doc_id),
+    trc AS (
+      SELECT doc_id, tri, COUNT(*) AS n
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(l) >= 3
+                           THEN list_transform(range(1, len(l) - 1),
+                                               i -> array_to_string(l[i:i+2], ' '))
+                           ELSE [] END) AS tri
+        FROM t
+      ) GROUP BY doc_id, tri
+    ),
+    trif AS (
+      SELECT doc_id,
+             SUM(CASE WHEN n >= 2 THEN n ELSE 0 END)
+               / CAST(SUM(n) AS DOUBLE) AS dup_trigram_frac
+      FROM trc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(l) AS INT) AS n_tokens,
+           len(list_distinct(l)) / CAST(len(l) AS DOUBLE) AS ttr,
+           top.max_n / CAST(len(l) AS DOUBLE) AS top_token_frac,
+           COALESCE(trif.dup_trigram_frac, 0.0) AS dup_trigram_frac,
+           (len(list_distinct(l)) / CAST(len(l) AS DOUBLE) >= 0.2
+            AND top.max_n / CAST(len(l) AS DOUBLE) <= 0.2
+            AND COALESCE(trif.dup_trigram_frac, 0.0) <= 0.6) AS keep
+    FROM t
+    JOIN top USING (doc_id)
+    LEFT JOIN trif USING (doc_id)
+    """,
+)
+def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: type-token ratio, most-frequent-
+    token mass fraction, and duplicate-trigram mass fraction, combined
+    into a keep decision — the repetition family of heuristics a
+    pretraining corpus filter runs alongside ext_quality_score's
+    length/stopword family (Rae et al. 2021 'Scaling Language Models'
+    repetition rules, re-expressed relationally).
+
+    Scale: TTR is map-side array arithmetic (no shuffle). The two
+    frequency profiles shuffle (doc_id, gram) pairs with map-side
+    partial counts, then reduce to one row per doc_id; content-derived
+    keys are uniform, so no skew. The three doc_id-keyed sides then join
+    on an identically-distributed key — AQE plans these as local joins
+    after the first exchange. No Python, all codegen."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", F.split("text", " ").alias("l"))
+    tok_counts = (
+        base.select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = tok_counts.groupBy("doc_id").agg(F.max("n").alias("max_n"))
+    trigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 3 THEN "
+                "transform(sequence(0, size(l) - 3),"
+                "          i -> concat(l[i], ' ', l[i+1], ' ', l[i+2])) "
+                "ELSE array() END"
+            )
+        ).alias("tri"),
+    )
+    tri_counts = trigrams.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("n"))
+    tri_frac = tri_counts.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+            / F.sum("n").cast("double")
+        ).alias("dup_trigram_frac")
+    )
+    n_tokens = F.size("l")
+    ttr = F.size(F.array_distinct("l")) / n_tokens.cast("double")
+    top_frac = F.col("max_n") / n_tokens.cast("double")
+    dup_frac = F.coalesce("dup_trigram_frac", F.lit(0.0))
+    return (
+        base.join(top, "doc_id")
+        .join(tri_frac, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.cast("int").alias("n_tokens"),
+            ttr.alias("ttr"),
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_trigram_frac"),
+            ((ttr >= 0.2) & (top_frac <= 0.2) & (dup_frac <= 0.6)).alias("keep"),
+        )
+    )
+
+
+@register(
     "ext_bigram_topk",
     oracle="""
     WITH toks AS (

@@ -525,3 +525,41 @@ def _make(name: str, text: str):
 
 for _name, _text in SHARED_SQL.items():
     _make(_name, _text)
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      AND l_quantity >= 10
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>` operators): the Q1 pricing-summary
+    shape written as a linear pipeline — FROM |> WHERE |> AGGREGATE ...
+    GROUP BY |> ORDER BY. Parses to the exact same logical plan as the
+    nested form (the oracle is the standard-SQL equivalent, since DuckDB
+    has no pipe dialect), so Catalyst's optimizations — scan pruning,
+    partial aggregation — are identical; this is a parser-level surface,
+    not a new execution path."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        FROM lineitem
+        |> WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                     CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+                     CAST(COUNT(*) AS BIGINT) AS count_order
+             GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
