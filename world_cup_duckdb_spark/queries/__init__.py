@@ -62,6 +62,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_advanced,
     ext_dedup,
     ext_events,
+    ext_graph,
     ext_multimodal,
     ext_regression,
     ext_rollups,

@@ -211,3 +211,78 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     bands = minhash_bands(with_recrawl(d), num_hashes=8, band_size=2)
     return connected_components(lsh_candidate_pairs(bands))
+
+
+@register(
+    "ext_substring_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(l) >= 5
+                         THEN list_transform(range(1, len(l) - 3),
+                                             i -> array_to_string(l[i:i+4], ' '))
+                         ELSE [] END) AS gram
+      FROM t
+    ),
+    pg AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM g JOIN pg USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(n_dup_spans / CAST(n_spans AS DOUBLE), 0.0) AS dup_span_frac
+    FROM t LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (the Lee et al. 2022
+    'Deduplicating Training Data' ExactSubstr shape, token-granular):
+    every 5-token span is keyed; a span whose text occurs in more than
+    one document is a cross-document duplicated substring. Output is the
+    per-document duplicated-span mass — the signal used to cut
+    boilerplate and templated text that document-level (exact or
+    MinHash) dedup cannot see because the *documents* differ.
+
+    Scale: spans are generated map-side (higher-order transform — no
+    explode-then-window). Two shuffles follow: count-distinct-docs per
+    gram (content-hash keys, uniform), then the gram→doc join and final
+    doc rollup. At 100 TB the gram string itself never needs to shuffle
+    twice — substitute xxhash64(gram) as the join key (64-bit collisions
+    are immaterial for a fraction estimate) to shrink exchange width;
+    kept as raw text here so the DuckDB oracle shares the exact key."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", F.split("text", " ").alias("l"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 5 THEN "
+                "transform(sequence(0, size(l) - 5),"
+                " i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4])) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        grams.join(per_gram, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    return base.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce(
+            F.col("n_dup_spans") / F.col("n_spans").cast("double"), F.lit(0.0)
+        ).alias("dup_span_frac"),
+    )
