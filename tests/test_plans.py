@@ -299,3 +299,49 @@ def test_fit_pandas_is_arrow_group_map(spark, sf_dir):
     p = plan(REGISTRY["ext_fit_pandas"].fn(spark, sf_dir))
     assert "FlatMapGroupsInPandas" in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_repetition_stays_codegen_no_python(spark, sf_dir):
+    # Trigram generation is a higher-order transform (map-side, no
+    # Python); grouping keys are content-derived (uniform).
+    p = plan(REGISTRY["ext_repetition"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+
+
+def test_variant_json_jvm_side(spark, sf_dir):
+    # parse_json/variant_get run inside codegen — no Python workers.
+    p = plan(REGISTRY["ext_variant_json"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p, p
+    assert "variant" in p.lower(), p
+
+
+def test_pipe_syntax_same_plan_as_nested(spark, sf_dir):
+    # The |> pipeline is parser sugar: same optimized physical shape as
+    # the equivalent nested SQL — pushed filters + partial aggregation.
+    p = plan(REGISTRY["sql_pipe_syntax"].fn(spark, sf_dir))
+    assert "PushedFilters" in p, p
+    assert "partial" in p, p
+
+
+def test_udtf_is_arrow_lateral(spark, sf_dir):
+    # The UDTF demo runs arrow-batched, not row-at-a-time pickling.
+    p = plan(REGISTRY["ext_udtf_ngrams"].fn(spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in p or "BatchEvalPythonUDTF" in p, p
+
+
+def test_substring_dedup_two_fact_exchanges(spark, sf_dir):
+    # Span generation is map-side; the only fact-sized exchanges are the
+    # per-gram distinct-doc count and the gram join back; the final
+    # doc_id rollup rides the smaller side.
+    p = plan(REGISTRY["ext_substring_dedup"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p, p
+    assert "transform(sequence" in p or "transform" in p, p
+
+
+def test_pagerank_broadcasts_dims_on_edge_extract(spark, sf_dir):
+    # customer/supplier/nation are broadcast; the tiny iterated graph
+    # never forces a fact-sized shuffle per iteration.
+    p = plan(REGISTRY["ext_pagerank"].fn(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "BatchEvalPython" not in p, p
