@@ -297,3 +297,15 @@ def test_rfm_approx_cutoffs_match_ntile(spark, sf_dir):
         F.avg((F.col("approx_m") == F.col("m_score")).cast("double"))
     ).collect()[0][0]
     assert agree >= 0.97, agree
+
+
+def test_hll_sketch_union_estimate_within_bound(spark, sf_dir):
+    # DataSketches HLL (default lgConfigK=12): union of daily sketches
+    # must estimate the whole-range distinct count within the published
+    # ~2.4% relative standard error (3 sigma headroom here).
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    row = REGISTRY["ext_hll_sketch_union"].fn(spark, sf_dir).collect()[0]
+    assert row["n_days"] >= 1
+    exact = row["exact_total"]
+    assert abs(row["est_union"] - exact) <= max(1, 0.075 * exact), row

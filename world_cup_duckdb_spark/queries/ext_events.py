@@ -396,3 +396,83 @@ def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.max("k").cast("int").alias("max_k"),
     )
+
+
+@register(
+    "ext_top_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def ext_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 onboarding paths: each user's first five events as an
+    ordered `a>b>c` path string, counted across users — the user-journey
+    mining query behind funnel design (complements ext_transition_matrix,
+    which is the memoryless one-step view; this is the exact-prefix view).
+
+    Scale: one shuffle on user_id; the path build is a window row_number
+    + an array_sort over the ≤5 collected (rn, type) structs per user —
+    per-partition work with bounded per-key state. The path→count agg
+    shuffles only |users| short strings with map-side partials;
+    TakeOrderedAndProject keeps the final top-k sort local. Determinism:
+    (ts, event_id) total order, struct sort on rn."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "concat_ws('>', transform(array_sort(collect_list("
+                "struct(rn, event_type))), s -> s.event_type))"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+@register("ext_hll_sketch_union")
+def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches as DATA (Apache DataSketches HLL,
+    Spark 4 `hll_sketch_agg`/`hll_union_agg`): build one user-cardinality
+    sketch per day, then union the per-day sketches into a whole-range
+    estimate — the two-level pattern a 100 TB rollup needs, where daily
+    partials are stored once (bytes, not user sets) and any date range
+    re-aggregates by unioning sketches instead of rescanning facts.
+
+    No SQL oracle: the sketch binary is implementation-defined, so the
+    driver records the rows-only check; tests/test_scale.py bounds the
+    estimate against the exact distinct count (and the exact twin lives
+    in ext_window_distinct_users at hour grain).
+
+    Columns: n_days, est_union (sketch estimate over the full range),
+    exact_total (countDistinct twin for the bound check)."""
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_total"))
+    return est.crossJoin(exact)

@@ -206,3 +206,83 @@ def ext_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
     )
+
+
+@register(
+    "ext_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                            * 3600000000) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+    spine AS (
+      SELECT t.event_type, unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t, b
+    ),
+    j AS (
+      SELECT spine.event_type, spine.h, hourly.n, hourly.avg_value
+      FROM spine LEFT JOIN hourly USING (event_type, h)
+    )
+    SELECT event_type, h AS hour_start,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           avg_value,
+           LAST_VALUE(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING
+           ) AS filled_value
+    FROM j
+    """,
+)
+def ext_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with gap filling: hours where a
+    type logged nothing get n_events=0 and a last-observation-carried-
+    forward value — the time-series densification every dashboard /
+    feature pipeline needs (a bare GROUP BY silently drops empty hours,
+    which downstream models read as 'no row', not 'zero').
+
+    Scale: the hourly rollup is the only fact-sized work. The spine is
+    generated, not stored — a 1-row min/max aggregate cross-joined with
+    the distinct types, then `sequence()` exploded; its size is
+    |types| × hours regardless of event volume. LOCF is one window pass
+    per type partition (`last(ignorenulls)` over an unbounded-preceding
+    ROWS frame). AVG goes through decimal-sum / count so both engines
+    produce bit-identical doubles."""
+    e = load_tables(spark, sf_dir)["events"]
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+    )
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, INTERVAL 1 HOUR)")).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            "avg_value",
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
