@@ -127,3 +127,44 @@ def op02d_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") >= 49)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@register(
+    "ext_python_datasource",
+    oracle="""
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(val AS DECIMAL(18,1))) AS DOUBLE) AS sum_val
+    FROM (
+      SELECT i AS id, CAST(i % 7 AS INT) AS grp,
+             ((i * 2654435761) % 1000) / 10.0 AS val
+      FROM range(0, 5000) t(i)
+    )
+    GROUP BY grp
+    """,
+)
+def ext_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Python Data Source API (Spark 4.0):
+    a user-defined, partition-parallel source registered in pure Python
+    (sources/pyds.py) — the extension seam for feeds Spark has no
+    built-in reader for. The source declares its own split (8 disjoint
+    row-range partitions → 8 parallel tasks), streams rows via Arrow,
+    and is deterministic per slice so task retries are idempotent.
+    The oracle regenerates the identical rows from `range()` — proving
+    the connector's contents, not just its plumbing. Value sums go
+    through DECIMAL so partition accumulation order can't show."""
+    from world_cup_duckdb_spark.sources.pyds import SyntheticEventsSource
+
+    spark.dataSource.register(SyntheticEventsSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+        F.sum(F.col("val").cast("decimal(18,1)")).cast("double").alias("sum_val"),
+    )

@@ -584,3 +584,83 @@ def ext_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_v d, LATERAL ngram_spans(d.text) g
         """
     )
+
+
+@register(
+    "ext_winsorize",
+    oracle="""
+    WITH pct AS (
+      SELECT event_type,
+             PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+             PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY value) AS p95
+      FROM events GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type, e.value, pct.p05, pct.p95,
+             LEAST(GREATEST(e.value, pct.p05), pct.p95) AS wv
+      FROM events e JOIN pct USING (event_type)
+    )
+    SELECT event_type,
+           ROUND(p05, 6) AS p05,
+           ROUND(p95, 6) AS p95,
+           CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_raw,
+           CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_winsorized
+    FROM clipped
+    GROUP BY event_type, p05, p95
+    """,
+)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-tail) robust mean per event type: exact
+    5th/95th percentiles, values clipped into [p05, p95], then mean
+    before/after — the outlier-robust aggregation a metrics/feature
+    pipeline applies before training on heavy-tailed values
+    (complements ext_outlier_mad, which flags outliers instead of
+    taming them).
+
+    Scale: percentiles need a per-group sort — one shuffle on
+    event_type (5 groups here; at billions of rows per group swap
+    `percentile` for `approx_percentile`, same shape, bounded memory).
+    The tiny percentile frame broadcasts back onto the fact scan, so
+    clipping is map-side; the final rollup partial-aggregates. Parity:
+    means go through DECIMAL(18,6) sums (order-independent), and both
+    engines clip with the identical interpolated-percentile doubles."""
+    e = table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    wv = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_raw"),
+            (F.sum(wv.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_winsorized"
+            ),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            "n_clipped_low",
+            "n_clipped_high",
+            "avg_raw",
+            "avg_winsorized",
+        )
+    )
