@@ -502,3 +502,71 @@ def ext_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(25)
     )
+
+
+@register(
+    "ext_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    ct AS (SELECT token, SUM(tf) AS c FROM tf GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM ct),
+    scored AS (
+      SELECT tf.doc_id,
+             tf.tf,
+             CAST(tf.tf AS DECIMAL(8,0))
+               * CAST(ln(ct.c / tot.t) AS DECIMAL(20,12)) AS term
+      FROM tf JOIN ct USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(term) AS DOUBLE) / SUM(tf) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train token probabilities on the
+    corpus itself (c_token / total), then score every document by its
+    per-token average log-probability — the statistical quality signal
+    (low = gibberish / vocabulary-atypical) that sits between heuristic
+    filters (ext_quality_score) and a real LM; the same two-pass shape
+    trains on one corpus and scores another.
+
+    Scale: pass 1 reduces exploded tokens to (doc, token) tf partials,
+    then to a vocabulary-sized count table; pass 2 broadcasts the
+    vocabulary back over tf — the fact-sized data shuffles once.
+    Determinism: each log term is quantized to DECIMAL(20,12) BEFORE
+    the tf-weighted sum (widths chosen so the product stays inside
+    38-digit precision — Spark silently drops scale past it), making the
+    per-doc sum exact and independent of both accumulation order and
+    last-ulp libm differences between engines."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    ct = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    tot = ct.agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        tf.join(F.broadcast(ct), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "tf",
+            (
+                F.col("tf").cast("decimal(8,0)")
+                * F.log(F.col("c") / F.col("t")).cast("decimal(20,12)")
+            ).alias("term"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        (F.sum("term").cast("double") / F.sum("tf")).alias("avg_logprob"),
+    )
