@@ -137,3 +137,118 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nk").cast("int").alias("nationkey"),
         F.round("pr", 6).alias("pagerank"),
     )
+
+
+_EDGES_SQL = """
+      SELECT DISTINCT
+             LEAST(c_nationkey, s_nationkey) AS a,
+             GREATEST(c_nationkey, s_nationkey) AS b
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE c_nationkey <> s_nationkey
+"""
+
+
+@register(
+    "ext_triangles",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    member AS (
+      SELECT x AS nk FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    per_node AS (SELECT nk, COUNT(*) AS n_triangles FROM member GROUP BY nk),
+    deg AS (
+      SELECT nk, COUNT(*) AS degree FROM (
+        SELECT a AS nk FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY nk
+    )
+    SELECT n_name,
+           CAST(deg.nk AS INT) AS nationkey,
+           CAST(deg.degree AS INT) AS degree,
+           CAST(COALESCE(per_node.n_triangles, 0) AS BIGINT) AS n_triangles,
+           COALESCE(per_node.n_triangles, 0)
+             / (deg.degree * (deg.degree - 1) / 2.0) AS clustering_coeff
+    FROM deg
+    LEFT JOIN per_node ON per_node.nk = deg.nk
+    JOIN nation ON n_nationkey = deg.nk
+    """,
+)
+def ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient on the undirected
+    nation trade graph: the oriented-edge (a<b) self-join method — each
+    triangle is found exactly once as a<b<c, so no post-dedup. Per-node
+    triangle membership over node degree pairs gives the clustering
+    coefficient (how interconnected each nation's partners are).
+
+    Scale: same heavy-extract/light-iterate split as ext_pagerank — the
+    fact join distills to a distinct oriented edge list (≤|nations|²/2
+    rows), then two broadcast self-joins enumerate wedges and close
+    them. On a large graph the identical plan shuffles by edge key and
+    the orientation (low-degree endpoint first, a<b here) is THE
+    classic bound on wedge counts (Schank-Wagner); degree arithmetic is
+    exact integer → double division, no float drift. Degrees here count
+    distinct neighbors (complete-graph degree = |nodes|-1)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    c = t["customer"].select("c_custkey", "c_nationkey")
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    member = (
+        tri.select(F.col("x").alias("nk"))
+        .unionAll(tri.select(F.col("y").alias("nk")))
+        .unionAll(tri.select(F.col("z").alias("nk")))
+    )
+    per_node = member.groupBy("nk").agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        e.select(F.col("a").alias("nk"))
+        .unionAll(e.select(F.col("b").alias("nk")))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    nation = t["nation"].select("n_nationkey", "n_name")
+    return (
+        deg.join(per_node, "nk", "left")
+        .join(F.broadcast(nation), deg.nk == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("nk").cast("int").alias("nationkey"),
+            F.col("degree").cast("int").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            (
+                F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1) / 2.0)
+            ).alias("clustering_coeff"),
+        )
+    )
