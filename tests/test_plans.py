@@ -345,3 +345,12 @@ def test_pagerank_broadcasts_dims_on_edge_extract(spark, sf_dir):
     p = plan(REGISTRY["ext_pagerank"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_prefix_jaccard_join_has_no_nested_loop(spark, sf_dir):
+    # The whole point of prefix filtering: candidate generation is an
+    # equi-join on the inverted prefix index — the quadratic
+    # BroadcastNestedLoopJoin of the naive formulation must not appear.
+    p = plan(REGISTRY["ext_jaccard_prefix_join"].fn(spark, sf_dir))
+    assert "NestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p

@@ -179,6 +179,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard pairs ≥ ``threshold`` via PREFIX
+    FILTERING (Chaudhuri et al. SSJoin / AllPairs family) — same result
+    set as ``ngram_jaccard_pairs``, without the quadratic cross join.
+
+    Principle: order every document's shingle set by one global total
+    order (md5 of the shingle — portable across engines); if
+    J(A,B) ≥ t then A and B must share at least one shingle within each
+    one's first ``|s| - ceil(t·|s|) + 1`` shingles (otherwise the
+    overlap is too small to reach t). So only documents that collide on
+    a *prefix* shingle become candidates; exact Jaccard then verifies
+    candidates only.
+
+    Scale: candidate generation is an equi-join on the inverted prefix
+    index — shuffle keyed by shingle, hash join, no nested loop. The
+    verify stage joins the two full shingle arrays back by doc id and
+    evaluates set intersection/union as JVM array intrinsics. Candidate
+    volume is bounded by prefix-shingle co-occurrence (rare-first
+    ordering would shrink it further by frequency-sorting the global
+    order; md5 order keeps the oracle portable)."""
+    sh = docs.select(F.col(id_col), char_shingles(text_col, n).alias("sh"))
+    sized = sh.select(
+        F.col(id_col),
+        "sh",
+        F.size("sh").alias("sz"),
+        F.expr(
+            "transform(array_sort(transform(sh, s -> struct(md5(s) AS h, s AS s)))"
+            ", x -> x.s)"
+        ).alias("ordered"),
+    )
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast(
+        "int"
+    )
+    prefix = sized.select(
+        F.col(id_col),
+        F.explode(F.slice("ordered", F.lit(1), prefix_len)).alias("p"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def with_recrawl(docs: DataFrame, id_col: str = "doc_id", offset: int = 1_000_000) -> DataFrame:
     """Test fixture helper: union a corpus with an id-shifted copy of
     itself (a simulated re-crawl), guaranteeing every document has an
