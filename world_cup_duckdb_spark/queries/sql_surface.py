@@ -506,6 +506,39 @@ SHARED_SQL: dict[str, str] = {
       LIMIT 2
     ) l
     """,
+    # GROUP BY ALL / ORDER BY ALL (Spark 4 / DuckDB): grouping keys
+    # inferred from the non-aggregate select list, total order over the
+    # whole row — removes the classic copy-the-select-list error class
+    "sql_group_by_all": """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    # bag-semantics set operators: EXCEPT ALL keeps multiplicity
+    # differences, INTERSECT ALL keeps min multiplicities — the
+    # reconciliation shape (row-level diffs between two loads) that
+    # DISTINCT set ops silently flatten
+    "sql_bag_set_ops": """
+    SELECT 'cust_minus_supp' AS side, CAST(nationkey AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY ALL
+    UNION ALL
+    SELECT 'intersect_bag' AS side, CAST(nationkey AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY ALL
+    """,
 }
 
 
