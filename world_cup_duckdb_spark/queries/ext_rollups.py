@@ -257,3 +257,101 @@ def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "bucket_lo")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "ext_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM baskets
+    ),
+    part_n AS (
+      SELECT l_partkey, COUNT(*) AS n_part FROM baskets GROUP BY l_partkey
+    ),
+    pair_n AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_pair
+      FROM baskets a
+      JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(n_pair / n_orders.n, 8) AS support,
+           ROUND(n_pair / CAST(pa.n_part AS DOUBLE), 8) AS confidence_a_b,
+           ROUND((n_pair * n_orders.n)
+                 / (CAST(pa.n_part AS DOUBLE) * pb.n_part), 8) AS lift
+    FROM pair_n
+    JOIN part_n pa ON pa.l_partkey = part_a
+    JOIN part_n pb ON pb.l_partkey = part_b
+    CROSS JOIN n_orders
+    WHERE n_pair >= 2
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def ext_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs ordered together,
+    scored by support / confidence / lift (the association-rule metric
+    trio), top-50 by lift at min-support 2 — the recommendation /
+    affinity query a normalized order schema exists to answer.
+
+    Scale: baskets dedup to (order, part) and the pair build self-joins
+    WITHIN order keys — one shuffle on l_orderkey, pair explosion
+    bounded by per-basket size squared (≈4 lines/order here; skewed mega
+    baskets would get a per-order item cap first). Per-part counts are
+    vocabulary-sized and broadcast back; lift arithmetic is exact
+    integer counts in double division, ROUND(…,8)-pinned on both
+    engines; TakeOrderedAndProject keeps top-k local."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    part_n = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    pa = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na")
+    )
+    pb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb")
+    )
+    return (
+        pair_n.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(F.col("n_pair") / F.col("n"), 8).alias("support"),
+            F.round(F.col("n_pair") / F.col("na").cast("double"), 8).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                (F.col("n_pair") * F.col("n"))
+                / (F.col("na").cast("double") * F.col("nb")),
+                8,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )

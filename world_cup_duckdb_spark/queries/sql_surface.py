@@ -539,6 +539,20 @@ SHARED_SQL: dict[str, str] = {
       SELECT s_nationkey FROM supplier
     ) GROUP BY ALL
     """,
+    # aggregate FILTER clause (SQL:2003, Spark 4 / DuckDB): per-aggregate
+    # predicates without CASE-WHEN noise; one scan, n conditional sums
+    "sql_filter_clause": """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 30) AS BIGINT)
+             AS n_bulk,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
 }
 
 
