@@ -476,3 +476,95 @@ def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = e.agg(F.countDistinct("user_id").alias("exact_total"))
     return est.crossJoin(exact)
+
+
+@register(
+    "ext_ab_test",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    agg AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+        CAST(SUM(converted) FILTER (WHERE variant = 'A') AS BIGINT) AS conv_a,
+        CAST(COUNT(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b,
+        CAST(SUM(converted) FILTER (WHERE variant = 'B') AS BIGINT) AS conv_b
+      FROM users
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(conv_a / CAST(n_a AS DOUBLE), 8) AS rate_a,
+           ROUND(conv_b / CAST(n_b AS DOUBLE), 8) AS rate_b,
+           ROUND(
+             (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)),
+             6) AS z_score
+    FROM agg
+    """,
+)
+def ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users deterministically hash-bucketed into
+    variants (md5 hex prefix — the reproducible assignment every
+    experimentation platform needs so reruns and engines agree),
+    heavy-purchaser conversion (≥14 purchase events — a thresholded
+    metric so both arms have non-degenerate rates on this fixture) per
+    variant, and the pooled two-proportion z-statistic — the end-to-end
+    A/B analysis in one query.
+
+    Scale: one shuffle keyed user_id (conversion flag per user is a
+    max-aggregate), then a single-row global conditional aggregate; the
+    z arithmetic is a map-side expression on that one row. Cross-engine
+    float parity: counts are exact, IEEE sqrt is correctly rounded, and
+    the outputs are ROUND-pinned."""
+    e = load_tables(spark, sf_dir)["events"]
+    users = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    agg = users.agg(
+        F.count(F.when(F.col("variant") == "A", 1)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.count(F.when(F.col("variant") == "B", 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(rate_a, 8).alias("rate_a"),
+        F.round(rate_b, 8).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
