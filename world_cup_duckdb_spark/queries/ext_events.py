@@ -568,3 +568,92 @@ def ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_b, 8).alias("rate_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "ext_funnel_strict3",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT s.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'click'
+       AND CAST(e.ts AS TIMESTAMP) > s.t1
+       AND CAST(e.ts AS TIMESTAMP) <= s.t1 + INTERVAL '24 hours'
+      GROUP BY s.user_id
+    ),
+    p AS (
+      SELECT c.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND CAST(e.ts AS TIMESTAMP) > c.t2
+       AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL '24 hours'
+      GROUP BY c.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_then_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_then_purchase,
+           ROUND((SELECT COUNT(*) FROM c)
+                 / CAST((SELECT COUNT(*) FROM s) AS DOUBLE), 8) AS step2_rate,
+           ROUND((SELECT COUNT(*) FROM p)
+                 / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 8) AS step3_rate
+    """,
+)
+def ext_funnel_strict3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-step funnel: first signup, then the first
+    click within 24 hours AFTER it, then the first purchase within 24
+    hours after THAT — event order and step deadlines matter, not mere
+    co-occurrence (the two-step ext_funnel_click_purchase checks one
+    window; this checks the full ordered chain with per-step time
+    budgets, the shape real activation funnels need).
+
+    Scale: three min-aggregates, each joined forward on user_id — every
+    stage shuffles on the same key so AQE plans co-partitioned joins;
+    per-user state is one timestamp per stage. The final counts collapse
+    to a single row (scalar aggregates on tiny frames)."""
+    e = load_tables(spark, sf_dir)["events"]
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, out: str) -> DataFrame:
+        return (
+            prev.join(
+                e.filter(F.col("event_type") == etype).select(
+                    "user_id", F.col("ts").alias("ets")
+                ),
+                "user_id",
+            )
+            .filter(
+                (F.col("ets") > F.col(tcol))
+                & (F.col("ets") <= F.col(tcol) + F.expr("INTERVAL 24 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ets").alias(out))
+        )
+
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(s, "click", "t1", "t2")
+    p = first_after(c, "purchase", "t2", "t3")
+    counts = (
+        s.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_then_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("bigint").alias("n_then_purchase"))
+        )
+    )
+    return counts.select(
+        "n_signup",
+        "n_then_click",
+        "n_then_purchase",
+        F.round(
+            F.col("n_then_click") / F.col("n_signup").cast("double"), 8
+        ).alias("step2_rate"),
+        F.round(
+            F.col("n_then_purchase") / F.col("n_then_click").cast("double"), 8
+        ).alias("step3_rate"),
+    )
