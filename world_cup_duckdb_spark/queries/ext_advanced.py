@@ -664,3 +664,67 @@ def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_winsorized",
         )
     )
+
+
+@register(
+    "ext_standard_scaler",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(m.mean, 8) AS type_mean,
+           ROUND(m.std, 8) AS type_std,
+           ROUND((CAST(e.value AS DECIMAL(18,6)) - m.mean) / m.std, 8) AS z
+    FROM events e JOIN m USING (event_type)
+    """,
+)
+def ext_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standard scaling (z-score feature normalization): one
+    aggregation pass computes each event type's mean and population
+    std from exact decimal moment sums (SUM x, SUM x² — accumulation-
+    order independent), then the tiny stats frame broadcasts back over
+    the facts for a map-side transform — the classic two-pass scaler a
+    feature pipeline runs before training, with the same broadcast-back
+    shape as ext_winsorize.
+
+    Determinism: both engines feed the identical decimal-quantized
+    values into the identical double formula; sqrt is IEEE-exact;
+    outputs ROUND-pinned."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    m = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("std"),
+    )
+    return e.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("mean", 8).alias("type_mean"),
+        F.round("std", 8).alias("type_std"),
+        F.round(
+            (F.col("value").cast("decimal(18,6)") - F.col("mean")) / F.col("std"),
+            8,
+        ).alias("z"),
+    )

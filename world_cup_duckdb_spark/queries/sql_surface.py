@@ -553,6 +553,18 @@ SHARED_SQL: dict[str, str] = {
     FROM lineitem
     GROUP BY l_returnflag
     """,
+    # CUBE: all 2^2 grouping-set combinations in one pass, with GROUPING()
+    # flags disambiguating the NULL-as-total rows from genuine NULLs
+    "sql_cube": """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
 }
 
 
