@@ -354,3 +354,15 @@ def test_prefix_jaccard_join_has_no_nested_loop(spark, sf_dir):
     p = plan(REGISTRY["ext_jaccard_prefix_join"].fn(spark, sf_dir))
     assert "NestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_cusum_reduces_before_group_map(spark, sf_dir):
+    # The sequential scan runs as Arrow group-map (FlatMapGroupsInPandas)
+    # AFTER the fact scan has been reduced to hourly aggregates — the
+    # hash aggregate must sit below the Python node.
+    p = plan(REGISTRY["ext_cusum"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert p.index("HashAggregate") > p.index("FlatMapGroupsInPandas"), (
+        "aggregate should be below (planned before) the group-map in the tree"
+    )

@@ -657,3 +657,89 @@ def ext_funnel_strict3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_then_purchase") / F.col("n_then_click").cast("double"), 8
         ).alias("step3_rate"),
     )
+
+
+@register(
+    "ext_cusum",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                            * 3600000000) AS h,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, h, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hourly
+    ),
+    mu AS (
+      SELECT event_type, SUM(x) / CAST(COUNT(*) AS DOUBLE) AS mean_x
+      FROM hourly GROUP BY event_type
+    ),
+    walk AS (
+      SELECT i.event_type, i.rn, i.h, i.x,
+             GREATEST(0.0, i.x - m.mean_x) AS s
+      FROM idx i JOIN mu m USING (event_type) WHERE i.rn = 1
+      UNION ALL
+      SELECT i.event_type, i.rn, i.h, i.x,
+             GREATEST(0.0, w.s + i.x - m.mean_x)
+      FROM walk w
+      JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1
+      JOIN mu m ON m.event_type = i.event_type
+    )
+    SELECT event_type, h AS hour_start,
+           CAST(x AS BIGINT) AS n_events,
+           ROUND(s, 6) AS cusum,
+           s > 20.0 AS alarm
+    FROM walk
+    """,
+)
+def ext_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over per-type hourly event rates:
+    S_t = max(0, S_{t-1} + x_t − mean) with an alarm threshold — the
+    monitoring primitive that flags sustained rate shifts a fixed
+    threshold misses.
+
+    The recurrence is NON-ASSOCIATIVE (the max-with-zero clamp), so no
+    window frame or prefix-sum expresses it — this is precisely the
+    case for the Arrow group-map escape hatch (`applyInPandas` per
+    event_type over hour-sorted rows; engine policy: builtins first,
+    Python only for genuinely sequential state). The oracle walks the
+    identical recurrence with a RECURSIVE CTE. Floats stay bit-equal:
+    hourly counts are exact ints, the mean is an exact-sum division,
+    and both engines apply the same IEEE add/clamp sequence in the same
+    order.
+
+    Scale: the fact scan reduces to |types| × |hours| rows BEFORE any
+    Python; the group-map receives only that tiny frame per key (state
+    = one running double). A streaming twin would be
+    applyInPandasWithState on the same recurrence."""
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir)["events"]
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour_start").reset_index(drop=True)
+        mean_x = float(pdf["n_events"].sum()) / len(pdf)
+        s = 0.0
+        out = []
+        for x in pdf["n_events"]:
+            s = max(0.0, s + float(x) - mean_x)
+            out.append(s)
+        pdf["cusum"] = [round(v, 6) for v in out]
+        pdf["alarm"] = [v > 20.0 for v in out]
+        return pdf
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(
+            walk,
+            schema="event_type string, hour_start timestamp, n_events bigint, "
+            "cusum double, alarm boolean",
+        )
+    )
