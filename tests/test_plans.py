@@ -366,3 +366,21 @@ def test_cusum_reduces_before_group_map(spark, sf_dir):
     assert p.index("HashAggregate") > p.index("FlatMapGroupsInPandas"), (
         "aggregate should be below (planned before) the group-map in the tree"
     )
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    # The engine exposes Spark's join-strategy control surface: the same
+    # logical join planned as broadcast-hash by default (small dim) can
+    # be forced to shuffle-merge with a hint — the knob for when a
+    # "small" side isn't (skew, memory pressure, 100x growth).
+    from world_cup_duckdb_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    o = t["orders"].select("o_orderkey", "o_orderpriority")
+    default_plan = plan(li.join(o, li.l_orderkey == o.o_orderkey))
+    hinted_plan = plan(
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    )
+    assert "BroadcastHashJoin" in default_plan, default_plan
+    assert "SortMergeJoin" in hinted_plan, hinted_plan
