@@ -168,3 +168,51 @@ def ext_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("id").cast("bigint").alias("sum_id"),
         F.sum(F.col("val").cast("decimal(18,1)")).cast("double").alias("sum_val"),
     )
+
+
+@register(
+    "ext_schema_evolution",
+    oracle="""
+    WITH merged AS (
+      SELECT n_nationkey, n_name, n_regionkey, NULL AS batch_tag
+      FROM nation WHERE n_regionkey < 2
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey, 'v2' AS batch_tag
+      FROM nation WHERE n_regionkey >= 2
+    )
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey,
+           batch_tag
+    FROM merged
+    """,
+)
+def ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: a directory whose older files lack a
+    column the newer files carry (`batch_tag`), read back as ONE table
+    with `mergeSchema` — the lake-ingestion reality where producers add
+    fields over time and the reader must union schemas, null-filling
+    history, instead of failing or silently dropping the new column.
+
+    The oracle regenerates the expected union from the source table
+    (DuckDB's union_by_name semantics match Spark's mergeSchema). At
+    scale, schema merging reads ONLY file footers (no data scan) and a
+    pinned explicit StructType is still preferred on hot paths — this
+    query is the capability proof for the evolving-feed edge."""
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    loc = _fresh_dir("ext_schema_evolution")
+    n = table(spark, sf_dir, "nation")
+    n.filter(F.col("n_regionkey") < 2).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("append").parquet(loc)
+    n.filter(F.col("n_regionkey") >= 2).select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.lit("v2").alias("batch_tag"),
+    ).write.mode("append").parquet(loc)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(loc)
+        .select("n_nationkey", "n_name", "n_regionkey", "batch_tag")
+    )
