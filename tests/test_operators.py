@@ -189,3 +189,37 @@ def test_apply_in_pandas_fit_matches_regr_aggregates(spark, sf_dir):
             assert abs(p[fld] - a[fld]) <= 1e-3 + 1e-3 * abs(a[fld]), (
                 k, fld, p[fld], a[fld],
             )
+
+
+def test_observe_metrics_ride_the_job(spark, sf_dir):
+    """`df.observe` collects pipeline health metrics (row counts, sums,
+    null tallies) DURING the action — no second scan, no extra job. The
+    observability primitive a production pipeline attaches to every
+    stage boundary; here the observed metrics must equal a separately
+    computed aggregate."""
+    from pyspark.sql import Observation
+
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("ingest_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty_sum"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("null_keys"),
+    )
+    n_after_filter = observed.filter(F.col("l_quantity") > 25).count()
+    metrics = obs.get
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("q"),
+    ).collect()[0]
+    assert metrics["n_rows"] == want["n"]
+    assert metrics["qty_sum"] == want["q"]
+    assert metrics["null_keys"] == 0
+    assert 0 < n_after_filter < metrics["n_rows"]

@@ -216,3 +216,64 @@ def ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(loc)
         .select("n_nationkey", "n_name", "n_regionkey", "batch_tag")
     )
+
+
+@register(
+    "ext_corrupt_json",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def ext_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-feed ingestion: a JSON-lines file carrying 3 malformed
+    records among the good ones, read in PERMISSIVE mode with an
+    explicit `_corrupt_record` column — bad lines become quarantine rows
+    instead of failing the scan or silently vanishing, and the query
+    reports good/corrupt counts plus a checksum of the parsed payload.
+    The dead-letter posture a 100 TB feed needs (FAILFAST is for curated
+    data; dropping errors silently is never right).
+
+    The corrupt-line count is a staged constant (we inject exactly 3),
+    so the oracle validates the parsed-row content from the source table
+    and pins the quarantine count."""
+    import json as _json
+
+    loc = _fresh_dir("ext_corrupt_json")
+    rows = [
+        r.asDict()
+        for r in table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    ]
+    path = os.path.join(loc, "feed.json")
+    with open(path, "w") as f:
+        for i, r in enumerate(rows):
+            f.write(_json.dumps(r) + "\n")
+            if i in (0, 1, 2):
+                f.write('{"n_nationkey": "NOT AN INT", "n_name": [broken\n')
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # querying _corrupt_record requires materialization
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("bigint")
+        .alias("n_good"),
+        F.count(F.col("_corrupt_record")).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey")))
+        .cast("bigint")
+        .alias("key_sum"),
+    )
