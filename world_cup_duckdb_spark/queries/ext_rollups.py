@@ -355,3 +355,57 @@ def ext_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "ext_calendar_dims",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+             MAX(CAST(o_orderdate AS DATE)) AS mx
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    )
+    SELECT d,
+           CAST(year(d) AS INT) AS year,
+           CAST(quarter(d) AS INT) AS quarter,
+           CAST(month(d) AS INT) AS month,
+           CAST(day(d) AS INT) AS day_of_month,
+           CAST(week(d) AS INT) AS iso_week,
+           CAST(isodow(d) AS INT) AS iso_dow,
+           isodow(d) >= 6 AS is_weekend
+    FROM spine
+    """,
+)
+def ext_calendar_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension build: a dense date spine spanning the fact
+    range with the standard derived attributes (year/quarter/month/
+    ISO week/ISO day-of-week/weekend flag) — the dimension every
+    warehouse joins dates against, generated rather than stored.
+
+    Cross-engine care: day-of-week numbering is a classic trap (Spark's
+    `dayofweek` is Sunday=1, DuckDB's is Sunday=0); both sides use the
+    ISO convention (Monday=1) explicitly — EXTRACT(DAYOFWEEK_ISO) here,
+    `isodow` in the oracle — and ISO week numbers, which the engines
+    agree on. Scale: a two-value bounds aggregate plus a generated
+    explode; size is |days|, independent of fact volume."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mn"),
+        F.max(F.col("o_orderdate").cast("date")).alias("mx"),
+    )
+    return bounds.select(
+        F.explode(F.expr("sequence(mn, mx, INTERVAL 1 DAY)")).alias("d")
+    ).select(
+        "d",
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        F.dayofmonth("d").cast("int").alias("day_of_month"),
+        F.weekofyear("d").cast("int").alias("iso_week"),
+        F.expr("EXTRACT(DAYOFWEEK_ISO FROM d)").cast("int").alias("iso_dow"),
+        (F.expr("EXTRACT(DAYOFWEEK_ISO FROM d)") >= 6).alias("is_weekend"),
+    )
