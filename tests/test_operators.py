@@ -223,3 +223,36 @@ def test_observe_metrics_ride_the_job(spark, sf_dir):
     assert metrics["qty_sum"] == want["q"]
     assert metrics["null_keys"] == 0
     assert 0 < n_after_filter < metrics["n_rows"]
+
+
+def test_prefix_filter_equals_naive_jaccard(spark):
+    """The prefix-filtered set-similarity join must produce EXACTLY the
+    naive all-pairs result on a corpus with controlled overlap: exact
+    duplicates (J=1), heavy overlaps (J≈0.8), and unrelated docs (J≈0)."""
+    from world_cup_duckdb_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+            (3, "the quick brown fox jumps over the lazy cat"),   # near-dup
+            (4, "completely different text with no shared grams"),
+            (5, "yet another unrelated document body entirely"),
+            (6, "the quick brown fox leaps over the lazy dog"),   # near-dup
+        ],
+        ["doc_id", "text"],
+    )
+    for thr in (0.3, 0.5, 0.8):
+        naive = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(docs, threshold=thr).collect()
+        }
+        fast = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in prefix_filtered_jaccard_pairs(docs, threshold=thr).collect()
+        }
+        assert fast == naive, (thr, fast ^ naive)
+        assert naive, f"degenerate fixture at threshold {thr}"

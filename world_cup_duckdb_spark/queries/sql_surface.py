@@ -553,6 +553,36 @@ SHARED_SQL: dict[str, str] = {
     FROM lineitem
     GROUP BY l_returnflag
     """,
+    # TPC-H Q11 shape: scalar-subquery threshold in HAVING — groups kept
+    # only if they exceed a fraction of the global total (partsupp is
+    # absent from the testdata; lineitem revenue stands in as the value)
+    "sql_important_parts": f"""
+    SELECT l_partkey,
+           CAST(SUM({_REV}) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM({_REV}) > (
+      SELECT SUM({_REV}) * 0.0005 FROM lineitem
+    )
+    """,
+    # ratio-to-parent windows: each nation's share of its region's
+    # revenue and of the global total, in one pass over the rollup
+    "sql_percent_of_total": f"""
+    WITH nation_rev AS (
+      SELECT r_name, n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+      FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 8)
+             AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER (), 8) AS share_of_total
+    FROM nation_rev
+    """,
     # CUBE: all 2^2 grouping-set combinations in one pass, with GROUPING()
     # flags disambiguating the NULL-as-total rows from genuine NULLs
     "sql_cube": """
