@@ -309,3 +309,36 @@ def test_hll_sketch_union_estimate_within_bound(spark, sf_dir):
     assert row["n_days"] >= 1
     exact = row["exact_total"]
     assert abs(row["est_union"] - exact) <= max(1, 0.075 * exact), row
+
+
+def test_dynamic_partition_overwrite_backfills_idempotently(
+    spark, sf_dir, tmp_path
+):
+    # Backfill posture: re-running one day's job must replace ONLY that
+    # day's partition (dynamic mode), not truncate the table the way
+    # static overwrite does — the property that makes partition-grain
+    # reruns safe at 100 TB.
+    from pyspark.sql import functions as F
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    out = str(tmp_path / "events_by_day")
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date").cast("string")
+    )
+    e.write.partitionBy("day").mode("overwrite").parquet(out)
+    total = spark.read.parquet(out).count()
+    one_day = e.select("day").orderBy("day").first()["day"]
+    day_rows = e.filter(F.col("day") == one_day)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # rerun the one day's backfill with doubled values — row count
+        # must be unchanged (same rows replaced), other days untouched
+        day_rows.withColumn("value", F.col("value") * 2).write.partitionBy(
+            "day"
+        ).mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    after = spark.read.parquet(out)
+    assert after.count() == total
+    assert after.filter(F.col("day") != one_day).count() == total - day_rows.count()

@@ -277,3 +277,53 @@ def ext_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("key_sum"),
     )
+
+
+from world_cup_duckdb_spark.queries.lifecycle import REPO_SCRATCH as _SCRATCH
+
+
+@register(
+    "ext_metadata_columns",
+    oracle="""
+    SELECT parse_filename(filename) AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM read_parquet('{scratch}/ext_metadata_cols/*.parquet',
+                      filename=true)
+    GROUP BY 1
+    """.format(scratch=_SCRATCH),
+)
+def ext_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row file lineage via the hidden `_metadata` column: every
+    parquet-scanned row knows which file it came from (no extra scan, no
+    path-encoding hacks) — the provenance signal incident debugging and
+    selective reprocessing need ('which input file produced these bad
+    rows?'). Rows are grouped by source file with a content checksum;
+    the oracle reads the same staged directory with DuckDB's
+    filename=true.
+
+    Scale: `_metadata` is populated from the scan's own file split —
+    zero additional I/O; grouping by file keeps partial aggregation
+    local to each file's tasks."""
+    loc = _fresh_dir("ext_metadata_cols")
+    n = table(spark, sf_dir, "nation")
+    n.filter(F.col("n_regionkey") < 2).repartition(1).write.mode(
+        "append"
+    ).parquet(loc)
+    n.filter(F.col("n_regionkey") >= 2).repartition(1).write.mode(
+        "append"
+    ).parquet(loc)
+    return (
+        spark.read.parquet(loc)
+        .select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "file_name"
+            ),
+            "n_nationkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+    )
