@@ -1,0 +1,77 @@
+"""Versioned-table layer tests: snapshot isolation, time travel, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.operators.lakehouse import (
+    latest_version,
+    read_table,
+    table_history,
+    vacuum,
+    write_table,
+)
+from world_cup_duckdb_spark.sources.catalog import table
+
+
+@pytest.fixture()
+def nation(spark, sf_dir):
+    return table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def test_append_versions_and_time_travel(spark, nation, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = write_table(nation.filter(F.col("n_regionkey") < 2), path)
+    v1 = write_table(nation.filter(F.col("n_regionkey") >= 2), path)
+    assert (v0, v1) == (0, 1)
+    want_v0 = nation.filter(F.col("n_regionkey") < 2).count()
+    assert read_table(spark, path, version=0).count() == want_v0
+    assert read_table(spark, path).count() == nation.count()
+    assert [m["mode"] for m in table_history(path)] == ["append", "append"]
+
+
+def test_overwrite_starts_fresh_set_but_keeps_history(spark, nation, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(nation, path)
+    write_table(nation.filter(F.col("n_regionkey") == 0), path, mode="overwrite")
+    assert read_table(spark, path).count() == nation.filter(
+        F.col("n_regionkey") == 0
+    ).count()
+    assert read_table(spark, path, version=0).count() == nation.count()
+
+
+def test_snapshot_isolation_under_concurrent_append(spark, nation, tmp_path):
+    # A reader that resolved its manifest BEFORE a concurrent commit
+    # must keep seeing its snapshot.
+    path = str(tmp_path / "t")
+    write_table(nation.filter(F.col("n_regionkey") < 2), path)
+    snapshot = read_table(spark, path)          # resolves v0's file list now
+    before = snapshot.count()
+    write_table(nation.filter(F.col("n_regionkey") >= 2), path)  # concurrent
+    assert snapshot.count() == before            # unaffected by v1
+    assert read_table(spark, path).count() > before
+
+
+def test_vacuum_prunes_history_not_current(spark, nation, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(nation, path)
+    write_table(nation.filter(F.col("n_regionkey") == 0), path, mode="overwrite")
+    removed = vacuum(path, keep_versions=1)
+    assert removed, "overwritten data dir should be reclaimed"
+    assert read_table(spark, path).count() == nation.filter(
+        F.col("n_regionkey") == 0
+    ).count()
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=0).count()
+
+
+def test_commit_is_first_writer_wins(spark, nation, tmp_path):
+    from world_cup_duckdb_spark.operators.lakehouse import _commit
+
+    path = str(tmp_path / "t")
+    write_table(nation, path)
+    with pytest.raises(ValueError, match="already committed"):
+        _commit(path, latest_version(path), ["data-zzz"], "append")

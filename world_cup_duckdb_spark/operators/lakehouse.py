@@ -1,0 +1,141 @@
+"""Minimal versioned table layer over parquet ("poor-man's lakehouse"):
+manifest-listed snapshots with atomic commits, snapshot-isolated reads,
+time travel, and vacuum.
+
+Spark's file-based parquet tables have no multi-writer atomicity and no
+history — a half-written directory is visible immediately, and overwrite
+destroys the past. The standard open-table fix (Delta/Iceberg/Hudi) is a
+TRANSACTION LOG: data files are immutable, and a tiny versioned manifest
+names the files each snapshot comprises; commits are one atomic rename.
+This module implements that core so the engine can demonstrate the
+semantics without external table-format packages:
+
+- `data-<version>-<uuid>/` immutable parquet directories, written once;
+- `_log/v{N}.json` manifests, committed via temp-file + `os.rename`
+  (atomic on POSIX) — a reader either sees a complete version or the
+  previous one, never a partial write;
+- readers resolve a manifest FIRST, then read exactly its file set:
+  concurrent appends cannot tear a running query (snapshot isolation);
+- `vacuum` deletes data dirs no LIVE manifest references — history
+  pruning is an explicit, separate act, so time travel stays correct
+  until the operator chooses retention.
+
+At 100 TB the same design holds: manifests stay KB-sized (they list
+directories, not rows), commits stay O(1), and data files are only ever
+added or garbage-collected, never rewritten in place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"v{version}.json")
+
+
+def latest_version(path: str) -> int | None:
+    """Highest committed version, or None for an empty/absent table."""
+    log = _log_dir(path)
+    if not os.path.isdir(log):
+        return None
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(log)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def _commit(path: str, version: int, dirs: list[str], mode: str) -> None:
+    """Atomically publish a manifest: write to a temp name, fsync, then
+    rename into place — readers never observe a partial manifest."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    target = _manifest_path(path, version)
+    if os.path.exists(target):
+        raise ValueError(f"version {version} already committed")
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "mode": mode, "dirs": dirs}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, target)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new version. ``append`` adds to the current
+    snapshot's file set; ``overwrite`` starts a fresh set (history
+    remains readable). Returns the committed version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(mode)
+    prev = latest_version(path)
+    version = 0 if prev is None else prev + 1
+    data_dir = f"data-{version:05d}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(path, data_dir))
+    base = [] if (mode == "overwrite" or prev is None) else _read_manifest(
+        path, prev
+    )["dirs"]
+    _commit(path, version, base + [data_dir], mode)
+    return version
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: resolve the manifest (latest or the time-travel
+    ``version``), then scan exactly its directories."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    dirs = _read_manifest(path, v)["dirs"]
+    if not dirs:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+
+
+def table_history(path: str) -> list[dict]:
+    """All committed manifests, oldest first (the audit trail)."""
+    last = latest_version(path)
+    if last is None:
+        return []
+    return [_read_manifest(path, v) for v in range(last + 1)]
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Drop manifests older than the newest ``keep_versions`` and delete
+    data dirs no surviving manifest references. Returns removed dirs.
+    Time travel beyond the retention window is traded for space — the
+    explicit operator decision, never an implicit side effect."""
+    last = latest_version(path)
+    if last is None:
+        return []
+    cutoff = max(0, last - keep_versions + 1)
+    live: set[str] = set()
+    for v in range(cutoff, last + 1):
+        live.update(_read_manifest(path, v)["dirs"])
+    removed = []
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("data-") and entry not in live:
+            shutil.rmtree(os.path.join(path, entry))
+            removed.append(entry)
+    for v in range(cutoff):
+        manifest = _manifest_path(path, v)
+        if os.path.exists(manifest):
+            os.remove(manifest)
+    return removed

@@ -199,3 +199,49 @@ def op24_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+
+
+@register(
+    "ext_time_travel",
+    oracle="""
+    SELECT 'v0' AS snapshot, CAST(n_nationkey AS INT) AS n_nationkey, n_name
+    FROM nation WHERE n_regionkey < 2
+    UNION ALL
+    SELECT 'latest' AS snapshot, CAST(n_nationkey AS INT) AS n_nationkey, n_name
+    FROM nation WHERE n_regionkey = 0
+    """,
+)
+def ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table versioning + time travel (operators/lakehouse.py): three
+    commits — append, append, overwrite — then one query reads the v0
+    snapshot AND the post-overwrite latest snapshot side by side. The
+    oracle regenerates both expected states from the source table; the
+    hash match proves the manifest log preserves exact history while
+    atomic rename keeps every snapshot complete-or-absent.
+
+    This is the open-table-format core (Delta/Iceberg transaction-log
+    design) expressed engine-natively: manifests stay KB-sized at any
+    data scale, commits are O(1) renames, data files are immutable."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        read_table,
+        write_table,
+    )
+
+    loc = _fresh_dir("ext_time_travel")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_table(n.filter(F.col("n_regionkey") < 2), loc)
+    write_table(n.filter(F.col("n_regionkey") >= 2), loc)
+    write_table(n.filter(F.col("n_regionkey") == 0), loc, mode="overwrite")
+    v0 = read_table(spark, loc, version=0).select(
+        F.lit("v0").alias("snapshot"),
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+    )
+    latest = read_table(spark, loc).select(
+        F.lit("latest").alias("snapshot"),
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+    )
+    return v0.unionByName(latest)
