@@ -75,3 +75,39 @@ def test_commit_is_first_writer_wins(spark, nation, tmp_path):
     write_table(nation, path)
     with pytest.raises(ValueError, match="already committed"):
         _commit(path, latest_version(path), ["data-zzz"], "append")
+
+
+def test_merge_upserts_and_diff_reports_cdc(spark, nation, tmp_path):
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        diff_versions,
+        merge_table,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(nation, path)                                   # v0
+    source = (
+        nation.filter(F.col("n_regionkey") == 0)
+        .withColumn("n_name", F.lower("n_name"))                # updates
+        .unionByName(
+            spark.createDataFrame(
+                [(999, "atlantis", 0)],
+                "n_nationkey int, n_name string, n_regionkey int",
+            ).select("n_nationkey", "n_name", "n_regionkey")    # insert
+        )
+    )
+    v1 = merge_table(spark, path, source, ["n_nationkey"])
+    after = read_table(spark, path)
+    assert after.count() == nation.count() + 1                  # one insert
+    touched = after.filter(F.col("n_regionkey") == 0)
+    assert all(r["n_name"] == r["n_name"].lower() for r in touched.collect())
+    untouched = after.filter(F.col("n_regionkey") > 0)
+    assert untouched.exceptAll(
+        nation.filter(F.col("n_regionkey") > 0)
+    ).count() == 0
+
+    cdc = diff_versions(spark, path, 0, v1)
+    n_updated = nation.filter(
+        (F.col("n_regionkey") == 0) & (F.col("n_name") != F.lower("n_name"))
+    ).count()
+    assert cdc.filter(F.col("change") == "insert").count() == n_updated + 1
+    assert cdc.filter(F.col("change") == "delete").count() == n_updated

@@ -139,3 +139,60 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         if os.path.exists(manifest):
             os.remove(manifest)
     return removed
+
+
+def merge_table(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE (upsert): source rows UPDATE matching keys and INSERT new
+    ones; untouched current rows carry over. Implemented as
+    copy-on-write against the current snapshot — one full-outer join by
+    key, then an atomic `overwrite` commit, so readers see the pre- or
+    post-merge version, never a blend. This is the open-table MERGE INTO
+    semantic on immutable files; at scale the join shuffles once on the
+    key and AQE handles source/target size asymmetry (a small CDC batch
+    broadcasts against the big snapshot)."""
+    current = read_table(spark, path)
+    cols = current.columns
+    if source.columns != cols:
+        raise ValueError(f"source columns {source.columns} != table {cols}")
+    from pyspark.sql import functions as F
+
+    src = source.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in cols]).alias("_src"),
+    )
+    cur = current.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in cols]).alias("_cur"),
+    )
+    merged = (
+        cur.join(src, key_cols, "full_outer")
+        .select(F.coalesce("_src", "_cur").alias("_row"))
+        .select([F.col(f"_row.{c}").alias(c) for c in cols])
+    )
+    return write_table(merged, path, mode="overwrite")
+
+
+def diff_versions(
+    spark: SparkSession, path: str, old: int, new: int
+) -> DataFrame:
+    """Change feed between two snapshots, computed as bag-semantics set
+    differences: rows only in ``new`` are tagged 'insert', rows only in
+    ``old`` are 'delete' (an updated row appears as one of each — the
+    classic CDC decomposition when the log stores snapshots, not
+    row-level changes). EXCEPT ALL keeps duplicate multiplicity honest."""
+    from pyspark.sql import functions as F
+
+    old_df = read_table(spark, path, version=old)
+    new_df = read_table(spark, path, version=new)
+    inserts = new_df.exceptAll(old_df).select(
+        F.lit("insert").alias("change"), "*"
+    )
+    deletes = old_df.exceptAll(new_df).select(
+        F.lit("delete").alias("change"), "*"
+    )
+    return inserts.unionByName(deletes)

@@ -245,3 +245,97 @@ def ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
     )
     return v0.unionByName(latest)
+
+
+@register(
+    "ext_merge_upsert",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN lower(n_name) ELSE n_name END
+             AS n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 999, 'atlantis', 0
+    """,
+)
+def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on the versioned table layer
+    (operators/lakehouse.py:merge_table): a CDC batch that UPDATES every
+    region-0 nation (lowercased name) and INSERTS one new key, applied
+    copy-on-write in a single atomic commit. The oracle states the
+    expected post-merge table directly — update semantics, insert
+    semantics, and carry-over of untouched rows all hash-checked."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        merge_table,
+        read_table,
+        write_table,
+    )
+
+    loc = _fresh_dir("ext_merge_upsert")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+    write_table(n, loc)
+    source = (
+        n.filter(F.col("n_regionkey") == 0)
+        .withColumn("n_name", F.lower("n_name"))
+        .unionByName(
+            spark.createDataFrame(
+                [(999, "atlantis", 0)],
+                "n_nationkey int, n_name string, n_regionkey int",
+            )
+        )
+    )
+    merge_table(spark, loc, source, ["n_nationkey"])
+    return read_table(spark, loc)
+
+
+@register(
+    "ext_table_diff",
+    oracle="""
+    SELECT 'insert' AS change, CAST(n_nationkey AS INT) AS n_nationkey,
+           lower(n_name) AS n_name, CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation WHERE n_regionkey = 0 AND n_name <> lower(n_name)
+    UNION ALL
+    SELECT 'insert', 999, 'atlantis', 0
+    UNION ALL
+    SELECT 'delete', CAST(n_nationkey AS INT), n_name,
+           CAST(n_regionkey AS INT)
+    FROM nation WHERE n_regionkey = 0 AND n_name <> lower(n_name)
+    """,
+)
+def ext_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed between two table versions
+    (operators/lakehouse.py:diff_versions): the pre-/post-merge
+    snapshots decompose into insert/delete rows via bag-semantics set
+    difference — an update surfaces as one delete (old image) plus one
+    insert (new image), the standard snapshot-CDC contract. The oracle
+    enumerates the exact expected change rows."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        diff_versions,
+        merge_table,
+        write_table,
+    )
+
+    loc = _fresh_dir("ext_table_diff")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+    write_table(n, loc)
+    source = (
+        n.filter(F.col("n_regionkey") == 0)
+        .withColumn("n_name", F.lower("n_name"))
+        .unionByName(
+            spark.createDataFrame(
+                [(999, "atlantis", 0)],
+                "n_nationkey int, n_name string, n_regionkey int",
+            )
+        )
+    )
+    v1 = merge_table(spark, loc, source, ["n_nationkey"])
+    return diff_versions(spark, loc, 0, v1)
