@@ -111,3 +111,48 @@ def test_merge_upserts_and_diff_reports_cdc(spark, nation, tmp_path):
     ).count()
     assert cdc.filter(F.col("change") == "insert").count() == n_updated + 1
     assert cdc.filter(F.col("change") == "delete").count() == n_updated
+
+
+def test_optimize_compacts_without_changing_rows(spark, nation, tmp_path):
+    import glob
+
+    from world_cup_duckdb_spark.operators.lakehouse import optimize_table
+
+    path = str(tmp_path / "t")
+    # many tiny appends → fragmented layout
+    for rk in range(5):
+        write_table(nation.filter(F.col("n_regionkey") == rk), path)
+    before = read_table(spark, path)
+    n_files_before = len(glob.glob(f"{path}/data-*/part-*.parquet"))
+    v = optimize_table(spark, path, target_files=1)
+    after = read_table(spark, path)
+    n_files_live = len(
+        glob.glob(f"{path}/data-{v:05d}-*/part-*.parquet")
+    )
+    assert after.count() == before.count()
+    assert after.exceptAll(before).count() == 0
+    assert n_files_live < n_files_before
+    # pre-compaction snapshot still time-travelable
+    assert read_table(spark, path, version=0).count() == nation.filter(
+        F.col("n_regionkey") == 0
+    ).count()
+
+
+def test_fsck_detects_orphans_and_missing(spark, nation, tmp_path):
+    import os
+    import shutil
+
+    from world_cup_duckdb_spark.operators.lakehouse import fsck
+
+    path = str(tmp_path / "t")
+    write_table(nation, path)
+    assert fsck(path) == {"missing": [], "orphans": []}
+    # orphan: a data dir no manifest references (torn write debris)
+    os.makedirs(os.path.join(path, "data-99999-deadbeef"))
+    # missing: delete a referenced dir behind the log's back
+    live = [e for e in os.listdir(path)
+            if e.startswith("data-") and "deadbeef" not in e][0]
+    shutil.rmtree(os.path.join(path, live))
+    report = fsck(path)
+    assert report["orphans"] == ["data-99999-deadbeef"]
+    assert report["missing"] == [live]

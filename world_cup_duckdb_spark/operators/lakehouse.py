@@ -196,3 +196,41 @@ def diff_versions(
         F.lit("delete").alias("change"), "*"
     )
     return inserts.unionByName(deletes)
+
+
+def optimize_table(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE: rewrite the current snapshot into ``target_files``
+    right-sized files and commit the compacted layout as a new version —
+    logically a no-op (same rows), physically the small-file fix.
+    Because it goes through the same atomic commit path, readers never
+    see a half-compacted table, and the pre-compaction version remains
+    time-travelable until vacuumed. The streaming-append + periodic
+    OPTIMIZE + vacuum loop is the standard lakehouse maintenance cycle
+    (operators/scale.py:compact_parquet is the raw-directory sibling)."""
+    current = read_table(spark, path)
+    return write_table(
+        current.repartition(target_files), path, mode="overwrite"
+    )
+
+
+def fsck(path: str) -> dict:
+    """Consistency audit between the transaction log and the filesystem:
+    data dirs referenced by a live manifest but missing on disk
+    (corruption — reads will fail) and dirs present but referenced by no
+    manifest (leaks — vacuum candidates or torn writes). Returns
+    {'missing': [...], 'orphans': [...]}; empty lists = healthy."""
+    last = latest_version(path)
+    referenced: set[str] = set()
+    if last is not None:
+        for v in range(last + 1):
+            if os.path.exists(_manifest_path(path, v)):
+                referenced.update(_read_manifest(path, v)["dirs"])
+    on_disk = {
+        e for e in os.listdir(path) if e.startswith("data-")
+    } if os.path.isdir(path) else set()
+    return {
+        "missing": sorted(referenced - on_disk),
+        "orphans": sorted(on_disk - referenced),
+    }
