@@ -63,22 +63,38 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, version: int, dirs: list[str], mode: str) -> None:
+def _commit(
+    path: str,
+    version: int,
+    dirs: list[str],
+    mode: str,
+    meta: dict | None = None,
+) -> None:
     """Atomically publish a manifest: write to a temp name, fsync, then
-    rename into place — readers never observe a partial manifest."""
+    rename into place — readers never observe a partial manifest.
+    ``meta`` carries committer bookkeeping (e.g. a streaming batch id
+    for exactly-once sinks)."""
     os.makedirs(_log_dir(path), exist_ok=True)
     target = _manifest_path(path, version)
     if os.path.exists(target):
         raise ValueError(f"version {version} already committed")
     tmp = target + f".tmp-{uuid.uuid4().hex}"
+    body = {"version": version, "mode": mode, "dirs": dirs}
+    if meta:
+        body["meta"] = meta
     with open(tmp, "w") as f:
-        json.dump({"version": version, "mode": mode, "dirs": dirs}, f)
+        json.dump(body, f)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, target)
 
 
-def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    meta: dict | None = None,
+) -> int:
     """Commit ``df`` as a new version. ``append`` adds to the current
     snapshot's file set; ``overwrite`` starts a fresh set (history
     remains readable). Returns the committed version number."""
@@ -91,7 +107,7 @@ def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
     base = [] if (mode == "overwrite" or prev is None) else _read_manifest(
         path, prev
     )["dirs"]
-    _commit(path, version, base + [data_dir], mode)
+    _commit(path, version, base + [data_dir], mode, meta=meta)
     return version
 
 
@@ -146,6 +162,7 @@ def merge_table(
     path: str,
     source: DataFrame,
     key_cols: list[str],
+    meta: dict | None = None,
 ) -> int:
     """MERGE (upsert): source rows UPDATE matching keys and INSERT new
     ones; untouched current rows carry over. Implemented as
@@ -174,7 +191,7 @@ def merge_table(
         .select(F.coalesce("_src", "_cur").alias("_row"))
         .select([F.col(f"_row.{c}").alias(c) for c in cols])
     )
-    return write_table(merged, path, mode="overwrite")
+    return write_table(merged, path, mode="overwrite", meta=meta)
 
 
 def diff_versions(
