@@ -165,3 +165,55 @@ def test_packing_partitions_corpus_exactly(spark, sizes):
     for p in ids[:-1]:
         through = sum(r["n_chars"] for r in packed if r["pack_id"] <= p)
         assert through >= (p + 1) * BUDGET
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 3)),
+            st.tuples(st.just("overwrite"), st.integers(0, 3)),
+            st.tuples(st.just("merge"), st.integers(0, 3)),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_lakehouse_log_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check of the versioned-table transaction log: any
+    sequence of append/overwrite/merge commits must leave the table
+    equal to a plain-Python model of the same semantics (append = bag
+    union, overwrite = replace, merge = upsert by key), with one version
+    per operation and every historical version still readable."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        latest_version,
+        merge_table,
+        read_table,
+        write_table,
+    )
+
+    path = str(tmp_path_factory.mktemp("lh_model") / "t")
+
+    def batch(seed):
+        # 3 rows keyed (seed, seed+1, seed+2) with op-dependent payloads
+        return [(k, f"payload-{seed}-{k}") for k in range(seed, seed + 3)]
+
+    model: list[tuple] = []
+    for i, (op, seed) in enumerate(ops):
+        rows = batch(seed * 10 + i)
+        df = spark.createDataFrame(rows, "k int, v string")
+        if op == "append" or latest_version(path) is None:
+            write_table(df, path, mode="append" if model else "overwrite")
+            model = model + rows
+        elif op == "overwrite":
+            write_table(df, path, mode="overwrite")
+            model = list(rows)
+        else:  # merge: upsert by key
+            merge_table(spark, path, df, ["k"])
+            newk = {k for k, _ in rows}
+            model = [r for r in model if r[0] not in newk] + rows
+    got = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert got == sorted(model)
+    assert latest_version(path) == len(ops) - 1
+    for v in range(len(ops)):
+        assert read_table(spark, path, version=v).count() >= 0
