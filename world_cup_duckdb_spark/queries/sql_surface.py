@@ -652,3 +652,40 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 150000.00
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-argument API): the query text
+    carries `:threshold` / `:status` placeholders and values bind at
+    execution — templating without string interpolation, so user input
+    can never rewrite the query shape (the SQL-injection-proof path a
+    query service must use). Catalyst sees bound literals, so constant
+    folding and pushdown behave exactly as with inline values; the
+    oracle runs the same query with the literals inlined."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) > :threshold
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": 150000.00, "status": "O"},
+    )

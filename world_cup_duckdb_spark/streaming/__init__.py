@@ -4,6 +4,7 @@ from world_cup_duckdb_spark.streaming.rollup import (
 )
 from world_cup_duckdb_spark.streaming.sinks import stream_validated_write
 from world_cup_duckdb_spark.streaming.stateful import running_user_profile
+from world_cup_duckdb_spark.streaming.table_sink import stream_upsert_table
 from world_cup_duckdb_spark.streaming.windows import (
     dedup_within_watermark,
     enrich_events,
@@ -22,6 +23,7 @@ __all__ = [
     "read_event_stream",
     "running_user_profile",
     "sessionize",
+    "stream_upsert_table",
     "stream_validated_write",
     "stream_funnel_pairs",
     "sliding_counts",
