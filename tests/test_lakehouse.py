@@ -156,3 +156,68 @@ def test_fsck_detects_orphans_and_missing(spark, nation, tmp_path):
     report = fsck(path)
     assert report["orphans"] == ["data-99999-deadbeef"]
     assert report["missing"] == [live]
+
+
+def test_zone_map_pruning_skips_dirs_losslessly(spark, nation, tmp_path):
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        prune_dirs,
+        read_table_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    # Four appends clustered by key range, each recording its zone map.
+    for lo, hi in ((0, 5), (6, 11), (12, 17), (18, 24)):
+        write_table(
+            nation.filter(F.col("n_nationkey").between(lo, hi)),
+            path,
+            stats_cols=["n_nationkey"],
+        )
+    selected, every = prune_dirs(path, "n_nationkey", 7, 10)
+    assert len(every) == 4 and len(selected) == 1
+    got = read_table_pruned(spark, path, "n_nationkey", 7, 10)
+    want = nation.filter(F.col("n_nationkey").between(7, 10))
+    assert sorted(r.n_nationkey for r in got.collect()) == sorted(
+        r.n_nationkey for r in want.collect()
+    )
+    # Straddling range overlaps two zones; empty range prunes everything.
+    assert len(prune_dirs(path, "n_nationkey", 5, 6)[0]) == 2
+    assert prune_dirs(path, "n_nationkey", 100, 200)[0] == []
+    assert read_table_pruned(spark, path, "n_nationkey", 100, 200).count() == 0
+
+
+def test_zone_maps_conservative_without_stats(spark, nation, tmp_path):
+    from world_cup_duckdb_spark.operators.lakehouse import prune_dirs
+
+    path = str(tmp_path / "t")
+    write_table(nation.filter(F.col("n_nationkey") < 5), path)  # no stats
+    write_table(
+        nation.filter(F.col("n_nationkey") >= 5), path,
+        stats_cols=["n_nationkey"],
+    )
+    # The statless dir must always be kept (skipping never filters).
+    selected, every = prune_dirs(path, "n_nationkey", 20, 24)
+    assert len(every) == 2 and len(selected) == 2
+
+
+def test_restore_is_metadata_only_and_auditable(spark, nation, tmp_path):
+    import os
+
+    from world_cup_duckdb_spark.operators.lakehouse import restore_table
+
+    path = str(tmp_path / "t")
+    write_table(nation, path, stats_cols=["n_nationkey"])
+    write_table(
+        nation.filter(F.col("n_regionkey") == 0), path, mode="overwrite"
+    )
+    n_dirs_before = sum(1 for e in os.listdir(path) if e.startswith("data-"))
+    v2 = restore_table(path, 0)
+    # No data copied: same dirs on disk, new manifest references v0's set.
+    assert sum(1 for e in os.listdir(path) if e.startswith("data-")) == n_dirs_before
+    assert v2 == 2
+    assert read_table(spark, path).count() == nation.count()
+    hist = table_history(path)
+    assert hist[-1]["meta"] == {"restored_from": 0}
+    # Restored manifest carries the zone maps forward.
+    from world_cup_duckdb_spark.operators.lakehouse import prune_dirs
+
+    assert len(prune_dirs(path, "n_nationkey", 0, 24)[0]) == 1

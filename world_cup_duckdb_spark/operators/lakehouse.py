@@ -69,11 +69,13 @@ def _commit(
     dirs: list[str],
     mode: str,
     meta: dict | None = None,
+    stats: dict | None = None,
 ) -> None:
     """Atomically publish a manifest: write to a temp name, fsync, then
     rename into place — readers never observe a partial manifest.
     ``meta`` carries committer bookkeeping (e.g. a streaming batch id
-    for exactly-once sinks)."""
+    for exactly-once sinks); ``stats`` carries per-directory column
+    zone maps for data skipping."""
     os.makedirs(_log_dir(path), exist_ok=True)
     target = _manifest_path(path, version)
     if os.path.exists(target):
@@ -82,6 +84,8 @@ def _commit(
     body = {"version": version, "mode": mode, "dirs": dirs}
     if meta:
         body["meta"] = meta
+    if stats:
+        body["stats"] = stats
     with open(tmp, "w") as f:
         json.dump(body, f)
         f.flush()
@@ -89,15 +93,37 @@ def _commit(
     os.rename(tmp, target)
 
 
+def _column_stats(df: DataFrame, cols: list[str]) -> dict:
+    """Per-column [min, max] zone map for one data directory, JSON-encoded
+    (dates/timestamps stringify via isoformat). One tiny all-reduce over
+    data that is being written anyway — the write cost dwarfs it."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"mn_{c}"))
+        aggs.append(F.max(c).alias(f"mx_{c}"))
+    row = df.agg(*aggs).collect()[0]
+
+    def enc(v):
+        return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+
+    return {c: [enc(row[f"mn_{c}"]), enc(row[f"mx_{c}"])] for c in cols}
+
+
 def write_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version. ``append`` adds to the current
     snapshot's file set; ``overwrite`` starts a fresh set (history
-    remains readable). Returns the committed version number."""
+    remains readable). ``stats_cols`` records a per-directory min/max
+    zone map in the manifest, enabling manifest-level file skipping at
+    read time (`read_table_pruned`). Returns the committed version
+    number."""
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
     prev = latest_version(path)
@@ -107,7 +133,16 @@ def write_table(
     base = [] if (mode == "overwrite" or prev is None) else _read_manifest(
         path, prev
     )["dirs"]
-    _commit(path, version, base + [data_dir], mode, meta=meta)
+    stats = dict(
+        {} if (mode == "overwrite" or prev is None)
+        else _read_manifest(path, prev).get("stats", {})
+    )
+    if stats_cols:
+        stats[data_dir] = _column_stats(df, stats_cols)
+    _commit(
+        path, version, base + [data_dir], mode, meta=meta,
+        stats=stats or None,
+    )
     return version
 
 
@@ -123,6 +158,90 @@ def read_table(
     if not dirs:
         raise ValueError(f"version {v} is empty")
     return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+
+
+def prune_dirs(
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Manifest-level data skipping: return (selected, all) data dirs for
+    a ``lo <= col <= hi`` range predicate, keeping only dirs whose
+    recorded [min, max] zone overlaps the range. Dirs without stats are
+    conservatively kept (skipping is an optimization, never a filter).
+    Date/timestamp zones are ISO strings, so string comparison against
+    ISO bounds orders correctly.
+
+    This is the open-table-format scan-planning core: at 100 TB the
+    predicate consults a KB-sized manifest — not the filesystem, not the
+    parquet footers — and a time-range query over a time-clustered table
+    touches only the matching files. Pruning composes with (does not
+    replace) parquet row-group min/max skipping inside each file."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    manifest = _read_manifest(path, v)
+    stats = manifest.get("stats", {})
+    selected = []
+    for d in manifest["dirs"]:
+        zone = stats.get(d, {}).get(col)
+        if zone is None:
+            selected.append(d)
+            continue
+        mn, mx = zone
+        if mn is None or mx is None:  # all-null chunk: no value matches
+            continue
+        if not (mx < lo or mn > hi):
+            selected.append(d)
+    return selected, list(manifest["dirs"])
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range-predicate snapshot read with manifest zone-map skipping:
+    scans only the dirs `prune_dirs` selects, then applies the exact
+    predicate (zones are necessary, not sufficient). Result is provably
+    identical to filtering the full snapshot — tests assert both the
+    equality and that fewer directories were actually scanned."""
+    from pyspark.sql import functions as F
+
+    selected, _ = prune_dirs(path, col, lo, hi, version=version)
+    if not selected:
+        v = latest_version(path) if version is None else version
+        empty = spark.read.parquet(
+            *[os.path.join(path, d) for d in _read_manifest(path, v)["dirs"]]
+        ).limit(0)
+        return empty
+    df = spark.read.parquet(*[os.path.join(path, d) for d in selected])
+    return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+
+def restore_table(path: str, version: int) -> int:
+    """RESTORE: re-commit an old snapshot's exact file set as the new
+    latest version — an O(1) metadata operation (no data is copied or
+    rewritten; the manifest re-references the immutable dirs). The
+    mis-write stays in history for audit; vacuum retention decides when
+    its files actually go."""
+    manifest = _read_manifest(path, version)
+    prev = latest_version(path)
+    new_version = prev + 1
+    _commit(
+        path,
+        new_version,
+        manifest["dirs"],
+        "overwrite",
+        meta={"restored_from": version},
+        stats=manifest.get("stats") or None,
+    )
+    return new_version
 
 
 def table_history(path: str) -> list[dict]:

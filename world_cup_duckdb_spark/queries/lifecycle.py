@@ -248,6 +248,55 @@ def ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_zone_map_pruning",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+    """,
+)
+def ext_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone-map data skipping (operators/lakehouse.py:
+    prune_dirs / read_table_pruned): orders are committed in four
+    year-range appends, each recording its o_orderdate min/max in the
+    manifest; a 1994 range query then plans its scan from the manifest
+    alone and reads ONLY the overlapping directory. The oracle filters
+    the raw table — the hash match proves skipping is lossless, and
+    tests/test_lakehouse.py asserts the scan really touched 1 of 4 dirs.
+
+    Scale: this is Delta/Iceberg-style scan planning. On a time-
+    clustered 100 TB table the manifest is KBs, so a day-range query
+    prunes thousands of files without touching the filesystem; the
+    residual predicate still runs because zones are necessary, not
+    sufficient."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        read_table_pruned,
+        write_table,
+    )
+
+    loc = _fresh_dir("ext_zone_map_pruning")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    for lo, hi in (
+        ("1995-01-01", "1996-12-31"),
+        ("1997-01-01", "1997-12-31"),
+        ("1998-01-01", "1999-12-31"),
+        ("2000-01-01", "2001-12-31"),
+    ):
+        write_table(
+            o.filter(F.col("o_orderdate").between(lo, hi)),
+            loc,
+            stats_cols=["o_orderdate"],
+        )
+    return read_table_pruned(spark, loc, "o_orderdate", "1997-01-01", "1997-12-31")
+
+
+@register(
     "ext_merge_upsert",
     oracle="""
     SELECT CAST(n_nationkey AS INT) AS n_nationkey,
