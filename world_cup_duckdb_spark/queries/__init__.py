@@ -63,6 +63,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_dedup,
     ext_events,
     ext_graph,
+    ext_metrics,
     ext_multimodal,
     ext_regression,
     ext_rollups,
