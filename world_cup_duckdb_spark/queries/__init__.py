@@ -77,5 +77,6 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     reshape,
     scalars,
     sql_surface,
+    sql_surface2,
     wc_pipeline,
 )
