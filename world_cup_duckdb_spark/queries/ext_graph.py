@@ -252,3 +252,97 @@ def ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+_BFS_DEPTH = 4
+
+_BFS_EDGES_SQL = """
+      SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE c_nationkey <> s_nationkey
+      GROUP BY 1, 2
+"""
+
+
+@register(
+    "ext_bfs_reachability",
+    oracle=f"""
+    WITH RECURSIVE allw AS ({_BFS_EDGES_SQL}),
+    e AS (
+      SELECT src, dst FROM allw WHERE w > (SELECT AVG(w) FROM allw)
+    ),
+    walk AS (
+      SELECT CAST(0 AS BIGINT) AS nk, 0 AS d
+      UNION ALL
+      SELECT e.dst, walk.d + 1
+      FROM walk JOIN e ON e.src = walk.nk
+      WHERE walk.d < {_BFS_DEPTH}
+    )
+    SELECT n_name, CAST(nk AS INT) AS nationkey,
+           CAST(MIN(d) AS INT) AS dist
+    FROM walk JOIN nation ON n_nationkey = nk
+    GROUP BY 1, 2
+    """,
+)
+def ext_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS: shortest hop distance from nation 0 over the
+    above-average-weight trade edges (the thresholding sparsifies the
+    near-complete graph so distances are non-trivial), bounded at 4
+    hops. The oracle is a RECURSIVE CTE enumerating bounded walks and
+    taking MIN(d) — the declarative twin of the iterative frontier
+    expansion.
+
+    Scale: heavy-extract/light-iterate again — the fact join reduces to
+    ≤|nations|² weighted edges before any iteration. The Spark side runs
+    TRUE frontier BFS: each round joins only the newly-reached frontier
+    against the edge list and anti-joins the visited set, so work per
+    round is bounded by the frontier, while the oracle's walk
+    enumeration would blow up on a big graph (fine at dimension size,
+    wrong at scale — that asymmetry is the point of the test). The
+    threshold compares exact integer counts to one IEEE average of
+    integers, identical on both engines."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    c = t["customer"].select("c_custkey", "c_nationkey")
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    allw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    avg_w = allw.agg(F.avg("w").alias("aw"))
+    e = (
+        allw.crossJoin(F.broadcast(avg_w))
+        .filter(F.col("w") > F.col("aw"))
+        .select("src", "dst")
+    )
+    dist = spark.createDataFrame([(0, 0)], "nk bigint, d int")
+    frontier = dist
+    for depth in range(1, _BFS_DEPTH + 1):
+        reached = (
+            frontier.join(e, frontier.nk == e.src)
+            .select(F.col("dst").alias("nk"))
+            .distinct()
+        )
+        frontier = reached.join(dist, "nk", "left_anti").select(
+            "nk", F.lit(depth).alias("d")
+        )
+        frontier = frontier.localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break
+        dist = dist.unionByName(frontier)
+    nation = t["nation"].select("n_nationkey", "n_name")
+    return dist.join(F.broadcast(nation), dist.nk == nation.n_nationkey).select(
+        "n_name",
+        F.col("nk").cast("int").alias("nationkey"),
+        F.col("d").cast("int").alias("dist"),
+    )

@@ -192,3 +192,65 @@ def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", F.col("dim_idx").cast("int"), "centroid")
     )
+
+
+@register(
+    "ext_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           scale,
+           CAST(len(list_distinct(list_transform(
+             embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)
+           ))) AS INT) AS n_levels,
+           list_max(list_transform(
+             embedding,
+             x -> abs(CAST(x AS DOUBLE)
+                      - round(CAST(x AS DOUBLE) / scale) * scale)
+           )) AS max_abs_err
+    FROM s
+    WHERE scale > 0
+    """,
+)
+def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization QC for the embedding store: per-vector
+    scale = max|x|/127, codes = round(x/scale) ∈ [-127,127], reporting
+    the distinct code count (how much of the int8 range the vector
+    actually uses) and the worst dequantization error (bounded by
+    scale/2) — the 4× memory-compression step an ANN serving tier
+    applies before ext_ann_* search, with this query as its loss audit.
+
+    Scale: zero shuffle — every metric is per-row JVM higher-order
+    array arithmetic (transform/array_max/array_distinct), Tungsten-
+    codegen'd, no Python. Determinism: max, one divide, elementwise
+    round (both engines round half away from zero) and one
+    multiply-subtract per element — no accumulation anywhere, so the
+    doubles match bit-for-bit unrounded."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    x = lambda c: c.cast("double")  # noqa: E731
+    withs = emb.withColumn(
+        "scale",
+        F.array_max(F.transform("embedding", lambda v: F.abs(x(v)))) / 127.0,
+    ).filter(F.col("scale") > 0)
+    codes = F.transform(
+        "embedding", lambda v: F.round(x(v) / F.col("scale")).cast("bigint")
+    )
+    errs = F.transform(
+        "embedding",
+        lambda v: F.abs(x(v) - F.round(x(v) / F.col("scale")) * F.col("scale")),
+    )
+    return withs.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        "scale",
+        F.size(F.array_distinct(codes)).cast("int").alias("n_levels"),
+        F.array_max(errs).alias("max_abs_err"),
+    )

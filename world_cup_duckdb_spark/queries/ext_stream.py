@@ -286,3 +286,79 @@ def ext_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "ext_stream_stream_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pus, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+             AS attributed_value,
+           CAST(MIN(p.pus - c.cus) AS BIGINT) AS min_gap_us
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.pus > c.cus
+     AND p.pus <= c.cus + 900000000
+    GROUP BY c.user_id
+    """,
+)
+def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch semantics: every (click,
+    purchase) pair of the same user where the purchase lands within 15
+    minutes AFTER the click — the attribution join `readStream ⋈
+    readStream` runs with watermarks bounding both sides' state. The
+    batch implementation is the scalable BAND JOIN: clicks replicate to
+    their own and the following 900-second bucket, the join is a pure
+    EQUI-join on (user, bucket) — hash-partitionable, AQE-skew-splittable
+    — and the exact range predicate then trims the candidates. The
+    oracle states the naive inequality join; the hash match proves the
+    two-bucket cover is exactly lossless (a purchase ≤900 s after a
+    click can only sit in the click's bucket or the next one).
+
+    Scale: a raw time-inequality join degenerates to
+    broadcast-nested-loop (per-user cross product); bucketization keeps
+    it a shuffled hash join whose fan-out is the fixed 2× replication,
+    independent of data volume — the same trick ext_range_join uses,
+    here in its streaming-attribution shape. Gap arithmetic is exact
+    integer microseconds; attributed value sums in decimal."""
+    e = load_tables(spark, sf_dir)["events"]
+    bucket_us = 900_000_000
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("cus")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("pus"),
+        "value",
+        (F.unix_micros("ts") / bucket_us).cast("bigint").alias("pb"),
+    )
+    cb = c.withColumn(
+        "cb",
+        F.explode(
+            F.array(
+                (F.col("cus") / bucket_us).cast("bigint"),
+                (F.col("cus") / bucket_us).cast("bigint") + 1,
+            )
+        ),
+    )
+    pairs = cb.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("pb") == F.col("cb"))
+        & (F.col("pus") > F.col("cus"))
+        & (F.col("pus") <= F.col("cus") + bucket_us),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(dec("value")).cast("double").alias("attributed_value"),
+        F.min(F.col("pus") - F.col("cus")).cast("bigint").alias("min_gap_us"),
+    )
