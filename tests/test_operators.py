@@ -256,3 +256,41 @@ def test_prefix_filter_equals_naive_jaccard(spark):
         }
         assert fast == naive, (thr, fast ^ naive)
         assert naive, f"degenerate fixture at threshold {thr}"
+
+
+def test_allocation_sums_exactly_to_budget(spark, sf_dir):
+    """Largest-remainder apportionment must hit the budget exactly, with
+    every nation getting base or base+1 seats."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = REGISTRY["ext_allocation"].fn(spark, sf_dir).collect()
+    assert sum(r.seats for r in rows) == 10_000
+    assert all(r.seats - r.base_seats in (0, 1) for r in rows)
+
+
+def test_skyline_is_strict_staircase(spark, sf_dir):
+    """Along increasing price the frontier's sizes must strictly increase
+    (any non-increase means a cheaper point dominates)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["ext_skyline"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.p_retailprice,
+    )
+    assert len(rows) >= 1
+    sizes = [r.best_size for r in rows]
+    assert all(a < b for a, b in zip(sizes, sizes[1:]))
+
+
+def test_interval_merge_bounds(spark, sf_dir):
+    """Merged coverage is bounded by [one hold, n_events * hold] and the
+    interval count never exceeds the event count."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    hold = 30 * 60 * 1_000_000
+    rows = REGISTRY["ext_interval_merge"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_intervals <= r.n_events
+        assert hold <= r.covered_us <= r.n_events * hold
+        assert hold <= r.longest_us <= r.covered_us
