@@ -294,3 +294,36 @@ def test_interval_merge_bounds(spark, sf_dir):
         assert r.n_intervals <= r.n_events
         assert hold <= r.covered_us <= r.n_events * hold
         assert hold <= r.longest_us <= r.covered_us
+
+
+def test_misra_gries_candidates_superset_of_true_heavy(spark):
+    """Whatever the partitioning, the union of per-partition MG candidate
+    sets must contain every item with global frequency > N/k."""
+    from world_cup_duckdb_spark.operators.sketch import misra_gries_candidates
+
+    # 'a' has 40% of 1000 rows; 'b' 20%; 400 singletons fill the tail.
+    rows = (
+        [("a",)] * 400 + [("b",)] * 200 + [(f"x{i}",) for i in range(400)]
+    )
+    for k, parts in [(5, 1), (5, 7), (3, 4)]:
+        df = spark.createDataFrame(rows, "term string").repartition(parts)
+        cand = {
+            r.term for r in misra_gries_candidates(df, "term", k).collect()
+        }
+        true_heavy = {t for t in ("a", "b") if rows.count((t,)) * k > len(rows)}
+        assert true_heavy <= cand, (k, parts, true_heavy - cand)
+
+
+def test_survival_curve_monotone_nonincreasing(spark, sf_dir):
+    """S(t) must start ≤ 1 and never increase over death times."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["ext_survival_km"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.t_hours,
+    )
+    assert rows
+    assert rows[0].surv <= 1.0
+    survs = [r.surv for r in rows]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    assert all(0.0 <= s <= 1.0 for s in survs)

@@ -95,3 +95,42 @@ def kmv_distinct_estimate(
         .otherwise((F.lit(float(k - 1))) / frac)
         .alias("kmv_estimate"),
     )
+
+
+def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Partition-local Misra-Gries heavy-hitter candidates.
+
+    Runs the classic k-counter summary over each partition's stream of
+    `col` values via Arrow-batched mapInPandas, emitting each partition's
+    surviving candidate set (≤ k rows per partition, one column `col`).
+
+    Guarantee (the reason two-pass exact heavy hitters works at 100 TB):
+    any item with global frequency > N/k has local frequency > N_p/k in at
+    least one partition (averaging argument), and Misra-Gries with k
+    counters never evicts an item whose local frequency exceeds N_p/k —
+    so the union of per-partition candidates is a SUPERSET of the true
+    heavy hitters, regardless of how rows were partitioned. A second
+    exact counting pass over this small candidate set then yields the
+    exact answer with no full-cardinality shuffle.
+    """
+    import pandas as pd
+
+    out_schema = f"{col} string"
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return items.select(col).mapInPandas(mg, out_schema)
