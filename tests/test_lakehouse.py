@@ -221,3 +221,55 @@ def test_restore_is_metadata_only_and_auditable(spark, nation, tmp_path):
     from world_cup_duckdb_spark.operators.lakehouse import prune_dirs
 
     assert len(prune_dirs(path, "n_nationkey", 0, 24)[0]) == 1
+
+
+def test_ivm_join_view_equals_full_recompute(spark, sf_dir):
+    """The incrementally-maintained view must converge to the exact
+    recompute of A ⋈ B after every CDC batch, and each refresh must add
+    one atomic version to the view's history."""
+    from world_cup_duckdb_spark.operators.ivm import maintain_join_view
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        diff_versions,
+        latest_version,
+        read_table,
+        write_table,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+    from pyspark.sql import functions as F
+
+    loc_a = _fresh_dir("ivm_test_fact")
+    loc_v = _fresh_dir("ivm_test_view")
+    a = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 200.0), (3, 10, 300.0), (4, 30, 400.0)],
+        "k bigint, fk bigint, val double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")], "fk bigint, name string"
+    )
+    write_table(a, loc_a)
+    write_table(a.join(dim, "fk").select("k", "fk", "val", "name"), loc_v)
+
+    # batch: update k=1, delete k=2, insert k=5
+    a1 = (
+        read_table(spark, loc_a)
+        .filter("k <> 2")
+        .withColumn("val", F.when(F.col("k") == 1, 111.0).otherwise(F.col("val")))
+        .unionByName(
+            spark.createDataFrame([(5, 20, 500.0)], "k bigint, fk bigint, val double")
+        )
+    )
+    write_table(a1, loc_a, mode="overwrite")
+    maintain_join_view(
+        spark, loc_v, diff_versions(spark, loc_a, 0, 1), dim,
+        join_key="fk", pk=["k"],
+    )
+    got = {tuple(r) for r in read_table(spark, loc_v).collect()}
+    want = {
+        tuple(r)
+        for r in read_table(spark, loc_a)
+        .join(dim, "fk")
+        .select("k", "fk", "val", "name")
+        .collect()
+    }
+    assert got == want
+    assert latest_version(loc_v) == 1

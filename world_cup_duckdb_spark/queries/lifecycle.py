@@ -388,3 +388,108 @@ def ext_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = merge_table(spark, loc, source, ["n_nationkey"])
     return diff_versions(spark, loc, 0, v1)
+
+
+@register(
+    "ext_ivm_join",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+                     THEN 2 * CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(18,2))
+                END AS DECIMAL(18,2)) AS price,
+           CAST(c_custkey AS BIGINT) AS c_custkey,
+           c_name,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 5 <> 0
+    """,
+)
+def ext_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized join view
+    (operators/ivm.py:maintain_join_view): a versioned fact table A
+    (orders slice) joined to a static customer dimension, materialized
+    once, then kept current through two CDC batches — an upsert wave
+    (new orders inserted, some prices doubled) and a delete wave — by
+    the delta rule V ← (V ⊖ ΔA⁻⋈B) ⊎ (ΔA⁺⋈B), never recomputing A⋈B.
+    The oracle states the final joined result directly from base
+    tables, so the hash match proves the incremental path converges to
+    the exact recompute.
+
+    Scale: each refresh joins only the CDC batch against the dimension
+    (AQE broadcasts the small delta) and anti-joins the view on deleted
+    pks — one pk-keyed shuffle of V instead of a full fact join. Every
+    refresh is one atomic copy-on-write commit."""
+    from world_cup_duckdb_spark.operators.ivm import maintain_join_view
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        diff_versions,
+        merge_table,
+        read_table,
+        write_table,
+    )
+
+    loc_a = _fresh_dir("ext_ivm_join_fact")
+    loc_v = _fresh_dir("ext_ivm_join_view")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("o_custkey"),
+        F.col("c_name").alias("c_name"),
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+    )
+    view_cols = ["o_orderkey", "price", "c_custkey", "c_name", "c_nationkey"]
+
+    def to_view(a: DataFrame) -> DataFrame:
+        return a.join(dim, "o_custkey").select(
+            "o_orderkey",
+            "price",
+            F.col("o_custkey").alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+        )
+
+    a0 = orders.filter(F.col("o_orderkey") % 7 != 0)
+    write_table(a0, loc_a)
+    write_table(to_view(a0), loc_v)
+
+    # CDC batch 1 (upserts): insert the held-out orders, double some prices.
+    upserts = orders.filter(F.col("o_orderkey") % 7 == 0).unionByName(
+        orders.filter(
+            (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)
+        ).withColumn(
+            "price", (F.col("price") * 2).cast("decimal(18,2)")
+        )
+    )
+    merge_table(spark, loc_a, upserts, ["o_orderkey"])
+    dim_view = dim.select(
+        "o_custkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+    )
+    maintain_join_view(
+        spark,
+        loc_v,
+        diff_versions(spark, loc_a, 0, 1),
+        dim_view,
+        join_key="o_custkey",
+        pk=["o_orderkey"],
+        meta={"ivm_batch": 1},
+    )
+
+    # CDC batch 2 (deletes): drop every fifth order.
+    a2 = read_table(spark, loc_a).filter(F.col("o_orderkey") % 5 != 0)
+    write_table(a2, loc_a, mode="overwrite")
+    maintain_join_view(
+        spark,
+        loc_v,
+        diff_versions(spark, loc_a, 1, 2),
+        dim_view,
+        join_key="o_custkey",
+        pk=["o_orderkey"],
+        meta={"ivm_batch": 2},
+    )
+    return read_table(spark, loc_v).select(*view_cols)
