@@ -382,3 +382,69 @@ def test_stream_upsert_table_matches_batch_and_replay_is_fenced(
     q2.awaitTermination(120)
     assert latest_version(path) == v_before
     assert _last_batch_id(path) is not None
+
+
+def test_stream_ivm_view_matches_batch_join_and_replay_is_fenced(
+    spark, sf_dir, staged, tmp_path
+):
+    """One stream maintains the fact table AND its materialized join view
+    exactly-once: after 3 micro-batches the view must equal
+    (batch keep-latest fact) ⋈ dim, and replaying with a fresh checkpoint
+    must leave both version histories untouched."""
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        latest_version,
+        read_table,
+    )
+    from world_cup_duckdb_spark.streaming import read_event_stream
+    from world_cup_duckdb_spark.streaming.ivm_sink import (
+        stream_maintain_join_view,
+    )
+
+    fact = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    q = stream_maintain_join_view(
+        read_event_stream(spark, staged, max_files_per_trigger=1),
+        fact, view, str(tmp_path / "ck"), dim, join_key="event_type",
+    )
+    q.awaitTermination(180)
+
+    want = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("ts", "value", "event_id"),
+                F.struct("ts", "event_id"),
+            ).alias("_s")
+        )
+        .select(
+            "user_id", "event_type",
+            F.col("_s.ts").alias("ts"),
+            F.col("_s.value").alias("value"),
+            F.col("_s.event_id").alias("event_id"),
+        )
+        .join(dim, "event_type")
+    )
+    got = read_table(spark, view)
+    assert got.count() == want.count()
+    assert got.select(*sorted(got.columns)).exceptAll(
+        want.select(*sorted(got.columns))
+    ).count() == 0
+    # fact and view advanced in lockstep
+    fv, vv = latest_version(fact), latest_version(view)
+
+    # replay everything from scratch (fresh checkpoint): fully fenced
+    q2 = stream_maintain_join_view(
+        read_event_stream(spark, staged, max_files_per_trigger=1),
+        fact, view, str(tmp_path / "ck2"), dim, join_key="event_type",
+    )
+    q2.awaitTermination(180)
+    assert latest_version(fact) == fv
+    assert latest_version(view) == vv

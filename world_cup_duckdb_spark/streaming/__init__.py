@@ -2,6 +2,9 @@ from world_cup_duckdb_spark.streaming.rollup import (
     maintain_day_rollup,
     read_rollup,
 )
+from world_cup_duckdb_spark.streaming.ivm_sink import (
+    stream_maintain_join_view,
+)
 from world_cup_duckdb_spark.streaming.sinks import stream_validated_write
 from world_cup_duckdb_spark.streaming.stateful import running_user_profile
 from world_cup_duckdb_spark.streaming.table_sink import stream_upsert_table
@@ -23,6 +26,7 @@ __all__ = [
     "read_event_stream",
     "running_user_profile",
     "sessionize",
+    "stream_maintain_join_view",
     "stream_upsert_table",
     "stream_validated_write",
     "stream_funnel_pairs",
