@@ -122,6 +122,29 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def lsh_star_edges(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Connectivity-equivalent replacement for the all-pairs bucket
+    clique: link every bucket member to the bucket's MINIMUM id (a star
+    per bucket) instead of emitting all C(n,2) pairs.
+
+    For connected-components clustering the two edge sets induce the
+    same components — every clique is connected through its minimum — so
+    downstream clusters are identical, but edge count drops from
+    quadratic to linear in bucket size. This is the difference between
+    LSH-dedup working and dying at 100 TB: synthetic/boilerplate-heavy
+    corpora produce buckets with thousands of members, and a single
+    10k-doc bucket is 50M clique edges vs 10k star edges. Use
+    `lsh_candidate_pairs` only when each candidate pair is individually
+    verified downstream (e.g. exact-Jaccard filtering)."""
+    m = bands.groupBy("band", "band_key").agg(F.min(id_col).alias("hub"))
+    return (
+        bands.join(m, ["band", "band_key"])
+        .filter(F.col(id_col) != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        .distinct()
+    )
+
+
 def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash per document: (id, simhash).
 

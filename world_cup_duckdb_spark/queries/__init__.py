@@ -76,6 +76,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_stream,
     ext_text,
     ext_training,
+    ext_training2,
     joins,
     lifecycle,
     reshape,

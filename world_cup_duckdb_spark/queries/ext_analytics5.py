@@ -306,3 +306,66 @@ def ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+_SAMPLE_K = 100
+
+
+@register(
+    "ext_systematic_sample",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(CAST(n_chars AS BIGINT)) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(CAST(n_chars AS BIGINT)) OVER () AS tot
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_chars AS BIGINT) AS weight,
+           CAST((cum * {_SAMPLE_K}) // tot
+                - ((cum - n_chars) * {_SAMPLE_K}) // tot AS INTEGER)
+             AS n_hits
+    FROM c
+    WHERE (cum * {_SAMPLE_K}) // tot > ((cum - n_chars) * {_SAMPLE_K}) // tot
+    """,
+)
+def ext_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sample of the corpus: lay the
+    documents' char-count weights end to end on a line, drop k equally
+    spaced selection points, and keep each document the points land in
+    (heavy documents can be hit more than once — `n_hits` is its
+    multiplicity, E[n_hits] = k·w/Σw exactly). The classic
+    deterministic alternative to weighted reservoir sampling for corpus
+    mixing: reproducible across engines, runs, AND cluster sizes,
+    because selection depends only on the cumulative weights, never on
+    a float RNG — every arithmetic step is exact integer division.
+
+    Scale: one cumulative-sum window over the doc-grain table (a
+    range-partitioned sort at cluster scale; Spark's window needs no
+    global single partition until the frame is evaluated per row), and
+    the global total reuses the same pass. For a billion-doc corpus the
+    same stride arithmetic runs on per-partition subtotals: cum =
+    partition-prefix + local cumsum, one tiny scalar exchange."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = F.col("n_chars").cast("bigint")
+    wc = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    c = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sum(w).over(wc).alias("cum"),
+        F.sum(w).over(wa).alias("tot"),
+    )
+    hi = F.expr(f"(cum * {_SAMPLE_K}) div tot")
+    lo = F.expr(f"((cum - n_chars) * {_SAMPLE_K}) div tot")
+    return c.filter(hi > lo).select(
+        "doc_id",
+        "lang",
+        w.alias("weight"),
+        (hi - lo).cast("int").alias("n_hits"),
+    )

@@ -202,16 +202,25 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: MinHash-LSH candidate pairs → connected
-    components by iterative min-label propagation (the pairwise→groups
-    step of dedup; operators/dedup.py:connected_components). The oracle
-    computes the same components via a recursive-CTE transitive closure —
-    two entirely different algorithms, equal hashes."""
-    from world_cup_duckdb_spark.operators.dedup import connected_components
+    """Near-dup clusters: MinHash-LSH buckets → connected components by
+    iterative min-label propagation (the pairwise→groups step of dedup;
+    operators/dedup.py:connected_components). The propagation runs over
+    per-bucket STAR edges (each member linked to the bucket minimum,
+    operators/dedup.py:lsh_star_edges) — connectivity-identical to the
+    all-pairs clique but linear instead of quadratic in bucket size,
+    which is what keeps wide LSH buckets (boilerplate-heavy corpora)
+    tractable at scale. The oracle computes the same components via a
+    recursive-CTE transitive closure over the clique pairs — two
+    different edge sets AND two different algorithms, equal hashes,
+    proving the star reduction lossless."""
+    from world_cup_duckdb_spark.operators.dedup import (
+        connected_components,
+        lsh_star_edges,
+    )
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     bands = minhash_bands(with_recrawl(d), num_hashes=8, band_size=2)
-    return connected_components(lsh_candidate_pairs(bands))
+    return connected_components(lsh_star_edges(bands))
 
 
 @register(

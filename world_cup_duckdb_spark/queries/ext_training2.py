@@ -1,0 +1,191 @@
+"""Training-data preparation, second batch (EXTENSION): deterministic
+stratified k-fold splits, vocabulary growth curves, and feature hashing.
+
+Each primitive is exact and engine/cluster-size independent: fold
+assignment and feature buckets derive from md5, vocabulary growth from
+first-occurrence ranks — no RNG, no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import load_tables
+
+_K_FOLDS = 5
+
+
+@register(
+    "ext_kfold_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CAST((ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1) % {_K_FOLDS} AS INTEGER) AS fold
+      FROM documents
+    )
+    SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def ext_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment (k=5): within each
+    language stratum, order documents by the md5 of their id (a
+    reproducible shuffle — unlike df.sample, identical across engines,
+    runs, and cluster sizes) and deal them round-robin into folds. The
+    round-robin deal makes fold sizes within each stratum differ by at
+    most one — the balance property cross-validation needs — and the
+    output reports the per-(lang, fold) census that proves it.
+
+    Scale: one shuffle on the stratum key; the rank window and the
+    census aggregate reuse that partitioning. The md5 sort key is
+    data-derived, so adding documents permutes assignments only within
+    the stratum (no global renumbering). Determinism: md5 + integers
+    only, with doc_id as the total tie-break."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    assigned = d.select(
+        "lang", ((F.row_number().over(w) - 1) % _K_FOLDS).cast("int").alias("fold")
+    )
+    return assigned.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+@register(
+    "ext_vocab_growth",
+    oracle="""
+    WITH firsts AS (
+      SELECT unnest(string_split(text, ' ')) AS term, doc_id
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT term, MIN(doc_id) AS first_doc FROM firsts GROUP BY 1
+    ),
+    deciles AS (
+      SELECT doc_id AS threshold,
+             NTILE(10) OVER (ORDER BY doc_id) AS decile
+      FROM documents
+    ),
+    edges AS (
+      SELECT decile, MAX(threshold) AS threshold
+      FROM deciles GROUP BY 1
+    )
+    SELECT e.decile,
+           e.threshold,
+           CAST(COUNT(f.term) AS BIGINT) AS cum_vocab
+    FROM edges e LEFT JOIN first_seen f ON f.first_doc <= e.threshold
+    GROUP BY 1, 2
+    """,
+)
+def ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law profile): cumulative distinct
+    term count after each decile of the corpus (by doc_id order) — the
+    diminishing-returns diagnostic for corpus expansion ("how much new
+    vocabulary does the next 10% of data buy?"). Computed exactly via
+    first-occurrence reduction: a term contributes to every decile
+    threshold at or after its first document, so cumulative-distinct
+    becomes an ordinary aggregate — no windowed COUNT(DISTINCT), which
+    neither engine can partial-combine.
+
+    Scale: the token stream reduces to one (term, first_doc) row per
+    distinct term map-side; the 10 decile edges broadcast against it
+    (the range join is 10 × |vocab|, dimension-sized). Determinism:
+    integer doc ids and counts only."""
+    d = load_tables(spark, sf_dir)["documents"]
+    first_seen = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    edges = (
+        d.select(
+            "doc_id", F.ntile(10).over(Window.orderBy("doc_id")).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.max("doc_id").alias("threshold"))
+    )
+    return (
+        F.broadcast(edges)
+        .join(first_seen, first_seen.first_doc <= edges.threshold, "left")
+        .groupBy("decile", "threshold")
+        .agg(F.count("term").cast("bigint").alias("cum_vocab"))
+    )
+
+
+_N_FEATURES = 16
+
+
+@register(
+    "ext_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(term), 1, 8))::BIGINT
+                  % {_N_FEATURES} AS INTEGER) AS bucket
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM bucketed GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT doc_id, unnest(generate_series(0, {_N_FEATURES} - 1)) AS bucket
+      FROM documents
+    )
+    SELECT spine.doc_id,
+           list(CAST(COALESCE(counts.c, 0) AS INTEGER)
+                ORDER BY spine.bucket) AS features
+    FROM spine LEFT JOIN counts
+      ON spine.doc_id = counts.doc_id AND spine.bucket = counts.bucket
+    GROUP BY 1
+    """,
+)
+def ext_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): map every token into one of
+    16 buckets by md5 and emit each document's dense bucket-count vector
+    — the stateless, vocabulary-free featurizer (no dictionary to build,
+    ship, or keep consistent) that turns text into fixed-width model
+    input; the classical counterpart of the learned embeddings in
+    `embeddings.parquet`.
+
+    Scale: map-only hash + one (doc, bucket) hash aggregate, then a
+    pivot to a 16-wide array per doc — state bounded by docs × 16, and
+    the array assembles JVM-side from the aggregate (no per-bucket
+    join: the dense vector comes from scattering counts into a
+    sequence). Determinism: md5 buckets and integer counts only; array
+    order is the bucket index."""
+    d = load_tables(spark, sf_dir)["documents"]
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+                % _N_FEATURES
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("int").alias("c"))
+    )
+    pairs = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "c"))
+        ).alias("m")
+    )
+    return pairs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_N_FEATURES - 1}),"
+            " b -> coalesce(m[b], 0))"
+        ).alias("features"),
+    )
