@@ -68,8 +68,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session (the round driver's) needs no special build config.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # timestamp[us] parquet with no zone: with the session pinned
+            # UTC the cast is wall-clock identity, and downstream
+            # unix_micros/window functions require TimestampType.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _PLAN_CACHE[key] = df
     return df
 
