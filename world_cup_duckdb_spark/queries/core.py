@@ -392,3 +392,30 @@ def op22_endswith(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scripts/build_db.py:763, :962)."""
     p = load_tables(spark, sf_dir)["part"]
     return p.filter(F.col("p_name").endswith("bolt")).select("p_partkey", "p_name")
+
+
+@register(
+    "op05_lazy_plan",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY n_name
+    """,
+)
+def op05_lazy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy plan construction (OP05) — reference `.lazy()` defers every
+    Polars pipeline until DuckDB's load scans it (scripts/build_db.py:108,
+    :72-83). Spark DataFrames are lazy by construction: this chain of
+    scan→filter→join→agg builds only a Catalyst logical plan; nothing
+    executes until the caller's action, and the optimizer sees the whole
+    pipeline (filter is pushed below the join into the customer scan)."""
+    t = load_tables(spark, sf_dir)
+    plan = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return plan

@@ -223,3 +223,58 @@ def op11_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("attr")
         .alias("key_class"),
     )
+
+
+@register(
+    "op08_catalog_introspection",
+    oracle="""
+    SELECT column_name, data_type
+    FROM information_schema.columns
+    WHERE table_name = 'orders'
+    """,
+)
+def op08_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog introspection (OP08) — reference queries
+    `information_schema.columns` for a table's schema after each load
+    (scripts/build_db.py:55-69). Spark's equivalent is `df.schema` /
+    `spark.catalog.listColumns`; types are reported in ANSI names so the
+    report matches the oracle's information_schema output."""
+    ansi = {
+        "int": "INTEGER",
+        "bigint": "BIGINT",
+        "double": "DOUBLE",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP",
+    }
+    o = load_tables(spark, sf_dir)["orders"]
+    rows = [(f.name, ansi[f.dataType.simpleString()]) for f in o.schema.fields]
+    return spark.createDataFrame(rows, "column_name string, data_type string")
+
+
+@register(
+    "op42_contains_classifier",
+    oracle="""
+    SELECT column_name,
+           CASE WHEN contains(column_name, '_id') THEN 'FK-shaped'
+                ELSE 'attr' END AS key_class
+    FROM information_schema.columns
+    WHERE table_name = 'events'
+    """,
+)
+def op42_contains_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar `contains` over catalog metadata (OP42) — reference
+    classifies columns with `contains(column_name,'_id')` in the schema.csv
+    export (scripts/build_db.md:1453-1455)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cols = spark.createDataFrame(
+        [(f.name,) for f in ev.schema.fields], "column_name string"
+    )
+    return cols.select(
+        "column_name",
+        F.when(F.col("column_name").contains("_id"), "FK-shaped")
+        .otherwise("attr")
+        .alias("key_class"),
+    )
