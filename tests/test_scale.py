@@ -342,3 +342,57 @@ def test_dynamic_partition_overwrite_backfills_idempotently(
     after = spark.read.parquet(out)
     assert after.count() == total
     assert after.filter(F.col("day") != one_day).count() == total - day_rows.count()
+
+
+def test_bloom_probe_never_drops_true_matches(spark):
+    """No false negatives, whatever the key distribution: the bloom
+    candidate set must be a superset of the exact semi-join result."""
+    from world_cup_duckdb_spark.operators.optim import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(i * 37,) for i in range(50)], "k long")
+    big = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    bloom = bloom_build(keys, "k", m_bits=512)
+    cand = {r.k for r in bloom_probe(big, "k", bloom, m_bits=512).collect()}
+    exact = {i * 37 for i in range(50) if i * 37 < 2000}
+    assert exact <= cand
+    # and the filter actually prunes (FP rate far below pass-all)
+    assert len(cand) < 2000 * 0.5
+
+
+def test_bloom_probe_joins_are_broadcast(spark, sf_dir):
+    """The bitset side of every probe join must broadcast — the probe is
+    a map-side filter of the big scan, never a shuffle of the big side.
+    (2 probe joins + nation + region dims + the final returnflag join are
+    all broadcast; only the bitset build and aggregates may exchange.)"""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY["ext_bloom_semijoin"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """CMS point estimates are >= the true frequency for every queried key."""
+    from world_cup_duckdb_spark.operators.optim import cms_cells, cms_estimate
+
+    rows = [(i % 7,) for i in range(700)] + [(100 + i % 3,) for i in range(90)]
+    items = spark.createDataFrame(rows, "k long")
+    cells = cms_cells(items, "k", width=64)
+    queries = spark.createDataFrame([(k,) for k in (0, 3, 100, 102)], "k long")
+    est = {r.k: r.cms_est for r in cms_estimate(queries, "k", cells, width=64).collect()}
+    truth = {0: 100, 3: 100, 100: 30, 102: 30}
+    for k, t in truth.items():
+        assert est[k] >= t
+
+
+def test_priority_sample_size_and_estimator_floor(spark, sf_dir):
+    """Sample has exactly k rows; every w_hat >= its own weight and >= the
+    threshold-or-weight floor (Duffield-Lund-Thorup estimator shape)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = REGISTRY["ext_priority_sample"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.w_hat >= r.n_chars

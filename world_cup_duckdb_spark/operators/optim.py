@@ -1,0 +1,205 @@
+"""Distributed-plan optimization primitives: Bloom semi-join reduction,
+Z-order multi-dimensional clustering, count-min frequency sketching, and
+priority sampling.
+
+These are the classic techniques a 100 TB plan leans on when the built-in
+strategies run out: a Bloom filter built from the small side prunes the big
+side's rows BEFORE they shuffle (semi-join reduction / sideways information
+passing — the idea behind Spark's AQE runtime bloom pruning, expressed here
+as an explicit, portable operator); Z-ordering co-locates rows that are
+close in two dimensions so min/max zone maps prune on both columns at once
+(Morton order, the layout behind OPTIMIZE ZORDER in open table formats);
+the count-min sketch answers frequency point queries from O(d·w) mergeable
+state (Cormode & Muthukrishnan 2005); priority sampling draws a
+weight-biased fixed-size sample with unbiased Horvitz-Thompson totals
+(Duffield, Lund & Thorup, JACM 2007).
+
+Everything here is integer / IEEE-754-exact arithmetic on JVM-side columns
+(no UDFs, no transcendental functions), so results are bit-identical to the
+DuckDB oracle running the same formulas. Hashing is an explicit
+multiply-add-mod family (h(x) = (a·x + b) mod P mod m with P = 2^31 - 1):
+`xxhash64`/`md5` would be faster but are not portable across engines, and
+parity is the point of the differential gate. The reference has no
+counterpart for any of this (it is single-process DuckDB, SURVEY.md §4) —
+these are extension operators for the scale posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31 - 1. Inputs are reduced mod P before the multiply so
+#: a·x stays below 2^62 — no 64-bit overflow under ANSI mode, and the same
+#: expression is exact in DuckDB.
+MERSENNE_P = 2_147_483_647
+
+#: (a, b) multiply-add parameters per hash row. Two independent rows give a
+#: Bloom filter its k=2 probes and the CMS its d=2 counters.
+HASH_PARAMS = ((1103, 12345), (2971, 6789))
+
+
+def poly_hash(col: Column, row: int, m: int) -> Column:
+    """h(x) = ((a·(x mod P) + b) mod P) mod m — portable integer hash."""
+    a, b = HASH_PARAMS[row]
+    x = col.cast("long") % MERSENNE_P
+    return ((F.lit(a) * x + F.lit(b)) % MERSENNE_P) % m
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
+    """Build a Bloom bitset from the distinct keys as (word, bits) rows.
+
+    The bitset is data, not driver state: 64-bit words assembled with a
+    `bit_or` aggregate, so the build is one shuffle of at most m/64 rows
+    and the result broadcasts to every probe task. k=2 probe positions per
+    key (HASH_PARAMS rows).
+    """
+    probes = None
+    for row in range(len(HASH_PARAMS)):
+        p = keys.select(poly_hash(F.col(key_col), row, m_bits).alias("pos"))
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # call_function: the Python shiftleft wrapper only takes a
+            # literal int shift, the SQL function takes an expression.
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("one_bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("one_bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    big: DataFrame, probe_col: str, bloom: DataFrame, m_bits: int
+) -> DataFrame:
+    """Filter `big` to rows whose key passes every Bloom probe.
+
+    Each probe is a broadcast join on the word index (the bitset is ≤
+    m/64 rows) plus a bit test — the big side is pruned map-side, before
+    any shuffle a downstream join would need. No false negatives; false
+    positives are bounded by the m/n sizing and must be removed by the
+    exact join that follows (callers keep the exact join — the filter
+    only shrinks its input).
+    """
+    out = big
+    for row in range(len(HASH_PARAMS)):
+        pos = poly_hash(F.col(probe_col), row, m_bits)
+        w = bloom.select(
+            F.col("word").alias(f"_w{row}"), F.col("bits").alias(f"_bits{row}")
+        )
+        out = out.join(
+            F.broadcast(w),
+            (pos / 64).cast("long") == F.col(f"_w{row}"),
+            "left",
+        ).filter(
+            F.call_function(
+                "shiftright",
+                F.coalesce(F.col(f"_bits{row}"), F.lit(0).cast("long")),
+                (pos % 64).cast("int"),
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
+    return out.drop(*[c for r in range(len(HASH_PARAMS)) for c in (f"_w{r}", f"_bits{r}")])
+
+
+def morton_interleave(cols: list[Column], bits: int) -> Column:
+    """Morton (Z-order) interleave of `bits`-bit non-negative ints: bit i
+    of column j lands at position i·len(cols)+j, so rows close in EVERY
+    dimension get close z-values. Unrolled shift/mask arithmetic — stays
+    in whole-stage codegen, and the identical expression runs on the
+    oracle side. Shared by zorder_key (integer-exact, oracle-checked) and
+    scale.zorder_value (float-quantizing file-layout variant)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+            z = z + F.shiftleft(bit, i * len(cols) + j)
+    return z
+
+
+def zorder_key(x: Column, y: Column, bits: int) -> Column:
+    """Two-dimensional Morton key: range-partitioning a write by this value
+    gives files whose min/max zone maps are tight on BOTH columns at once
+    (a one-dimensional sort leaves the other column's span at full width).
+    """
+    return morton_interleave([x, y], bits)
+
+
+def cms_cells(items: DataFrame, key_col: str, width: int) -> DataFrame:
+    """Count-min sketch state: (row, bucket, cnt) cells, d = len(HASH_PARAMS).
+
+    One shuffle of at most d·width rows regardless of input size; cells
+    merge across shards/time by summing cnt — the mergeability is what
+    makes the sketch a pre-aggregable distributed object.
+    """
+    cells = None
+    for row in range(len(HASH_PARAMS)):
+        c = items.select(
+            F.lit(row).alias("row"),
+            poly_hash(F.col(key_col), row, width).alias("bucket"),
+        )
+        cells = c if cells is None else cells.unionAll(c)
+    return cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    queries: DataFrame, key_col: str, cells: DataFrame, width: int
+) -> DataFrame:
+    """Point-query the sketch: estimate = min over rows of the hashed cell.
+
+    Broadcast-joins the (tiny) cell state to the query keys; the estimate
+    never undercounts (cnt ≥ true frequency, overcount bounded by N/width
+    per row with probability 1/2^d).
+    """
+    probes = None
+    for row in range(len(HASH_PARAMS)):
+        p = queries.select(
+            F.col(key_col),
+            F.lit(row).alias("row"),
+            poly_hash(F.col(key_col), row, width).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def priority_sample(
+    items: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Priority sample of size k (Duffield-Lund-Thorup, JACM 2007).
+
+    Each item gets priority q = w / u with u a deterministic pseudo-uniform
+    in (0, 1] derived from its id; the k highest-priority items form the
+    sample, and with tau = the (k+1)-th priority, w_hat = max(w, tau) is an
+    unbiased per-item estimator of weight totals over any subset. Top-(k+1)
+    runs as TakeOrderedAndProject (per-partition heaps, no full sort);
+    arithmetic is division/comparison only, so the oracle reproduces the
+    selection bit-for-bit.
+    """
+    u = (
+        (poly_hash(F.col(id_col), 0, MERSENNE_P) + 1).cast("double")
+        / F.lit(float(MERSENNE_P))
+    )
+    pri = (F.col(weight_col).cast("double") / u).alias("priority")
+    top = items.select(F.col(id_col), F.col(weight_col), pri).orderBy(
+        F.desc("priority"), F.col(id_col)
+    ).limit(k + 1)
+    tau = top.agg(F.min("priority").alias("tau"))
+    return (
+        top.orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            weight_col,
+            F.greatest(F.col(weight_col).cast("double"), F.col("tau")).alias("w_hat"),
+        )
+    )

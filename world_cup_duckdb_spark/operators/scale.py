@@ -141,12 +141,9 @@ def zorder_value(
                 ),
             )
         )
-    z = F.lit(0)
-    for i in range(bits):
-        for j, q in enumerate(quantized):
-            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * len(quantized) + j))
-    return z
+    from world_cup_duckdb_spark.operators.optim import morton_interleave
+
+    return morton_interleave(quantized, bits)
 
 
 def write_zordered(

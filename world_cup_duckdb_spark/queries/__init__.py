@@ -69,6 +69,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_graph,
     ext_metrics,
     ext_multimodal,
+    ext_optim,
     ext_regression,
     ext_rollups,
     ext_scale,

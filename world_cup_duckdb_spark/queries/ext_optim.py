@@ -1,0 +1,278 @@
+"""Plan-optimization extension queries: Bloom semi-join reduction, Z-order
+clustering, count-min sketch, priority sampling (operators/optim.py).
+
+Each query pairs the distributed technique with a DuckDB oracle running the
+IDENTICAL arithmetic — the hash-match proves the portable formulation, and
+the technique's value statement (rows pruned before shuffle, zone-map
+tightness, sketch error, estimator threshold) is in the returned columns
+themselves, not just the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.operators.optim import (
+    HASH_PARAMS,
+    MERSENNE_P,
+    bloom_build,
+    bloom_probe,
+    cms_cells,
+    cms_estimate,
+    priority_sample,
+    zorder_key,
+)
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import load_tables
+
+_P = MERSENNE_P
+_BLOOM_M = 8192
+_CMS_W = 1024
+_Z_BITS = 6
+
+
+def _hash_sql(expr: str, row: int, m: int) -> str:
+    a, b = HASH_PARAMS[row]
+    return f"((({a} * (({expr}) % {_P}) + {b}) % {_P}) % {m})"
+
+
+def _zorder_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "ext_bloom_semijoin",
+    oracle=f"""
+    WITH asia AS (
+      SELECT DISTINCT s_suppkey
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    probes AS (
+      SELECT {_hash_sql('s_suppkey', 0, _BLOOM_M)} AS pos FROM asia
+      UNION ALL
+      SELECT {_hash_sql('s_suppkey', 1, _BLOOM_M)} FROM asia
+    ),
+    words AS (
+      SELECT pos // 64 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)) AS bits
+      FROM probes GROUP BY 1
+    ),
+    li AS (
+      SELECT l_returnflag, l_suppkey,
+             {_hash_sql('l_suppkey', 0, _BLOOM_M)} AS p0,
+             {_hash_sql('l_suppkey', 1, _BLOOM_M)} AS p1
+      FROM lineitem
+    ),
+    cand AS (
+      SELECT li.l_returnflag, li.l_suppkey
+      FROM li
+      LEFT JOIN words w0 ON li.p0 // 64 = w0.word
+      LEFT JOIN words w1 ON li.p1 // 64 = w1.word
+      WHERE ((COALESCE(w0.bits, 0) >> CAST(li.p0 % 64 AS INT)) & 1) = 1
+        AND ((COALESCE(w1.bits, 0) >> CAST(li.p1 % 64 AS INT)) & 1) = 1
+    ),
+    c AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS bloom_candidates
+      FROM cand GROUP BY l_returnflag
+    ),
+    e AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS exact_rows
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM asia)
+      GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag, bloom_candidates, exact_rows,
+           bloom_candidates - exact_rows AS false_positives
+    FROM c JOIN e ON c.l_returnflag = e.l_returnflag
+    """,
+)
+def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (sideways information passing): an 8192-bit
+    filter built from the ASIA suppliers prunes lineitem rows map-side,
+    BEFORE the shuffle an exact join would need — at 100 TB the probe is a
+    broadcast of ≤128 bitset words against every scan task, and only
+    candidates (exact matches + the bounded false positives this query
+    counts) ever reach the wire. Spark's AQE runtime bloom pruning does
+    this implicitly; here it is an explicit operator with a portable hash
+    family (operators/optim.py:bloom_build/bloom_probe)."""
+    t = load_tables(spark, sf_dir)
+    asia = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+        .distinct()
+    )
+    bloom = bloom_build(asia, "s_suppkey", _BLOOM_M)
+    cand = bloom_probe(
+        t["lineitem"].select("l_returnflag", "l_suppkey"),
+        "l_suppkey",
+        bloom,
+        _BLOOM_M,
+    )
+    c = cand.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("bloom_candidates")
+    )
+    e = (
+        t["lineitem"]
+        .join(asia, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    )
+    return c.join(e, "l_returnflag").select(
+        "l_returnflag",
+        "bloom_candidates",
+        "exact_rows",
+        (F.col("bloom_candidates") - F.col("exact_rows")).alias("false_positives"),
+    )
+
+
+@register(
+    "ext_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT p_partkey, p_size,
+             CAST(FLOOR(p_retailprice / 100) AS BIGINT) % 64 AS price_bucket
+      FROM part
+    ),
+    z AS (
+      SELECT p_partkey, p_size, price_bucket,
+             ({_zorder_sql('p_size', 'price_bucket', _Z_BITS)}) AS zval
+      FROM keyed
+    )
+    SELECT zval // 64 AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MAX(p_size) - MIN(p_size) AS BIGINT) AS size_span,
+           CAST(MAX(price_bucket) - MIN(price_bucket) AS BIGINT) AS price_span
+    FROM z GROUP BY 1
+    """,
+)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for two-dimensional data skipping: parts
+    keyed by interleaving the bits of p_size and a price bucket, then laid
+    into 64-row-range "files". The returned per-file size_span/price_span
+    are the zone-map widths a scan would prune with — Z-order keeps BOTH
+    small at once, where a one-column sort leaves the other dimension's
+    span at full width. At 100 TB this is the layout step before write
+    (`repartitionByRange(zval)`), and the spans ARE the skipping bound
+    (operators/optim.py:zorder_key)."""
+    p = load_tables(spark, sf_dir)["part"]
+    keyed = p.select(
+        "p_partkey",
+        "p_size",
+        (F.floor(F.col("p_retailprice") / 100).cast("long") % 64).alias(
+            "price_bucket"
+        ),
+    )
+    z = keyed.withColumn(
+        "zval", zorder_key(F.col("p_size"), F.col("price_bucket"), _Z_BITS)
+    )
+    return (
+        z.groupBy((F.col("zval") / 64).cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.max("p_size") - F.min("p_size")).cast("long").alias("size_span"),
+            (F.max("price_bucket") - F.min("price_bucket"))
+            .cast("long")
+            .alias("price_span"),
+        )
+    )
+
+
+@register(
+    "ext_cms_freq",
+    oracle=f"""
+    WITH exact AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_cnt DESC, l_partkey LIMIT 5
+    ),
+    probes AS (
+      SELECT l_partkey, 0 AS row, {_hash_sql('l_partkey', 0, _CMS_W)} AS bucket
+      FROM lineitem
+      UNION ALL
+      SELECT l_partkey, 1, {_hash_sql('l_partkey', 1, _CMS_W)} FROM lineitem
+    ),
+    cells AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY row, bucket
+    ),
+    q AS (
+      SELECT l_partkey, 0 AS row, {_hash_sql('l_partkey', 0, _CMS_W)} AS bucket
+      FROM exact
+      UNION ALL
+      SELECT l_partkey, 1, {_hash_sql('l_partkey', 1, _CMS_W)} FROM exact
+    ),
+    est AS (
+      SELECT q.l_partkey, MIN(cells.cnt) AS cms_est
+      FROM q JOIN cells ON q.row = cells.row AND q.bucket = cells.bucket
+      GROUP BY q.l_partkey
+    )
+    SELECT exact.l_partkey, exact_cnt, cms_est
+    FROM exact JOIN est ON exact.l_partkey = est.l_partkey
+    """,
+)
+def ext_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005): a d=2 × w=1024 counter grid summarizes lineitem part
+    frequencies in ≤2048 mergeable cells — constant state however large
+    the stream, the property that lets per-shard sketches sum into a
+    global one at 100 TB. Point queries for the 5 hottest parts return
+    est ≥ exact with overcount bounded by N/w per row
+    (operators/optim.py:cms_cells/cms_estimate)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
+        .limit(5)
+    )
+    cells = cms_cells(li.select("l_partkey"), "l_partkey", _CMS_W)
+    est = cms_estimate(exact, "l_partkey", cells, _CMS_W)
+    return exact.join(est, "l_partkey").select("l_partkey", "exact_cnt", "cms_est")
+
+
+@register(
+    "ext_priority_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / (CAST({_hash_sql('doc_id', 0, _P)} + 1 AS DOUBLE) / {_P}.0)
+               AS priority
+      FROM documents
+    ),
+    top AS (
+      SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT 21
+    ),
+    tau AS (SELECT MIN(priority) AS tau FROM top)
+    SELECT doc_id, n_chars,
+           GREATEST(CAST(n_chars AS DOUBLE), tau.tau) AS w_hat
+    FROM (SELECT * FROM top ORDER BY priority DESC, doc_id LIMIT 20) s, tau
+    """,
+)
+def ext_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): a k=20
+    weight-biased document sample where w_hat = max(w, tau) gives unbiased
+    subset-sum estimates — the fixed-size replacement for Bernoulli
+    sampling when a 100 TB corpus needs one bounded sample with
+    reconstructible totals. Selection is TakeOrderedAndProject (per-
+    partition heaps, never a full sort), and the pseudo-uniform u comes
+    from the portable hash so the oracle reproduces the draw exactly
+    (operators/optim.py:priority_sample)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return priority_sample(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 20)
