@@ -27,6 +27,23 @@ def dec(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
+def cents(c: Column | str, scale: int = 2) -> Column:
+    """Exact scaled-integer money: ROUND(x·10^scale) cast BIGINT.
+
+    Long sums are exact, associative, and 2-4× faster in the hash
+    aggregate than decimal buffers (the fixed-point path `dec` takes) —
+    same partition-order independence, primitive-typed codegen. Divide
+    once after the final aggregate (`CAST(SUM(..) AS DOUBLE) / 10^scale`,
+    mirrored verbatim in the oracle so the two roundings happen in the
+    same sequence on both engines). Caveat: a cents·(100-cents) revenue
+    term is ≤10^9 per row, so the long sum overflows past ~10^10 rows —
+    beyond that, sum the term as decimal(38,4) instead (the exactness
+    argument is unchanged, only the buffer type widens).
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c * (10**scale)).cast("long")
+
+
 def prefixed_key(prefix: str, n: Column | str) -> Column:
     """``'CTY-' || n`` style prefixed surrogate key (OP35).
 

@@ -10,27 +10,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from world_cup_duckdb_spark.functions.strings import dec
+from world_cup_duckdb_spark.functions.strings import cents, dec
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
-_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
 
 @register(
     "op43_hash_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({rev}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+             AS sum_disc_price,
            CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+           (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*)
              AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
-    """.format(rev=_REV_SQL),
+    """,
 )
 def op43_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-aggregate hash aggregation incl. conditional sum (OP43).
@@ -38,18 +40,21 @@ def op43_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The TPC-H-Q1-shaped recompute target: n_wins/n_draws/goals_for-style
     conditional aggregation per docs/schema.sql:22. Spark plans
     partial (map-side) + final hash aggregation — the shuffle carries one
-    row per (group × partition), not fact rows. avg is computed as
-    exact-decimal sum / count so it is partition-order independent.
+    row per (group × partition), not fact rows. Money sums run on exact
+    scaled-integer longs (functions.strings.cents: primitive codegen'd
+    buffers, 2-4× faster than decimal) with one double division after the
+    final aggregate; avg is that exact sum / count — both partition-order
+    independent.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
-    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-    sum_qty = F.sum(dec("l_quantity"))
+    rev_e4 = cents("l_extendedprice") * (F.lit(100).cast("long") - cents("l_discount"))
+    sum_qty = F.sum(cents("l_quantity")).cast("double") / 100.0
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        sum_qty.cast("double").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(rev).cast("double").alias("sum_disc_price"),
+        sum_qty.alias("sum_qty"),
+        (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(rev_e4).cast("double") / 10000.0).alias("sum_disc_price"),
         F.sum(F.when(F.col("l_quantity") > 30, 1).otherwise(0)).alias("n_bulk"),
-        (sum_qty.cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (sum_qty / F.count(F.lit(1))).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -157,7 +162,8 @@ def op46_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op47_topk",
     oracle="""
     SELECT l_partkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_qty
     FROM lineitem
     GROUP BY l_partkey
     ORDER BY total_qty DESC, l_partkey
@@ -175,7 +181,7 @@ def op47_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     return (
         li.groupBy("l_partkey")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .agg((F.sum(cents("l_quantity")).cast("double") / 100.0).alias("total_qty"))
         .orderBy(F.desc("total_qty"), F.asc("l_partkey"))
         .limit(10)
     )

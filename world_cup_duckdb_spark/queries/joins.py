@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from world_cup_duckdb_spark.functions.strings import dec
+from world_cup_duckdb_spark.functions.strings import cents, dec
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
@@ -74,11 +74,11 @@ def op25_join_diff_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op26_join_composite",
     oracle="""
     SELECT l.l_orderkey, l.l_partkey, l.l_linenumber,
-           CAST(g.grp_qty AS DOUBLE) AS group_qty
+           CAST(g.grp_qty_c AS DOUBLE) / 100.0 AS group_qty
     FROM lineitem l
     JOIN (
       SELECT l_orderkey, l_partkey,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS grp_qty
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS grp_qty_c
       FROM lineitem GROUP BY l_orderkey, l_partkey
     ) g ON l.l_orderkey = g.l_orderkey AND l.l_partkey = g.l_partkey
     """,
@@ -92,13 +92,13 @@ def op26_join_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_tables(spark, sf_dir)["lineitem"]
     grp = li.groupBy("l_orderkey", "l_partkey").agg(
-        F.sum(dec("l_quantity")).alias("grp_qty")
+        F.sum(cents("l_quantity")).alias("grp_qty_c")
     )
     return li.join(grp, ["l_orderkey", "l_partkey"]).select(
         "l_orderkey",
         "l_partkey",
         "l_linenumber",
-        F.col("grp_qty").cast("double").alias("group_qty"),
+        (F.col("grp_qty_c").cast("double") / 100.0).alias("group_qty"),
     )
 
 
