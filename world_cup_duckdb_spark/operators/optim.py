@@ -49,10 +49,12 @@ def poly_hash(col: Column, row: int, m: int) -> Column:
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
     """Build a Bloom bitset from the distinct keys as (word, bits) rows.
 
-    The bitset is data, not driver state: 64-bit words assembled with a
-    `bit_or` aggregate, so the build is one shuffle of at most m/64 rows
-    and the result broadcasts to every probe task. k=2 probe positions per
-    key (HASH_PARAMS rows).
+    The bitset is data, not driver state: words assembled with a `bit_or`
+    aggregate, so the build is one shuffle of at most m/63 rows and the
+    result broadcasts to every probe task. k=2 probe positions per key
+    (HASH_PARAMS rows). Words hold 63 bits (positions 0..62): a shift
+    into bit 63 overflows signed BIGINT on ANSI engines (DuckDB errors on
+    `1 << 63`), and portability of the exact arithmetic is the contract.
     """
     probes = None
     for row in range(len(HASH_PARAMS)):
@@ -60,11 +62,11 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
         probes = p if probes is None else probes.unionAll(p)
     return (
         probes.select(
-            (F.col("pos") / 64).cast("long").alias("word"),
+            (F.col("pos") / 63).cast("long").alias("word"),
             # call_function: the Python shiftleft wrapper only takes a
             # literal int shift, the SQL function takes an expression.
             F.call_function(
-                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 63).cast("int")
             ).alias("one_bit"),
         )
         .groupBy("word")
@@ -78,7 +80,7 @@ def bloom_probe(
     """Filter `big` to rows whose key passes every Bloom probe.
 
     Each probe is a broadcast join on the word index (the bitset is ≤
-    m/64 rows) plus a bit test — the big side is pruned map-side, before
+    m/63 rows) plus a bit test — the big side is pruned map-side, before
     any shuffle a downstream join would need. No false negatives; false
     positives are bounded by the m/n sizing and must be removed by the
     exact join that follows (callers keep the exact join — the filter
@@ -92,13 +94,13 @@ def bloom_probe(
         )
         out = out.join(
             F.broadcast(w),
-            (pos / 64).cast("long") == F.col(f"_w{row}"),
+            (pos / 63).cast("long") == F.col(f"_w{row}"),
             "left",
         ).filter(
             F.call_function(
                 "shiftright",
                 F.coalesce(F.col(f"_bits{row}"), F.lit(0).cast("long")),
-                (pos % 64).cast("int"),
+                (pos % 63).cast("int"),
             ).bitwiseAND(F.lit(1).cast("long"))
             == 1
         )

@@ -61,8 +61,8 @@ def _zorder_sql(x: str, y: str, bits: int) -> str:
       SELECT {_hash_sql('s_suppkey', 1, _BLOOM_M)} FROM asia
     ),
     words AS (
-      SELECT pos // 64 AS word,
-             bit_or(CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)) AS bits
+      SELECT pos // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
       FROM probes GROUP BY 1
     ),
     li AS (
@@ -74,10 +74,10 @@ def _zorder_sql(x: str, y: str, bits: int) -> str:
     cand AS (
       SELECT li.l_returnflag, li.l_suppkey
       FROM li
-      LEFT JOIN words w0 ON li.p0 // 64 = w0.word
-      LEFT JOIN words w1 ON li.p1 // 64 = w1.word
-      WHERE ((COALESCE(w0.bits, 0) >> CAST(li.p0 % 64 AS INT)) & 1) = 1
-        AND ((COALESCE(w1.bits, 0) >> CAST(li.p1 % 64 AS INT)) & 1) = 1
+      LEFT JOIN words w0 ON li.p0 // 63 = w0.word
+      LEFT JOIN words w1 ON li.p1 // 63 = w1.word
+      WHERE ((COALESCE(w0.bits, 0) >> CAST(li.p0 % 63 AS INT)) & 1) = 1
+        AND ((COALESCE(w1.bits, 0) >> CAST(li.p1 % 63 AS INT)) & 1) = 1
     ),
     c AS (
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS bloom_candidates
