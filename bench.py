@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # Reference analytical surface (SURVEY §2.4/§2.7)
     "flagship",
     "op26_join_composite",
     "op28_self_join",
@@ -28,6 +29,13 @@ HEADLINE = [
     "op47_topk",
     "op48_sort",
     "op49_rollup",
+    # Training-data-pipeline extension surface (the 100 TB ops)
+    "ext_dedup_minhash",
+    "ext_sessionize_batch",
+    "ext_ann_bruteforce",
+    "ext_tfidf",
+    "ext_quality_filter_pipeline",
+    "ext_bloom_semijoin",
 ]
 
 

@@ -66,13 +66,18 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded AS (
       SELECT doc_id, s.seed,
              md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS h
-      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS seed) s
     ),
-    sigs AS (SELECT doc_id, seed, MIN(h) AS sig FROM seeded GROUP BY doc_id, seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(substr(h, 1, 8)) AS m0, MIN(substr(h, 9, 8)) AS m1,
+             MIN(substr(h, 17, 8)) AS m2, MIN(substr(h, 25, 8)) AS m3
+      FROM seeded GROUP BY doc_id, seed
+    ),
     bands AS (
-      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-             string_agg(sig, '' ORDER BY seed) AS band_key
-      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+      SELECT doc_id, CAST(seed * 2 AS INT) AS band, m0 || m1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, CAST(seed * 2 + 1 AS INT) AS band, m2 || m3 FROM sigs
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
@@ -81,10 +86,12 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 3-word shingles → 8 seeded
-    min-hashes → 4 bands of 2 → bucket join. Identical re-crawl copies
-    share every band, so all true pairs are recovered; random collisions
-    are deterministic (md5) and appear in both engines identically.
+    """MinHash+LSH near-dup candidates: 3-word shingles → 8 32-bit
+    signatures sliced from 2 seeded digests (operators/dedup.py:
+    minhash_bands) → 4 bands of 2 → bucket join. Identical re-crawl
+    copies share every band, so all true pairs are recovered; random
+    collisions are deterministic (md5) and appear in both engines
+    identically.
 
     Scale: pairwise cost is Σ bucket², not n² — see operators/dedup.py.
     """
@@ -172,13 +179,18 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded AS (
       SELECT doc_id, s.seed,
              md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS h
-      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS seed) s
     ),
-    sigs AS (SELECT doc_id, seed, MIN(h) AS sig FROM seeded GROUP BY doc_id, seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(substr(h, 1, 8)) AS m0, MIN(substr(h, 9, 8)) AS m1,
+             MIN(substr(h, 17, 8)) AS m2, MIN(substr(h, 25, 8)) AS m3
+      FROM seeded GROUP BY doc_id, seed
+    ),
     bands AS (
-      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-             string_agg(sig, '' ORDER BY seed) AS band_key
-      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+      SELECT doc_id, CAST(seed * 2 AS INT) AS band, m0 || m1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, CAST(seed * 2 + 1 AS INT) AS band, m2 || m3 FROM sigs
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
