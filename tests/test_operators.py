@@ -327,3 +327,50 @@ def test_survival_curve_monotone_nonincreasing(spark, sf_dir):
     survs = [r.surv for r in rows]
     assert all(a >= b for a, b in zip(survs, survs[1:]))
     assert all(0.0 <= s <= 1.0 for s in survs)
+
+
+def test_minhash_signature_matches_hand_computed_md5(spark):
+    """Regression for the F.transform two-parameter-lambda pitfall: a
+    2-arg lambda is (element, index), so `lambda s, seed=seed:` binds the
+    loop variable to the array-index Column and silently corrupts every
+    signature. Pin each signature to a hand-computed md5 slice so that
+    class of miscompile can never ship again."""
+    import hashlib
+
+    from world_cup_duckdb_spark.operators.dedup import minhash_bands
+
+    text = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+
+    num_hashes, band_size, shingle_words = 8, 2, 3
+    toks = text.split(" ")
+    shingles = sorted(
+        {
+            " ".join(toks[i : i + shingle_words])
+            for i in range(len(toks) - shingle_words + 1)
+        }
+    )
+    sigs = []
+    for i in range(num_hashes):
+        seed = i // 4
+        lo = (i % 4) * 8
+        sigs.append(
+            min(
+                hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[lo : lo + 8]
+                for s in shingles
+            )
+        )
+    want = {
+        (b, "".join(sigs[b * band_size : (b + 1) * band_size]))
+        for b in range(num_hashes // band_size)
+    }
+    got = {
+        (r["band"], r["band_key"])
+        for r in minhash_bands(
+            docs,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            shingle_words=shingle_words,
+        ).collect()
+    }
+    assert got == want

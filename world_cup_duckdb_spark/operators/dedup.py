@@ -75,6 +75,18 @@ def minhash_bands(
     # explode → groupBy(min) formulation shuffled nothing extra either —
     # partial aggregation combined map-side — but paid the 2M-row explode
     # and hash-agg; the in-row form measured ~2× faster at sf0.1.)
+    # NOTE: F.transform treats a TWO-parameter lambda as (element, index) —
+    # the `lambda s, seed=seed:` idiom silently binds the loop variable to
+    # the array-index Column and corrupts every hash. Loop values must be
+    # captured through single-parameter closure factories (below).
+    def _seeded_md5(seed: int):
+        prefix = F.lit(f"{seed}:")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    def _hex_slice(i: int):
+        start = (i % 4) * 8 + 1
+        return lambda h: F.substring(h, start, 8)
+
     n_seeds = (num_hashes + 3) // 4
     doc = docs.select(
         F.col(id_col),
@@ -82,20 +94,13 @@ def minhash_bands(
     )
     for seed in range(n_seeds):
         doc = doc.withColumn(
-            f"_h{seed}",
-            F.transform(
-                F.col("_sh"),
-                lambda s, seed=seed: F.md5(F.concat(F.lit(f"{seed}:"), s)),
-            ),
+            f"_h{seed}", F.transform(F.col("_sh"), _seeded_md5(seed))
         )
     sigs = doc.select(
         F.col(id_col),
         *[
             F.array_min(
-                F.transform(
-                    F.col(f"_h{i // 4}"),
-                    lambda h, i=i: F.substring(h, (i % 4) * 8 + 1, 8),
-                )
+                F.transform(F.col(f"_h{i // 4}"), _hex_slice(i))
             ).alias(f"sig{i}")
             for i in range(num_hashes)
         ],
