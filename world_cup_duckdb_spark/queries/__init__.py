@@ -45,12 +45,64 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _ordered_names() -> list[str]:
+    """Driver-facing key order. The round driver evaluates queries in dict
+    order and may stop after a fixed budget (round 1 covered exactly the
+    first 50 keys), so the order IS the coverage policy: every SURVEY §2
+    `opNN` key first — those not yet driver-verified in round 1 ahead of
+    the re-verified ones, so all 50 canonical ops land inside a 50-key
+    budget — then flagship (it has its own smoke check and a green
+    round-1 row), then the scan-format variants, then the
+    training-data-pipeline extension keys (dedup/similarity/text/
+    training), then everything else in registration order."""
+    first_round_unverified = [
+        "op08_catalog_introspection", "op11_schema_report",
+        "op23_join_broadcast", "op25_join_diff_keys", "op26_join_composite",
+        "op27_left_join_flag", "op28_self_join", "op29_join_renamed_dim",
+        "op30_distinct", "op31_diagonal_union", "op32_unpivot",
+        "op33_surrogate_key", "op35_concat_key", "op36_replace",
+        "op37_capitalize", "op38_singularize", "op39_timestamp_parse",
+        "op40_casts", "op41_arithmetic", "op42_contains_classifier",
+    ]
+    import re
+
+    def canonical_op(n: str) -> bool:
+        return re.match(r"^op\d+_", n) is not None
+
+    variants = ["op02b_csv_scan", "op02c_json_scan", "op02d_orc_scan"]
+    priority_ext = [
+        "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_clusters",
+        "ext_dedup_simhash", "ext_dedup_ngram_jaccard", "ext_dedup_ssjoin",
+        "ext_ann_bruteforce", "ext_ann_lsh", "ext_ann_ivf",
+        "ext_embedding_near_dup", "ext_tfidf", "ext_lang_id",
+        "ext_quality_filter_pipeline", "ext_token_count",
+        "ext_doc_fingerprint", "ext_chunking", "ext_sequence_packing",
+        "ext_corpus_mix", "ext_contamination",
+    ]
+    ordered: list[str] = [n for n in first_round_unverified if n in REGISTRY]
+    ordered += sorted(
+        n
+        for n in REGISTRY
+        if canonical_op(n) and n not in ordered and n not in variants
+    )
+    ordered.append("flagship")
+    ordered += [n for n in variants if n in REGISTRY]
+    ordered += [n for n in priority_ext if n in REGISTRY and n not in ordered]
+    ordered += [n for n in REGISTRY if n not in ordered]
+    assert len(ordered) == len(REGISTRY)
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {n: q.fn for n, q in REGISTRY.items()}
+    return {n: REGISTRY[n].fn for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        n: REGISTRY[n].oracle
+        for n in _ordered_names()
+        if REGISTRY[n].oracle is not None
+    }
 
 
 # Populate the registry (import order = display order).
