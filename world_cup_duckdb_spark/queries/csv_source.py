@@ -305,14 +305,25 @@ def ext_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: `_metadata` is populated from the scan's own file split —
     zero additional I/O; grouping by file keeps partial aggregation
     local to each file's tasks."""
-    loc = _fresh_dir("ext_metadata_cols")
-    n = table(spark, sf_dir, "nation")
-    n.filter(F.col("n_regionkey") < 2).repartition(1).write.mode(
-        "append"
-    ).parquet(loc)
-    n.filter(F.col("n_regionkey") >= 2).repartition(1).write.mode(
-        "append"
-    ).parquet(loc)
+    # Stage-once fixed path: the oracle SQL reads this directory by a
+    # static path, so it cannot be per-invocation unique. Hermeticity
+    # comes from immutability instead — files are written exactly once
+    # per scratch tree and never touched again (_STAGED marker).
+    from world_cup_duckdb_spark.queries.lifecycle import (
+        _mark_staged,
+        _stable_staged_dir,
+    )
+
+    loc, staged = _stable_staged_dir("ext_metadata_cols")
+    if not staged:
+        n = table(spark, sf_dir, "nation")
+        n.filter(F.col("n_regionkey") < 2).repartition(1).write.mode(
+            "append"
+        ).parquet(loc)
+        n.filter(F.col("n_regionkey") >= 2).repartition(1).write.mode(
+            "append"
+        ).parquet(loc)
+        _mark_staged(loc)
     return (
         spark.read.parquet(loc)
         .select(

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,10 +40,37 @@ REPO_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def _fresh_dir(name: str) -> str:
-    path = os.path.join(REPO_SCRATCH, name)
-    shutil.rmtree(path, ignore_errors=True)
+    """Unique per-invocation scratch dir. Uniqueness is the hermeticity
+    guarantee: these queries write state and return DataFrames that read
+    it LAZILY, so a shared path would let any re-entry (driver correctness
+    pass, bench, tests — all in one process) rewrite files a previously
+    returned plan still references, changing what the caller later hashes.
+    With a fresh dir per call, every returned plan reads files nothing
+    will ever mutate."""
+    path = os.path.join(REPO_SCRATCH, f"{name}-{uuid.uuid4().hex[:12]}")
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def _stable_staged_dir(name: str) -> tuple[str, bool]:
+    """Fixed-path scratch dir with a stage-once marker, for the one query
+    whose DuckDB oracle must read the same files by a static path
+    (ext_metadata_columns). Returns (path, already_staged); the caller
+    stages only when not already staged, so once written the files are
+    immutable for the life of the scratch tree — re-entrant reads stay
+    stable."""
+    path = os.path.join(REPO_SCRATCH, name)
+    marker = os.path.join(path, "_STAGED")
+    if os.path.exists(marker):
+        return path, True
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path, False
+
+
+def _mark_staged(path: str) -> None:
+    with open(os.path.join(path, "_STAGED"), "w") as fh:
+        fh.write("staged\n")
 
 
 _SPARK_TO_SQL = {
@@ -81,14 +109,20 @@ def op06_ddl_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     the §2.9 validators (Spark does not enforce constraints).
     """
     loc = _fresh_dir("op06_nation_ddl")
-    spark.sql("DROP TABLE IF EXISTS nation_ddl")
+    # Catalog name carries the dir's unique suffix and the returned plan
+    # binds to the path, not the name — re-entrant invocations can never
+    # race on a shared table identifier or swap state under a previously
+    # returned DataFrame.
+    tbl = f"nation_ddl_{os.path.basename(loc).rsplit('-', 1)[-1]}"
     spark.sql(
-        "CREATE TABLE nation_ddl "
+        f"CREATE TABLE {tbl} "
         "(n_nationkey INT, n_name STRING, n_regionkey INT) "
         f"USING PARQUET LOCATION '{loc}'"
     )
-    table(spark, sf_dir, "nation").write.insertInto("nation_ddl")
-    return spark.table("nation_ddl")
+    table(spark, sf_dir, "nation").write.insertInto(tbl)
+    out = spark.read.schema(spark.table(tbl).schema).parquet(loc)
+    spark.sql(f"DROP TABLE {tbl}")  # external: files at loc survive
+    return out
 
 
 @register(
@@ -109,19 +143,23 @@ def op07_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the view boundary).
     """
     loc = _fresh_dir("op07_customer_load")
-    spark.sql("DROP TABLE IF EXISTS customer_loaded")
+    suffix = os.path.basename(loc).rsplit("-", 1)[-1]
+    tbl, view = f"customer_loaded_{suffix}", f"customer_src_{suffix}"
     spark.sql(
-        "CREATE TABLE customer_loaded "
+        f"CREATE TABLE {tbl} "
         "(c_custkey BIGINT, c_name STRING, c_mktsegment STRING) "
         f"USING PARQUET LOCATION '{loc}'"
     )
-    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_src")
+    table(spark, sf_dir, "customer").createOrReplaceTempView(view)
     spark.sql(
-        "INSERT INTO customer_loaded "
-        "SELECT c_custkey, c_name, c_mktsegment FROM customer_src "
+        f"INSERT INTO {tbl} "
+        f"SELECT c_custkey, c_name, c_mktsegment FROM {view} "
         "WHERE c_mktsegment = 'BUILDING'"
     )
-    return spark.table("customer_loaded")
+    out = spark.read.schema(spark.table(tbl).schema).parquet(loc)
+    spark.sql(f"DROP TABLE {tbl}")
+    spark.catalog.dropTempView(view)
+    return out
 
 
 @register(
