@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from world_cup_duckdb_spark.queries import register
-from world_cup_duckdb_spark.sources.catalog import table
+from world_cup_duckdb_spark.sources.catalog import TABLES, table
 
 REPO_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".scratch")
@@ -166,12 +166,26 @@ def op07_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op10_export_database",
     oracle="""
     SELECT * FROM (
-      SELECT 'nation' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(3 AS INTEGER) AS n_cols FROM nation
+      SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(2 AS INTEGER) AS n_cols FROM region
       UNION ALL
-      SELECT 'region', CAST(COUNT(*) AS BIGINT), CAST(2 AS INTEGER) FROM region
+      SELECT 'nation', CAST(COUNT(*) AS BIGINT), CAST(3 AS INTEGER) FROM nation
+      UNION ALL
+      SELECT 'customer', CAST(COUNT(*) AS BIGINT), CAST(5 AS INTEGER) FROM customer
       UNION ALL
       SELECT 'supplier', CAST(COUNT(*) AS BIGINT), CAST(4 AS INTEGER) FROM supplier
+      UNION ALL
+      SELECT 'part', CAST(COUNT(*) AS BIGINT), CAST(6 AS INTEGER) FROM part
+      UNION ALL
+      SELECT 'orders', CAST(COUNT(*) AS BIGINT), CAST(6 AS INTEGER) FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), CAST(11 AS INTEGER) FROM lineitem
+      UNION ALL
+      SELECT 'events', CAST(COUNT(*) AS BIGINT), CAST(6 AS INTEGER) FROM events
+      UNION ALL
+      SELECT 'documents', CAST(COUNT(*) AS BIGINT), CAST(5 AS INTEGER) FROM documents
+      UNION ALL
+      SELECT 'embeddings', CAST(COUNT(*) AS BIGINT), CAST(3 AS INTEGER) FROM embeddings
     ) ORDER BY table_name
     """,
 )
@@ -179,19 +193,24 @@ def op10_export_database(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-database export: per-table files + generated DDL (OP10).
 
     Reference: `EXPORT DATABASE '../data/stage'` (scripts/build_db.py:1423)
-    writes one CSV per table plus a schema script (the committed
-    docs/schema.sql is that script's descendant). Spark: loop the catalog,
-    `df.write.parquet` per table (distributed, one file per partition),
-    emit DDL from `df.schema`. Returns the export manifest.
+    writes one file per table plus a schema script (the committed
+    docs/schema.sql is that script's descendant). Spark: loop the ENTIRE
+    catalog (all 10 tables — sources/catalog.py:TABLES), `df.write.parquet`
+    per table (distributed, one file per partition, no driver funnel),
+    emit `CREATE OR REPLACE TABLE` DDL from each `df.schema` into a
+    generated schema.sql. The returned manifest counts the rows that
+    actually LANDED on disk (read back from the exported files), so the
+    hash match audits the export itself, not just the source counts.
     """
     base = _fresh_dir("op10_export")
-    exported = ("nation", "region", "supplier")
     manifest, ddl_lines = [], []
-    for name in sorted(exported):
+    for name in TABLES:
         df = table(spark, sf_dir, name)
-        df.write.mode("overwrite").parquet(os.path.join(base, name))
+        dest = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(dest)
         ddl_lines.append(schema_to_ddl(name, df.schema))
-        manifest.append((name, df.count(), len(df.columns)))
+        written = spark.read.parquet(dest)
+        manifest.append((name, written.count(), len(written.columns)))
     with open(os.path.join(base, "schema.sql"), "w") as fh:
         fh.write("\n".join(ddl_lines) + "\n")
     return spark.createDataFrame(
