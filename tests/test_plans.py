@@ -63,12 +63,19 @@ def test_whole_stage_codegen_on_agg(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     # Formatted explain marks whole-stage-codegen membership per operator.
     assert "[codegen id :" in p
-    # Partial (map-side) + final aggregate around one exchange: the shuffle
-    # carries one row per group per partition, not fact rows.
+    # Two-level overflow-safe shape (see queries/analytics.py:op43): long
+    # partial sums map-side over fact rows, exchange one row per
+    # (group, partition) — the SAME shuffle volume plain partial
+    # aggregation would send — then a decimal merge of the tiny partials
+    # behind a second, group-cardinality exchange.
     assert "partial_sum" in p
     tree = p.split("(1) Scan")[0]
-    assert tree.count("HashAggregate") == 2
-    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") == 4
+    assert tree.count("Exchange") == 2
+    # The fact-volume pass must keep primitive long buffers; decimal may
+    # appear only after the first exchange (merge of partials).
+    first_stage = p.split("(5) Exchange")[0]
+    assert "decimal" not in first_stage.split("(3) Project")[-1]
 
 
 def test_sessionize_single_exchange(spark, sf_dir):

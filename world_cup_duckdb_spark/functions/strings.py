@@ -36,9 +36,14 @@ def cents(c: Column | str, scale: int = 2) -> Column:
     once after the final aggregate (`CAST(SUM(..) AS DOUBLE) / 10^scale`,
     mirrored verbatim in the oracle so the two roundings happen in the
     same sequence on both engines). Caveat: a cents·(100-cents) revenue
-    term is ≤10^9 per row, so the long sum overflows past ~10^10 rows —
-    beyond that, sum the term as decimal(38,4) instead (the exactness
-    argument is unchanged, only the buffer type widens).
+    term is ≤10^9 per row, so a single-level long sum overflows past
+    ~10^10 rows per group. Queries whose group sizes are unbounded
+    (flagship, op43) therefore sum in TWO levels: long partials per
+    (group, spark_partition_id) — partition row counts are bounded by the
+    scan split size, so partials can't overflow — then decimal(38,0) over
+    the tiny partial rows. The hot fact-volume pass keeps primitive
+    codegen'd buffers; decimal cost lands only on groups × partitions
+    rows.
     """
     c = F.col(c) if isinstance(c, str) else c
     return F.round(c * (10**scale)).cast("long")

@@ -46,6 +46,21 @@ def poly_hash(col: Column, row: int, m: int) -> Column:
     return ((F.lit(a) * x + F.lit(b)) % MERSENNE_P) % m
 
 
+def mix_hash(col: Column) -> Column:
+    """Nonlinear portable mix: two quadratic rounds y ← (y² + a·y + b) mod P.
+
+    A single multiply-add round is LINEAR in the input, so for sequential
+    ids the output is locally linear too — fatal when the hash feeds a
+    pseudo-uniform draw (priority sampling would correlate u with id and
+    bias every priority). The quadratic term breaks linearity; values stay
+    < P = 2^31-1, so y² < 2^62 never overflows signed 64-bit arithmetic in
+    either engine — the same expression is exact in DuckDB."""
+    y = col.cast("long") % MERSENNE_P
+    for a, b in HASH_PARAMS:
+        y = (y * y + F.lit(a) * y + F.lit(b)) % MERSENNE_P
+    return y
+
+
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
     """Build a Bloom bitset from the distinct keys as (word, bits) rows.
 
@@ -179,17 +194,14 @@ def priority_sample(
     """Priority sample of size k (Duffield-Lund-Thorup, JACM 2007).
 
     Each item gets priority q = w / u with u a deterministic pseudo-uniform
-    in (0, 1] derived from its id; the k highest-priority items form the
-    sample, and with tau = the (k+1)-th priority, w_hat = max(w, tau) is an
-    unbiased per-item estimator of weight totals over any subset. Top-(k+1)
+    in (0, 1] derived from its id via the NONLINEAR mix_hash — a linear
+    multiply-add hash is locally linear over sequential ids, which would
+    correlate u with id and void the unbiased-totals guarantee. Top-(k+1)
     runs as TakeOrderedAndProject (per-partition heaps, no full sort);
-    arithmetic is division/comparison only, so the oracle reproduces the
-    selection bit-for-bit.
+    arithmetic is integer + division/comparison only, so the oracle
+    reproduces the selection bit-for-bit.
     """
-    u = (
-        (poly_hash(F.col(id_col), 0, MERSENNE_P) + 1).cast("double")
-        / F.lit(float(MERSENNE_P))
-    )
+    u = (mix_hash(F.col(id_col)) + 1).cast("double") / F.lit(float(MERSENNE_P))
     pri = (F.col(weight_col).cast("double") / u).alias("priority")
     top = items.select(F.col(id_col), F.col(weight_col), pri).orderBy(
         F.desc("priority"), F.col(id_col)

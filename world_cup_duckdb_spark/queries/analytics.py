@@ -42,20 +42,43 @@ def op43_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial (map-side) + final hash aggregation — the shuffle carries one
     row per (group × partition), not fact rows. Money sums run on exact
     scaled-integer longs (functions.strings.cents: primitive codegen'd
-    buffers, 2-4× faster than decimal) with one double division after the
-    final aggregate; avg is that exact sum / count — both partition-order
-    independent.
+    buffers, 2-4× faster than decimal) over fact volume, then widen to
+    decimal(38,0) when merging the per-partition partials — so group-level
+    totals can exceed BIGINT (10^12-row groups at the 100 TB design point)
+    without ANSI overflow while the hot path stays primitive. One double
+    division after the final aggregate; avg is that exact sum / count —
+    all partition-order independent.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
     rev_e4 = cents("l_extendedprice") * (F.lit(100).cast("long") - cents("l_discount"))
-    sum_qty = F.sum(cents("l_quantity")).cast("double") / 100.0
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
+    # Two-level exact sum (overflow-safe at unbounded group size): the
+    # per-(group, partition) stage sums primitive longs — a partition is
+    # bounded by maxPartitionBytes (~10^7 rows), so a ≤10^9-per-row term
+    # stays ~10^2 under BIGINT range — then the merge of the tiny partial
+    # rows widens to decimal(38,0). The fact-volume pass keeps codegen'd
+    # long buffers; decimal cost is paid only on groups × partitions rows.
+    # Same shuffle volume as plain partial aggregation.
+    part = li.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.sum(cents("l_quantity")).alias("_qty_c"),
+        F.sum(cents("l_extendedprice")).alias("_base_c"),
+        F.sum(rev_e4).alias("_disc_e4"),
+        F.sum(F.when(F.col("l_quantity") > 30, 1).otherwise(0)).alias("_n_bulk"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+    def wide(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(38,0)"))
+
+    sum_qty = wide("_qty_c").cast("double") / 100.0
+    return part.groupBy("l_returnflag", "l_linestatus").agg(
         sum_qty.alias("sum_qty"),
-        (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("sum_base_price"),
-        (F.sum(rev_e4).cast("double") / 10000.0).alias("sum_disc_price"),
-        F.sum(F.when(F.col("l_quantity") > 30, 1).otherwise(0)).alias("n_bulk"),
-        (sum_qty / F.count(F.lit(1))).alias("avg_qty"),
-        F.count(F.lit(1)).alias("count_order"),
+        (wide("_base_c").cast("double") / 100.0).alias("sum_base_price"),
+        (wide("_disc_e4").cast("double") / 10000.0).alias("sum_disc_price"),
+        F.sum("_n_bulk").alias("n_bulk"),
+        (sum_qty / F.sum("_n")).alias("avg_qty"),
+        F.sum("_n").alias("count_order"),
     )
 
 

@@ -92,10 +92,22 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        # Two-level exact sum: long partials per (group, partition) — a
+        # partition's row count is bounded, so the ≤10^10-per-order term
+        # can't overflow — then decimal(38,0) over the tiny partial rows,
+        # so nation-level totals survive 10^10-order groups at 100 TB.
+        .groupBy("r_name", "n_name", F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.sum("order_rev_e4").alias("_rev_part"),
+            F.count(F.lit(1)).alias("_n_part"),
+        )
         .groupBy("r_name", "n_name")
         .agg(
-            (F.sum("order_rev_e4").cast("double") / 10000.0).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.col("_rev_part").cast("decimal(38,0)")).cast("double")
+                / 10000.0
+            ).alias("revenue"),
+            F.sum("_n_part").alias("n_orders"),
         )
     )
     w = Window.partitionBy("r_name").orderBy(F.desc("revenue"), F.asc("n_name"))

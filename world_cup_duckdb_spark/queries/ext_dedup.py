@@ -96,7 +96,15 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairwise cost is Σ bucket², not n² — see operators/dedup.py.
     """
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    bands = minhash_bands(with_recrawl(d), num_hashes=8, band_size=2)
+    # Materialize bands before the self-join: both join sides consume the
+    # same signature pipeline, and without a cut Spark recomputes the
+    # shingle-md5 stage once PER SIDE (it reuses exchanges, not arbitrary
+    # subplans). Bands are 4 short rows/doc — KBs per million docs — so
+    # the checkpoint is the scale-correct move too: at 100 TB you'd land
+    # bands in storage before bucket-joining.
+    bands = minhash_bands(
+        with_recrawl(d), num_hashes=8, band_size=2
+    ).localCheckpoint(eager=True)
     return lsh_candidate_pairs(bands)
 
 
@@ -231,7 +239,11 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    bands = minhash_bands(with_recrawl(d), num_hashes=8, band_size=2)
+    # Cut before double consumption (bucket-min aggregate + member join),
+    # same rationale as ext_dedup_minhash.
+    bands = minhash_bands(
+        with_recrawl(d), num_hashes=8, band_size=2
+    ).localCheckpoint(eager=True)
     return connected_components(lsh_star_edges(bands))
 
 

@@ -111,7 +111,7 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "nk", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
     )
-    for _ in range(_ITERS):
+    for it in range(_ITERS):
         contrib = (
             norm.join(ranks, norm.src == ranks.nk)
             .groupBy("dst")
@@ -129,6 +129,14 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
+        # Truncate lineage every other round (same guard as
+        # operators/dedup.py:connected_components): each iteration nests
+        # the previous plan, and an unbounded chain blows up optimizer
+        # time / stack depth when the pattern is lifted to a real graph
+        # with tens of iterations. Checkpointing a ≤|nations| frame is
+        # O(nothing) here and keeps the loop shape scale-safe.
+        if it % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)
     nation = t["nation"].select("n_nationkey", "n_name")
     return ranks.join(
         F.broadcast(nation), ranks.nk == nation.n_nationkey

@@ -37,6 +37,14 @@ def _hash_sql(expr: str, row: int, m: int) -> str:
     return f"((({a} * (({expr}) % {_P}) + {b}) % {_P}) % {m})"
 
 
+def _mix_sql(expr: str) -> str:
+    """SQL mirror of operators/optim.py:mix_hash (two quadratic rounds)."""
+    y = f"(({expr}) % {_P})"
+    for a, b in HASH_PARAMS:
+        y = f"(({y} * {y} + {a} * {y} + {b}) % {_P})"
+    return y
+
+
 def _zorder_sql(x: str, y: str, bits: int) -> str:
     terms = []
     for i in range(bits):
@@ -252,7 +260,7 @@ def ext_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pri AS (
       SELECT doc_id, n_chars,
              CAST(n_chars AS DOUBLE)
-               / (CAST({_hash_sql('doc_id', 0, _P)} + 1 AS DOUBLE) / {_P}.0)
+               / (CAST({_mix_sql('doc_id')} + 1 AS DOUBLE) / {_P}.0)
                AS priority
       FROM documents
     ),

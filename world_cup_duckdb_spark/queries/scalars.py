@@ -250,7 +250,14 @@ def op08_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp_ntz": "TIMESTAMP",
     }
     o = load_tables(spark, sf_dir)["orders"]
-    rows = [(f.name, ansi[f.dataType.simpleString()]) for f in o.schema.fields]
+    # .get with an upper-cased fallback: unmapped types (decimal(p,s),
+    # float, smallint, ...) degrade to a visible parity diff instead of a
+    # KeyError at plan-build time if the table schema ever drifts.
+    rows = [
+        (f.name, ansi.get(st, st.upper()))
+        for f in o.schema.fields
+        for st in (f.dataType.simpleString(),)
+    ]
     return spark.createDataFrame(rows, "column_name string, data_type string")
 
 

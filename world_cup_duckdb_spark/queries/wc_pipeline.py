@@ -19,12 +19,27 @@ from world_cup_duckdb_spark.queries import register
 def wc_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """27-table build manifest: (table_name, n_rows, pk_cols, n_fks).
 
-    One unioned aggregation plan — a single job counts every table.
+    Write-audit-publish gate: every declared PK/FK/NOT-NULL validator
+    (OP50/OP34/OP51, operators/validators.py) runs over every built table
+    BEFORE the manifest is returned — the engine-side equivalent of the
+    reference's load-time constraint rejection (scripts/build_db.py:72-83
+    inserting into the declared DDL of docs/schema.sql). A violation
+    raises ValidationError, so a manifest row existing certifies its
+    table passed audit. One unioned aggregation plan then counts every
+    table in a single job.
     """
-    from world_cup_duckdb_spark.plans import CONSTRAINTS, build_worldcup
+    from world_cup_duckdb_spark.operators.validators import ValidationError
+    from world_cup_duckdb_spark.plans import (
+        CONSTRAINTS,
+        build_worldcup,
+        validate_worldcup,
+    )
     from world_cup_duckdb_spark.plans.fixtures import raw_fixture
 
     tables = build_worldcup(spark, raw_fixture(spark))
+    problems = validate_worldcup(tables)
+    if problems:
+        raise ValidationError(str(problems))
     counts = [
         df.select(
             F.lit(name).alias("table_name"),
