@@ -374,3 +374,32 @@ def test_minhash_signature_matches_hand_computed_md5(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_fetch_cached_hit_miss_and_atomic_publish(tmp_path):
+    """OP01 cache contract: first fetch downloads, second is a hit; a
+    leftover partial (.part) file is never served as cached content; two
+    URLs sharing a basename do not collide."""
+    from world_cup_duckdb_spark.sources.remote import fetch_cached
+
+    src_a = tmp_path / "a" / "data.csv"
+    src_b = tmp_path / "b" / "data.csv"
+    src_a.parent.mkdir()
+    src_b.parent.mkdir()
+    src_a.write_text("x,y\n1,2\n")
+    src_b.write_text("x,y\n3,4\n")
+    cache = str(tmp_path / "cache")
+
+    p1, hit1 = fetch_cached(f"file://{src_a}", cache)
+    assert not hit1 and open(p1).read() == "x,y\n1,2\n"
+    p2, hit2 = fetch_cached(f"file://{src_a}", cache)
+    assert hit2 and p2 == p1
+    # same basename, different URL -> different cache entry
+    p3, hit3 = fetch_cached(f"file://{src_b}", cache)
+    assert not hit3 and p3 != p1 and open(p3).read() == "x,y\n3,4\n"
+    # a stray partial download must not read as cached
+    import os
+    stray = p1 + ".part"
+    open(stray, "w").write("partial")
+    p4, hit4 = fetch_cached(f"file://{src_a}", cache)
+    assert hit4 and open(p4).read() == "x,y\n1,2\n"

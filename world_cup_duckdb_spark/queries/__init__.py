@@ -69,7 +69,12 @@ def _ordered_names() -> list[str]:
     def canonical_op(n: str) -> bool:
         return re.match(r"^op\d+_", n) is not None
 
-    variants = ["op02b_csv_scan", "op02c_json_scan", "op02d_orc_scan"]
+    variants = [
+        "op02b_csv_scan",
+        "op02c_json_scan",
+        "op02d_orc_scan",
+        "op36b_replace_first",
+    ]
     priority_ext = [
         "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_clusters",
         "ext_dedup_simhash", "ext_dedup_ngram_jaccard", "ext_dedup_ssjoin",

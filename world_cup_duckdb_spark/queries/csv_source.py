@@ -129,6 +129,67 @@ def op02d_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NATION_CSV_SCHEMA = T.StructType(
+    [
+        # int, matching the parquet source schema so the result's types
+        # line up with the oracle reading the same table.
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@register(
+    "op01_remote_fetch_cache",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def op01_remote_fetch_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote CSV fetch through a local cache, then scan (OP01).
+
+    Reference: each source CSV is downloaded over HTTPS into `data/raw/`
+    only if absent (scripts/build_db.py:33-52). Engine: `sources/remote.py:
+    fetch_cached` — URL-md5-keyed cache, atomic tmp→rename publish — then
+    a schema-declared `spark.read.csv` over the cached copy. The query
+    fetches the SAME URL twice and asserts the second round was a cache
+    hit, so the fetch-if-absent contract is exercised on every run, not
+    just in a unit test. The sandbox has no network, so the "remote" URL
+    uses the file:// scheme; the fetch path is identical for http(s).
+    """
+    from world_cup_duckdb_spark.queries.lifecycle import (
+        _mark_staged,
+        _stable_staged_dir,
+    )
+    from world_cup_duckdb_spark.sources.remote import fetch_cached
+
+    # Stage the "remote" side once (plays the role of the upstream host).
+    remote_dir, staged = _stable_staged_dir("op01_remote_host")
+    csv_path = os.path.join(remote_dir, "nation.csv")
+    if not staged:
+        import csv as _csv
+
+        rows = table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).collect()  # 25 rows at any scale factor: nation is bounded
+        with open(csv_path, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+            w.writerows([r[0], r[1], r[2]] for r in rows)
+        _mark_staged(remote_dir)
+
+    cache = _fresh_dir("op01_cache")
+    url = f"file://{csv_path}"
+    local, hit = fetch_cached(url, cache)
+    assert not hit, "fresh cache dir cannot hit"
+    local2, hit2 = fetch_cached(url, cache)
+    assert hit2 and local2 == local, "second fetch must be served from cache"
+    return (
+        spark.read.schema(NATION_CSV_SCHEMA)
+        .option("header", True)
+        .csv(local)
+    )
+
+
 @register(
     "ext_python_datasource",
     oracle="""

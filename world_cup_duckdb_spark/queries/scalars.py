@@ -56,6 +56,37 @@ def op36_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op36b_replace_first",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN instr(p_name, ' ') > 0
+                THEN substr(p_name, 1, instr(p_name, ' ') - 1) || '_'
+                     || substr(p_name, instr(p_name, ' ') + 1)
+                ELSE p_name END AS first_swap
+    FROM part
+    """,
+)
+def op36b_replace_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String replace — FIRST occurrence only (OP36, exact Polars
+    fidelity).
+
+    Reference: Polars `str.replace` substitutes only the first match
+    (scripts/build_db.py:232). Spark's `regexp_replace`/`replace` are
+    replace-all, so first-only is expressed as locate → splice: head
+    before the match, replacement, tail after. All codegen-able builtins,
+    identical expression on the oracle side (`instr`/`substr` are common
+    SQL), no regex anchoring tricks."""
+    first = F.expr(
+        "CASE WHEN instr(p_name, ' ') > 0 "
+        "THEN concat(substr(p_name, 1, instr(p_name, ' ') - 1), '_', "
+        "substr(p_name, instr(p_name, ' ') + 1)) "
+        "ELSE p_name END"
+    )
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select("p_partkey", first.alias("first_swap"))
+
+
+@register(
     "op37_capitalize",
     oracle="""
     SELECT DISTINCT c_mktsegment,
