@@ -176,27 +176,31 @@ def ivf_index(
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse index: (centroids, assigned corpus).
 
-    Centroids are a deterministic spread of corpus vectors (every
-    ``stride``-th id — standing in for a k-means fit, which would slot in
-    here unchanged). Every corpus vector is assigned to its nearest
-    centroid by cosine: a broadcast cross-score against ``n_lists``
-    centroids + an argmax window — O(N·n_lists) map-side work, the real
-    IVF build cost. Both outputs are persistable: at 100 TB the index is
-    built once and the assigned corpus is written partitioned by
-    ``list_id`` so probes read only their lists' partitions.
+    Centroids are the ``n_lists`` corpus vectors with the smallest
+    ``md5(id)`` — a deterministic pseudo-random sample (hash order is
+    uncorrelated with insertion or key order), standing in for a k-means
+    fit, which would slot in here unchanged. The pick plans as
+    TakeOrderedAndProject: per-partition top-k heaps merged on the
+    driver — NO global sort, no single-partition window, no full-corpus
+    row_number — so it is exactly as scalable as any top-k. Every corpus
+    vector is then assigned to its nearest centroid by cosine: a
+    broadcast cross-score against ``n_lists`` centroids + a ``max_by``
+    hash-aggregate argmax (map-side partial, one uniform vid shuffle of
+    pre-reduced rows) — O(N·n_lists) map-side work, the real IVF build
+    cost. Both outputs are persistable: at 100 TB the index is built once
+    and the assigned corpus is written partitioned by ``list_id`` so
+    probes read only their lists' partitions.
     """
-    ids = corpus.select(F.col(id_col).alias("cid")).orderBy("cid")
-    w_all = Window.orderBy("cid")
     picked = (
-        ids.withColumn("rn", F.row_number().over(w_all))
-        .withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
-        .filter(F.col("rn") % F.greatest(F.floor(F.col("total") / n_lists), F.lit(1)) == 0)
+        corpus.select(F.col(id_col).alias("cid"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
         .limit(n_lists)
     )
     centroids = picked.join(
         corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("centroid")),
         "cid",
     ).select(
+        # n_lists rows total — this window sorts a bounded frame.
         F.row_number().over(Window.orderBy("cid")).cast("int").alias("list_id"),
         "centroid",
     )
@@ -204,12 +208,15 @@ def ivf_index(
     scored = F.broadcast(centroids).crossJoin(c).select(
         "vid", "v", "list_id", cosine(F.col("centroid"), F.col("v")).alias("c_sim")
     )
-    w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), F.asc("list_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vid", "v", "list_id")
-    )
+    # argmax(list) per vector: max_by over (c_sim, -list_id) replaces a
+    # row_number window — a hash aggregate with map-side partials instead
+    # of a partition-wide sort.
+    assigned = scored.groupBy("vid").agg(
+        F.any_value("v").alias("v"),
+        F.max_by(
+            "list_id", F.struct(F.col("c_sim"), (-F.col("list_id")).alias("neg"))
+        ).alias("list_id"),
+    ).select("vid", "v", "list_id")
     return centroids, assigned
 
 
