@@ -39,6 +39,12 @@ _DEFAULTS = {
     # CAST(ts AS TIMESTAMP)).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # This factory always builds local[...] masters: shuffle blocks never
+    # cross a network and live in the page cache, so lz4 on the shuffle
+    # path is pure CPU overhead. A cluster deployment passes extra_conf
+    # to re-enable both.
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
 }
 
 
