@@ -26,50 +26,16 @@ which makes every stage differentially testable against DuckDB.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.operators.text import char_shingles, tokens, word_shingles
 
 
-def spread_for_cpu_work(df: DataFrame, key_col: str) -> DataFrame:
-    """Fan a narrow scan out to the session's parallelism before CPU-heavy
-    map-side work (shingle md5 hashing is this file's hot spot).
-
-    Text-heavy tables pack many rows per file, so a small corpus often
-    arrives as ONE input split — and a single core then does all the
-    hashing while the rest idle. Hash-repartitions on ``key_col``
-    (NOT round-robin ``repartition()``, which inserts a deterministic
-    local SORT over full rows — on long text columns that sort costs more
-    than the hashing it parallelizes). The decision reads file metadata
-    only — never ``df.rdd`` (which under AQE executes the plan to learn
-    its partitioning: measured 3 s per call). Fires only when the scan's
-    ESTIMATED split count (total bytes / maxPartitionBytes) is below the
-    cluster's slot count; at real scale the scan has thousands of splits
-    and this is a no-op — no shuffle is ever added to the 100 TB path,
-    and unknown/remote inputs are left untouched (conservative)."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-        if not files or len(files) >= target:
-            return df
-        total = 0
-        for f in files:
-            p = f[5:] if f.startswith("file:") else f
-            total += os.path.getsize("/" + p.lstrip("/"))
-        max_pb = int(
-            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-            .rstrip("b")
-        )
-        est_splits = max(1, -(-total // max_pb))
-    except Exception:
-        return df
-    if est_splits < target:
-        return df.repartition(target, F.col(key_col))
-    return df
+# Re-exported from operators.scale (the shuffle-management toolkit);
+# shingle md5 hashing is this file's CPU hot spot and the reason the
+# helper exists — see minhash_bands.
+from world_cup_duckdb_spark.operators.scale import spread_for_cpu_work  # noqa: E402,F401
 
 
 def exact_duplicates(

@@ -218,3 +218,43 @@ def compact_parquet(
         if st.getPath().getName().endswith(".parquet")
     )
     return files_before, files_after
+
+
+def spread_for_cpu_work(df: DataFrame, key_col: str) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before CPU-heavy
+    map-side work (shingle hashing, embedding scoring).
+
+    Small text/vector tables pack many rows per file, so a corpus often
+    arrives as ONE input split — and a single core then does all the
+    work while the rest idle. Hash-repartitions on ``key_col``
+    (NOT round-robin ``repartition()``, which inserts a deterministic
+    local SORT over full rows — on long text columns that sort costs more
+    than the work it parallelizes). The decision reads file metadata
+    only — never ``df.rdd`` (which under AQE executes the plan to learn
+    its partitioning: measured 3 s per call). Fires only when the scan's
+    ESTIMATED split count (total bytes / maxPartitionBytes) is below the
+    cluster's slot count; at real scale the scan has thousands of splits
+    and this is a no-op — no shuffle is ever added to the 100 TB path,
+    and unknown/remote inputs are left untouched (conservative)."""
+    import os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files or len(files) >= target:
+            return df
+        total = 0
+        for f in files:
+            p = f[5:] if f.startswith("file:") else f
+            total += os.path.getsize("/" + p.lstrip("/"))
+        max_pb = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+            .rstrip("b")
+        )
+        est_splits = max(1, -(-total // max_pb))
+    except Exception:
+        return df
+    if est_splits < target:
+        return df.repartition(target, F.col(key_col))
+    return df

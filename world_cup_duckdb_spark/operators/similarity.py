@@ -56,12 +56,17 @@ def brute_force_topk(
     The query side is broadcast (it is small by contract); every corpus
     partition scores its vectors independently, then a ranking window
     partitioned by query reduces to k. Self-matches are excluded.
-    Deterministic tie-break: (sim DESC, neighbor_id ASC).
+    Deterministic tie-break: (sim DESC, neighbor_id ASC). The corpus is
+    fanned out to full parallelism when its scan has too few splits
+    (operators/scale.py:spread_for_cpu_work) — the |Q|·|C| scoring is the
+    CPU cost, and a small corpus otherwise scores on one core.
     """
+    from world_cup_duckdb_spark.operators.scale import spread_for_cpu_work
+
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = spread_for_cpu_work(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     )
     scored = (
