@@ -403,3 +403,26 @@ def test_fetch_cached_hit_miss_and_atomic_publish(tmp_path):
     open(stray, "w").write("partial")
     p4, hit4 = fetch_cached(f"file://{src_a}", cache)
     assert hit4 and open(p4).read() == "x,y\n1,2\n"
+
+
+def test_driver_key_order_puts_section2_ops_first():
+    """The round driver evaluates queries() in dict order under a bounded
+    budget (round 1: exactly the first 50 keys), so ordering IS coverage
+    policy: every canonical SURVEY §2 opNN key must occupy the first
+    slots, flagship immediately after, and no later registration may
+    displace them."""
+    import re
+
+    from world_cup_duckdb_spark.queries import REGISTRY, queries
+
+    names = list(queries())
+    canonical = sorted(
+        n for n in REGISTRY
+        if re.match(r"^op\d+_", n)
+        and n not in {"op02b_csv_scan", "op02c_json_scan", "op02d_orc_scan",
+                      "op36b_replace_first"}
+    )
+    head = set(names[: len(canonical)])
+    assert head == set(canonical), head ^ set(canonical)
+    assert names[len(canonical)] == "flagship"
+    assert set(names) == set(REGISTRY)
