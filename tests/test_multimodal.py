@@ -81,8 +81,10 @@ def test_frames_fanout_slices_payload(mm):
         assert n == 1 + len(payloads[doc_id]) % 4
 
 
-def test_real_codec_stub_fails_loudly():
-    with pytest.raises(NotImplementedError):
+def test_real_codec_rejects_compressed_formats_loudly():
+    # PPM/BMP decode for real; compressed formats fail at the documented
+    # PIL integration seam instead of returning garbage.
+    with pytest.raises(ValueError):
         decode_image_real(b"\x89PNG...")
 
 
@@ -104,3 +106,31 @@ def test_no_shuffle_in_narrow_maps(spark, mm):
     # decode is a narrow map over the scan: no Exchange in the plan.
     plan = decode_media(mm)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_decode_image_real_parses_actual_bytes():
+    """decode_image_real must parse dims from real format headers: PPM
+    with whitespace/comments, BMP little-endian fields, and reject
+    compressed formats at the documented seam."""
+    import struct
+
+    import pytest as _pytest
+
+    from world_cup_duckdb_spark.operators.multimodal import (
+        decode_image_real,
+        encode_ppm,
+    )
+
+    assert decode_image_real(encode_ppm(33, 21, b"xyz")) == (33, 21, 3)
+    # PPM allows comments and arbitrary whitespace in the header
+    ppm = b"P6\n# a comment\n  640\t480\n255\n" + b"\0" * (640 * 480 * 3)
+    assert decode_image_real(ppm) == (640, 480, 3)
+    # minimal BMP: magic + header fields at fixed offsets
+    bmp = bytearray(54)
+    bmp[:2] = b"BM"
+    struct.pack_into("<i", bmp, 18, 320)
+    struct.pack_into("<i", bmp, 22, -200)  # top-down bitmaps are negative
+    struct.pack_into("<H", bmp, 28, 24)
+    assert decode_image_real(bytes(bmp)) == (320, 200, 3)
+    with _pytest.raises(ValueError):
+        decode_image_real(b"\x89PNG\r\n\x1a\n")

@@ -6,12 +6,17 @@ north star). Media are opaque ``binary`` payload columns with a typed
 metadata struct alongside; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` transforms.
 
-The real codecs (PIL/libav) are NOT in this container, so the decode step
-is STUBBED: :func:`decode_image_real` raises ``NotImplementedError`` with
-the integration contract, and the pipeline uses :func:`fake_decode_batch`,
-a deterministic pure function of the payload bytes. Everything Spark-side —
-schemas, Arrow batch shapes, UDF signatures, 1→N row fan-out, partitioning
-behavior — is real and tested (tests/test_multimodal.py).
+Codec boundary: compressed-format libraries (PIL/libav) are NOT in this
+container. Uncompressed formats need no library, so the decode seam is
+REAL where it can be — :func:`decode_image_real` genuinely parses PPM
+(P6) and BMP headers from raw bytes (round-tripped end-to-end by
+``ext_mm_decode_real`` against a DuckDB oracle), and raises ValueError
+for compressed formats, whose PIL integration point is that exact seam.
+The bulk pipeline additionally keeps a deterministic fake decode
+(:func:`decode_media`) so every media_type flows without real payloads.
+Everything Spark-side — schemas, Arrow batch shapes, UDF signatures,
+1→N row fan-out, partitioning behavior — is real and tested
+(tests/test_multimodal.py).
 
 Scale design: every transform here is a *narrow* map — no shuffle, no
 driver involvement; throughput scales linearly with input splits. Arrow
@@ -68,17 +73,57 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Real decode stub — the codec libraries are not in this container.
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw RGB bytes as a binary PPM (P6) image — a real,
+    standardized uncompressed format, writable with no codec library.
+    ``pixels`` is tiled/truncated to exactly width*height*3 bytes."""
+    need = width * height * 3
+    reps = -(-need // max(len(pixels), 1))
+    body = (pixels * reps)[:need]
+    return b"P6\n%d %d\n255\n" % (width, height) + body
 
-    Integration contract: given raw media bytes, return (width, height,
-    channels). Wire in PIL.Image.open(io.BytesIO(payload)) (images) or
-    soundfile/av (audio/video) here; the surrounding mapInPandas plumbing
-    (fake_decode_batch's caller) stays unchanged.
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """REAL image decode for the two standard uncompressed formats a
+    container with no codec libraries can still parse honestly:
+
+    - **PPM (P6)**: ASCII header ``P6 <w> <h> <maxval>`` then raw RGB.
+    - **BMP (BITMAPINFOHEADER)**: little-endian width/height at byte
+      offsets 18/22, bits-per-pixel at 28.
+
+    Returns (width, height, channels) parsed from the actual bytes — not
+    derived from metadata. Compressed formats (JPEG/PNG/...) raise
+    ``ValueError``: wiring PIL.Image.open at this exact seam is the
+    documented integration point, and everything around it (mapInPandas
+    batching, schemas, fan-out) is unchanged by that swap.
     """
-    raise NotImplementedError(
-        "media codecs unavailable in this environment; "
-        "pipeline uses fake_decode_batch (deterministic fake)"
+    if payload[:2] == b"P6":
+        fields: list[bytes] = []
+        i = 2
+        while len(fields) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment line
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(payload[i:j])
+            i = j
+        width, height = int(fields[0]), int(fields[1])
+        return width, height, 3
+    if payload[:2] == b"BM":
+        import struct
+
+        width = struct.unpack_from("<i", payload, 18)[0]
+        height = abs(struct.unpack_from("<i", payload, 22)[0])
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        return width, height, max(1, bpp // 8)
+    raise ValueError(
+        "unsupported image format (PPM/BMP decodable here; wire "
+        "PIL.Image.open for compressed formats at this seam)"
     )
 
 
@@ -216,3 +261,35 @@ def sample_frames(mm: DataFrame) -> DataFrame:
             ).astype({"frame_idx": "int32", "frame_bytes": "int32"})
 
     return mm.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+DECODE_REAL_SCHEMA = "doc_id bigint, width int, height int, channels int"
+
+
+def decode_media_real(mm_ppm: DataFrame) -> DataFrame:
+    """Decode REAL PPM payloads via mapInPandas using
+    :func:`decode_image_real` — the genuine parse-the-bytes path (header
+    fields, not metadata, produce the dims). Input needs (doc_id,
+    payload) where payload is P6 bytes (see :func:`encode_ppm`)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            decoded = [decode_image_real(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(
+                        [d[0] for d in decoded], dtype="int32", index=pdf.index
+                    ),
+                    "height": pd.Series(
+                        [d[1] for d in decoded], dtype="int32", index=pdf.index
+                    ),
+                    "channels": pd.Series(
+                        [d[2] for d in decoded], dtype="int32", index=pdf.index
+                    ),
+                }
+            )
+
+    return mm_ppm.mapInPandas(batches, DECODE_REAL_SCHEMA)

@@ -127,3 +127,50 @@ def ext_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (batch grows; schema fixed)."""
     mm = attach_payload(load_tables(spark, sf_dir)["documents"])
     return sample_frames(mm).select("doc_id", "frame_idx", "frame_bytes")
+
+
+@register(
+    "ext_mm_decode_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + n_chars % 31 AS INT) AS width,
+           CAST(16 + (n_chars * 7) % 31 AS INT) AS height,
+           CAST(3 AS INT) AS channels
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def ext_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each sampled document becomes a
+    genuine binary PPM (P6) image (operators/multimodal.py:encode_ppm —
+    header + raw RGB, dims derived from n_chars), and
+    `decode_image_real` parses width/height/channels back FROM THE BYTES
+    inside an Arrow mapInPandas batch. The oracle recomputes the expected
+    dims from n_chars — a hash match proves the encode→decode round trip
+    through a real image format, not a metadata echo. The 1-in-50 sample
+    bounds payload volume; the map is narrow (no shuffle), so the path
+    scales with input splits like every other multimodal stage."""
+    from world_cup_duckdb_spark.operators.multimodal import (
+        decode_media_real,
+        encode_ppm,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text", "n_chars")
+    )
+
+    def encode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                encode_ppm(
+                    16 + int(n) % 31, 16 + (int(n) * 7) % 31, t.encode("utf-8")
+                )
+                for n, t in zip(pdf["n_chars"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ppm = docs.mapInPandas(encode_batches, "doc_id bigint, payload binary")
+    return decode_media_real(ppm)
