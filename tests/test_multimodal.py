@@ -3,7 +3,8 @@
 The parity suite already proves metadata/decode/resize/frames values
 against the DuckDB oracle; these tests cover what SQL can't see: byte
 content of rewritten payloads, feature determinism across partitionings,
-Arrow batch shapes, and that the stubbed real codec fails loudly.
+Arrow batch shapes, and the real PPM/BMP/WAV header parsers (including
+their loud rejection of compressed formats at the codec seam).
 """
 
 from __future__ import annotations
@@ -134,3 +135,19 @@ def test_decode_image_real_parses_actual_bytes():
     assert decode_image_real(bytes(bmp)) == (320, 200, 3)
     with _pytest.raises(ValueError):
         decode_image_real(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_audio_real_roundtrips_wav():
+    from world_cup_duckdb_spark.operators.multimodal import (
+        decode_audio_real,
+        encode_wav,
+    )
+
+    payload = encode_wav(16000, 2, b"\x01\x02" * 750)
+    assert decode_audio_real(payload) == (16000, 2, 375)
+    mono = encode_wav(8000, 1, b"\x00\x01" * 10)
+    assert decode_audio_real(mono) == (8000, 1, 10)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_audio_real(b"ID3\x04...mp3")

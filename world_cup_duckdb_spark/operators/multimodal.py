@@ -293,3 +293,51 @@ def decode_media_real(mm_ppm: DataFrame) -> DataFrame:
             )
 
     return mm_ppm.mapInPandas(batches, DECODE_REAL_SCHEMA)
+
+
+def encode_wav(sample_rate: int, channels: int, samples: bytes) -> bytes:
+    """Encode raw 16-bit PCM bytes as a real RIFF/WAVE file (header +
+    fmt + data chunks) — like PPM, writable with no codec library."""
+    import struct
+
+    n = len(samples) - (len(samples) % 2)
+    samples = samples[:n]
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate,
+        block_align, 16,
+    )
+    data = struct.pack("<4sI", b"data", n) + samples
+    riff_len = 4 + len(fmt) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE") + fmt + data
+
+
+def decode_audio_real(payload: bytes) -> tuple[int, int, int]:
+    """REAL audio decode for RIFF/WAVE PCM: walks the chunk list, reads
+    (sample_rate, channels, n_samples) from the fmt/data chunks — parsed
+    from the actual bytes, no codec library. Compressed audio (MP3/OGG)
+    raises ValueError at the soundfile/libav integration seam."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            "unsupported audio format (WAV/PCM decodable here; wire "
+            "soundfile/libav for compressed formats at this seam)"
+        )
+    i = 12
+    rate = chans = bits = None
+    n_data = 0
+    while i + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, i)
+        if cid == b"fmt ":
+            _, chans, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, i + 8
+            )
+        elif cid == b"data":
+            n_data = clen
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None:
+        raise ValueError("WAV missing fmt chunk")
+    n_samples = n_data // (chans * (bits // 8)) if chans and bits else 0
+    return rate, chans, n_samples
