@@ -64,11 +64,13 @@ def main() -> None:
     # own caching plus the OS page cache. At the bench scale the hot set
     # is ~tens of MB; a production cluster would persist the hot tables
     # the same way (or rely on executor-local disk cache).
-    from world_cup_duckdb_spark.sources.catalog import load_tables
+    # The sliced persist (warm_cache) matters as much as the warmth: the
+    # single-file fixtures otherwise scan as 1-3 splits and per-row work
+    # runs on 1-3 of the local cores while DuckDB row-group-parallelizes
+    # across all 32 — see catalog.warm_cache docstring.
+    from world_cup_duckdb_spark.sources.catalog import warm_cache
 
-    for df in load_tables(spark, sf_dir).values():
-        df.persist()
-        df.count()
+    warm_cache(spark, sf_dir)
     REGISTRY["flagship"].fn(spark, sf_dir).count()
 
     names = [n for n in HEADLINE if n in REGISTRY]

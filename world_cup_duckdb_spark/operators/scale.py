@@ -242,17 +242,28 @@ def spread_for_cpu_work(df: DataFrame, key_col: str) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
-        if not files or len(files) >= target:
+        if len(files) >= target:
             return df
-        total = 0
-        for f in files:
-            p = f[5:] if f.startswith("file:") else f
-            total += os.path.getsize("/" + p.lstrip("/"))
-        max_pb = int(
-            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-            .rstrip("b")
-        )
-        est_splits = max(1, -(-total // max_pb))
+        if not files:
+            # Persisted inputs report no files (the InMemoryRelation hides
+            # the scan). The cached partition count is the real parallelism
+            # then; reading it via df.rdd is cheap here because a cached
+            # scan + projection has no exchange for AQE to pre-execute
+            # (the 3 s df.rdd trap only bites plans with shuffles).
+            est_splits = df.rdd.getNumPartitions()
+        else:
+            total = 0
+            for f in files:
+                p = f[5:] if f.startswith("file:") else f
+                total += os.path.getsize("/" + p.lstrip("/"))
+            max_pb = int(
+                str(
+                    spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728"
+                    )
+                ).rstrip("b")
+            )
+            est_splits = max(1, -(-total // max_pb))
     except Exception:
         return df
     if est_splits < target:

@@ -16,6 +16,8 @@ equivalent of the reference's manual positional-column CSV projection
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -91,3 +93,56 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     (the role DuckDB replacement scans play in the reference, §3.1)."""
     for t in TABLES:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def warm_cache(
+    spark: SparkSession, sf_dir: str, slices: int | None = None
+) -> dict[str, DataFrame]:
+    """Persist every table in executor memory, sliced to the session's
+    parallelism, and swap the sliced plans into the catalog cache so every
+    subsequent `table()` call reuses them.
+
+    Why: the small-SF fixtures pack a whole table into one parquet file
+    (sf0.1 lineitem is 11 MB), so a plain scan yields 1-3 input splits and
+    per-row work runs on 1-3 of the 32 local cores. A production dataset
+    at the 100 TB design point has thousands of splits and never needs
+    this; `warm_cache` is the single-file-local-mode equivalent of that
+    many-split layout plus a warm buffer pool (which the DuckDB oracle in
+    BASELINE.md gets from its own cache + the OS page cache).
+
+    Slice policy per table role (measured at sf0.1, bench A/B):
+
+    - `documents`/`embeddings` → full `slices`: downstream work is
+      CPU-bound per row (shingling, md5, vector arithmetic), so idle
+      cores are the bottleneck (minhash 2.8 s → 1.0 s).
+    - fact tables → ~1 MB of parquet per slice, capped at `slices`: scans
+      and partial aggregations parallelize, but high-cardinality
+      aggregates (per-term, per-key) don't drown in per-partition partial
+      hash tables (tfidf regressed 2× at a flat 32-way slice).
+    - broadcast dims (BROADCAST_TABLES) unsliced: their joins never
+      shuffle, and slicing a 25-row table only adds tasks.
+    """
+    if slices is None:
+        slices = spark.sparkContext.defaultParallelism
+    out: dict[str, DataFrame] = {}
+    app = spark.sparkContext.applicationId
+    cpu_heavy = {"documents", "embeddings"}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        if name in cpu_heavy:
+            n = slices
+        elif name in BROADCAST_TABLES:
+            n = 1
+        else:
+            try:
+                bytes_ = os.path.getsize(f"{sf_dir}/{name}.parquet")
+            except OSError:
+                bytes_ = 0
+            n = min(slices, max(1, -(-bytes_ // (1 << 20))))
+        if n > 1 and df.rdd.getNumPartitions() < n:
+            df = df.repartition(n)
+        df = df.persist()
+        df.count()
+        _PLAN_CACHE[(app, sf_dir, name)] = df
+        out[name] = df
+    return out
