@@ -17,9 +17,10 @@ from world_cup_duckdb_spark.operators.optim import (
     HASH_PARAMS,
     MERSENNE_P,
     bloom_build,
-    bloom_probe,
+    bloom_probe,  # noqa: F401 — re-exported; the filter form of the probe
     cms_cells,
     cms_estimate,
+    poly_hash,
     priority_sample,
     zorder_key,
 )
@@ -124,28 +125,62 @@ def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
         .distinct()
+        # Materialize the tiny key set once: it feeds the bloom build
+        # (twice, via the probe union), and the exact semi-join — without
+        # truncation the supplier⋈dims subplan re-executes in every one of
+        # those places AND inside each probe join's broadcast build. At
+        # any scale the filter side of sideways information passing is
+        # computed once and shipped, never re-derived per consumer.
+        .localCheckpoint(eager=True)
     )
-    bloom = bloom_build(asia, "s_suppkey", _BLOOM_M)
-    cand = bloom_probe(
-        t["lineitem"].select("l_returnflag", "l_suppkey"),
-        "l_suppkey",
-        bloom,
-        _BLOOM_M,
-    )
-    c = cand.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("long").alias("bloom_candidates")
-    )
-    e = (
-        t["lineitem"]
-        .join(asia, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
-    )
-    return c.join(e, "l_returnflag").select(
+    bloom = bloom_build(asia, "s_suppkey", _BLOOM_M).localCheckpoint(eager=True)
+    # ONE pass over the fact table computes both counters: the bloom
+    # probes and the exact membership become per-row flags (broadcast word
+    # lookups + a broadcast left join on the key set), aggregated with
+    # conditional counts. The separate candidate-filter + exact-semi-join
+    # formulation scans lineitem twice — at 100 TB that is the difference
+    # between reading the corpus once and twice.
+    li = t["lineitem"].select("l_returnflag", "l_suppkey")
+    flags = []
+    for row in range(2):
+        pos = poly_hash(F.col("l_suppkey"), row, _BLOOM_M)
+        w = bloom.select(
+            F.col("word").alias(f"_w{row}"), F.col("bits").alias(f"_bits{row}")
+        )
+        li = li.join(
+            F.broadcast(w), (pos / 63).cast("long") == F.col(f"_w{row}"), "left"
+        )
+        flags.append(
+            F.call_function(
+                "shiftright",
+                F.coalesce(F.col(f"_bits{row}"), F.lit(0).cast("long")),
+                (pos % 63).cast("int"),
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
+    probed = li.join(
+        F.broadcast(asia.withColumnRenamed("s_suppkey", "_exact_key")),
+        F.col("l_suppkey") == F.col("_exact_key"),
+        "left",
+    ).select(
         "l_returnflag",
-        "bloom_candidates",
-        "exact_rows",
-        (F.col("bloom_candidates") - F.col("exact_rows")).alias("false_positives"),
+        (flags[0] & flags[1]).alias("_cand"),
+        F.col("_exact_key").isNotNull().alias("_exact"),
+    )
+    return (
+        probed.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("_cand")).cast("long").alias("bloom_candidates"),
+            F.count_if(F.col("_exact")).cast("long").alias("exact_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "bloom_candidates",
+            "exact_rows",
+            (F.col("bloom_candidates") - F.col("exact_rows")).alias(
+                "false_positives"
+            ),
+        )
     )
 
 
