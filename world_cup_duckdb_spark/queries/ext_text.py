@@ -239,16 +239,25 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword extraction or dedup weighting.
 
     Scale: tf aggregates exploded tokens with map-side partials (shuffle
-    ∝ distinct (doc, token), not token occurrences); df reduces tf by
-    token (vocabulary-sized); the df side is broadcast back onto tf, and
-    the corpus count N rides along as a literal-sized broadcast — the
-    only fact-sized shuffle is the first one."""
+    ∝ distinct (doc, token), not token occurrences); tf is materialized
+    once (localCheckpoint) because BOTH df and the final join consume it —
+    DataFrame plans have no common-subexpression reuse, so without
+    truncation the explode+aggregate runs twice. df then reduces tf by
+    token with a plain count (tf rows are unique per (doc, token) by
+    construction — countDistinct would pay the expand for nothing); the
+    df side is broadcast back onto tf, and the corpus count N rides along
+    as a literal-sized broadcast — the only fact-sized shuffle is the
+    first one."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "token")
