@@ -78,7 +78,9 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in REGISTRY]
 
-    reps = int(os.environ.get("BENCH_REPS", "5"))  # odd; median resists box noise
+    # 7 reps: this box shows multi-second CPU-steal spikes at random; the
+    # per-query MIN needs enough draws that at least one lands clean.
+    reps = int(os.environ.get("BENCH_REPS", "7"))
 
     def once(name: str) -> float:
         # Time build + execution together: queries may do eager work at
