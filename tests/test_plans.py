@@ -40,6 +40,25 @@ def test_flagship_broadcasts_dims(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 2, p
 
 
+def test_flagship_preaggregates_fact_below_joins(spark, sf_dir):
+    """The scale claims the flagship docstring makes, pinned to the plan:
+    (a) lineitem is reduced per orderkey BEFORE any join — the partial/
+    final HashAggregate pair sits below the first join in the tree, so
+    the biggest fact collapses ~4x before a row crosses a join; (b) the
+    revenue_rank <= 3 filter is pushed INTO the window as a
+    WindowGroupLimit, so the rank never materializes beyond k per group."""
+    p = plan(REGISTRY["flagship"].fn(spark, sf_dir))
+    # Formatted plans number operators bottom-up: (1) is the deepest node.
+    # The deepest chain must be scan(lineitem) → filter → partial
+    # HashAggregate keyed by l_orderkey — i.e. the fact reduces before it
+    # reaches ANY join.
+    scan1 = p.split("(1) Scan parquet")[1].split("(2)")[0]
+    assert "lineitem.parquet" in scan1, p
+    agg3 = p.split("(3) HashAggregate")[1].split("(4)")[0]
+    assert "Keys [1]: [l_orderkey" in agg3 and "partial_sum" in agg3, p
+    assert "WindowGroupLimit" in p, p
+
+
 def test_topk_is_take_ordered(spark, sf_dir):
     p = plan(REGISTRY["op47_topk"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
