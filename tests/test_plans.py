@@ -410,3 +410,24 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in default_plan, default_plan
     assert "SortMergeJoin" in hinted_plan, hinted_plan
+
+
+def test_bucketed_join_query_has_no_join_exchange(spark, sf_dir):
+    """ext_bucketed_join's sort-merge join must consume the bucketed
+    layout directly: no Exchange and no Sort between the table scans and
+    the join — the only exchange in the plan belongs to the final
+    aggregate."""
+    import re
+
+    df = REGISTRY["ext_bucketed_join"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "SortMergeJoin" in p, p
+    # Exactly one Exchange in the whole plan — the final aggregate's. The
+    # join itself consumes the bucketed layout with no shuffle on either
+    # side. (A within-task Sort remains below the join: Spark 3+ never
+    # trusts bucket sort order without a legacy flag, SPARK-28595 — it is
+    # exchange elimination that matters at scale.)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchange == 1, p
+    assert "Bucketed: true" in p, p
+    assert "SelectedBucketsCount: 4 out of 4" in p, p

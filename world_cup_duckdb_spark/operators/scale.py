@@ -98,10 +98,18 @@ def write_bucketed(
     """Persist ``df`` bucketed+sorted by ``key`` as a session-catalog
     table; returns the re-read table. Joins between two tables bucketed
     the same way on the same key run with zero exchanges (the write IS
-    the shuffle, paid once)."""
+    the shuffle, paid once).
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same Murmur3
+    hash as the bucketing, so every task holds exactly one bucket and
+    each bucket lands in ONE file — without it every input task writes a
+    file per bucket (a small-file explosion at scale), and a
+    multi-file-per-bucket layout makes downstream scans re-Sort because
+    only single-file buckets have a trustable global sort order."""
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
         .option("path", location)
         .bucketBy(n_buckets, key)
         .sortBy(key)

@@ -156,3 +156,66 @@ def ext_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "ext_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join ≡ plain join: both facts are persisted
+    bucketed+sorted by the join key, so the subsequent join runs
+    bucket-to-bucket with NO exchange on either side — the shuffle is
+    paid once at write time and amortized over every later join
+    (operators/scale.py:write_bucketed; tests/test_scale.py asserts the
+    exchange-free plan). At 100 TB this is how recurring fact-fact joins
+    (orders⋈lineitem every run) stop re-shuffling the corpus.
+
+    Hermetic: unique per-invocation table names + scratch location (the
+    returned plan lazily reads the bucketed files; nothing mutates them).
+    """
+    import uuid
+
+    from world_cup_duckdb_spark.operators.scale import write_bucketed
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    tag = uuid.uuid4().hex[:12]
+    loc = _fresh_dir(f"bucketed-{tag}")
+    li = write_bucketed(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        spark,
+        f"bkt_lineitem_{tag}",
+        "l_orderkey",
+        4,
+        f"{loc}/lineitem",
+    )
+    o = write_bucketed(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        spark,
+        f"bkt_orders_{tag}",
+        "o_orderkey",
+        4,
+        f"{loc}/orders",
+    )
+    from world_cup_duckdb_spark.functions.strings import cents
+
+    return (
+        # merge hint: at fixture scale the planner would broadcast orders,
+        # which bypasses the very mechanism under test; at fact scale SMJ
+        # is what the planner picks anyway, and bucket co-location means
+        # it runs with zero exchanges and zero sorts.
+        li.hint("merge")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents("l_quantity")).alias("qty_c"),
+        )
+    )
