@@ -431,3 +431,16 @@ def test_bucketed_join_query_has_no_join_exchange(spark, sf_dir):
     assert n_exchange == 1, p
     assert "Bucketed: true" in p, p
     assert "SelectedBucketsCount: 4 out of 4" in p, p
+
+
+def test_partitioned_layout_prunes_at_scan(spark, sf_dir):
+    """ext_partitioned_layout's re-read must prune to the two matching
+    hive partitions at the scan (PartitionFilters), and the partition
+    column must NOT appear in the file ReadSchema — it comes from the
+    directory layout, costing zero I/O."""
+    df = REGISTRY["ext_partitioned_layout"].fn(spark, sf_dir)
+    p = plan(df)
+    pf = p.split("PartitionFilters: [")[1].split("]")[0]
+    assert "IN (click,purchase)" in pf, p
+    rs = p.split("ReadSchema: ")[1].split("\n")[0]
+    assert "event_type" not in rs, p

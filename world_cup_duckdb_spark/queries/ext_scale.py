@@ -219,3 +219,46 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("l_quantity")).alias("qty_c"),
         )
     )
+
+
+@register(
+    "ext_partitioned_layout",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def ext_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned at-rest layout + partition-pruned scan: events are
+    written partitioned by event_type (operators/scale.py:
+    write_partitioned — the 100 TB fact layout), and the filtered re-read
+    prunes to the two matching directories with ZERO I/O on every other
+    partition (PartitionFilters in the scan; static + dynamic pruning
+    plan-asserted in tests/test_scale.py). The aggregate proves the
+    round-trip is lossless vs the unpartitioned oracle.
+
+    Hermetic: unique per-invocation scratch path; the returned plan
+    lazily reads files nothing will mutate.
+    """
+    from world_cup_duckdb_spark.operators.scale import write_partitioned
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    loc = _fresh_dir("partitioned-events")
+    write_partitioned(
+        table(spark, sf_dir, "events").select("event_type", "value"),
+        loc,
+        "event_type",
+    )
+    return (
+        spark.read.parquet(loc)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
