@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from world_cup_duckdb_spark.functions.strings import dec
+from world_cup_duckdb_spark.functions.strings import cents, dec
 from world_cup_duckdb_spark.operators.scale import salted_agg, salted_join
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import table
@@ -260,5 +260,47 @@ def ext_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "ext_compaction",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def ext_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: lineitem is staged as 64 small
+    files (the one-file-per-task-per-trigger debris streaming appends
+    leave behind), bin-packed back to ~target-sized files by
+    operators/scale.py:compact_parquet, and re-aggregated — hash-equality
+    with the oracle over the ORIGINAL table proves the maintenance job is
+    lossless. At 100 TB this job runs per ingest partition; without it,
+    scan planning and file-open overhead come to dominate query time.
+
+    Hermetic: unique per-invocation scratch path; after the atomic swap
+    the compacted files are never mutated.
+    """
+    from world_cup_duckdb_spark.operators.scale import compact_parquet
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    loc = _fresh_dir("compaction") + "/lineitem"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(loc)
+    before, after = compact_parquet(spark, loc, target_bytes=32 * 1024 * 1024)
+    assert after < before, (before, after)
+    return (
+        spark.read.parquet(loc)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents("l_quantity")).alias("qty_c"),
         )
     )
