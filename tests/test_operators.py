@@ -426,3 +426,26 @@ def test_driver_key_order_puts_section2_ops_first():
     assert head == set(canonical), head ^ set(canonical)
     assert names[len(canonical)] == "flagship"
     assert set(names) == set(REGISTRY)
+
+
+def test_surrogate_key_distributed_equals_global_window(spark):
+    """The range-shuffle + local-index + offset decomposition must assign
+    EXACTLY the ids the single-task global window form assigns, on an
+    input whose partitioning and order are adversarial (round-robin over
+    unsorted keys)."""
+    from world_cup_duckdb_spark.operators.relational import (
+        surrogate_key,
+        surrogate_key_distributed,
+    )
+
+    rows = [(k,) for k in (42, 7, 1999, 3, 500, 12, 8, 1001, 77, 256)]
+    df = spark.createDataFrame(rows, "k long").repartition(5)
+    got = {
+        (r.k): r.id
+        for r in surrogate_key_distributed(df, "X-", ["k"], n_ranges=3).collect()
+    }
+    want = {
+        (r.k): r.id for r in surrogate_key(df, "X-", ["k"]).collect()
+    }
+    assert got == want
+    assert want[3] == "X-1" and want[1999] == "X-10"

@@ -444,3 +444,24 @@ def test_partitioned_layout_prunes_at_scan(spark, sf_dir):
     assert "IN (click,purchase)" in pf, p
     rs = p.split("ReadSchema: ")[1].split("\n")[0]
     assert "event_type" not in rs, p
+
+
+def test_scalable_surrogate_key_has_no_fact_window(spark, sf_dir):
+    """ext_surrogate_key_scalable must range-partition the data and index
+    it in an Arrow map — the only Window in the plan runs over the
+    per-partition counts (<= n_ranges rows), never over the data."""
+    df = REGISTRY["ext_surrogate_key_scalable"].fn(spark, sf_dir)
+    p = plan(df)
+    tree = p.split("\n\n")[0]
+    # The indexed intermediate is checkpointed (lineage truncated), so the
+    # final plan reads it as Scan ExistingRDD — the range shuffle and the
+    # Arrow MapInPandas already ran, exactly once, at build time.
+    assert "Scan ExistingRDD" in tree, p
+    # Exactly one Window, and it computes the running offset over the
+    # per-partition counts — its subtree contains the _pid HashAggregate
+    # and it feeds the BROADCAST side of the offsets join, so no window
+    # function ever sees fact rows.
+    assert tree.count("Window") == 1, p
+    assert "BroadcastHashJoin" in tree, p
+    win_detail = p.split(") Window")[1].split("\n\n")[0]
+    assert "_pid" in win_detail, p

@@ -81,6 +81,87 @@ def surrogate_key(
     )
 
 
+def surrogate_key_distributed(
+    df: DataFrame,
+    prefix: str,
+    order_by: Sequence[str],
+    key_col: str = "id",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Dense 1-based prefixed surrogate keys WITHOUT a global window —
+    the fact-scale form of :func:`surrogate_key`.
+
+    The single-task global sort that a dense sequence seems to require is
+    decomposed into three scalable steps:
+
+    1. ``repartitionByRange(order_by) + sortWithinPartitions`` — a range
+       shuffle puts globally-ordered, non-overlapping key ranges in each
+       partition (every partition sorted internally, partitions ordered
+       by partition id).
+    2. An order-preserving Arrow ``mapInPandas`` assigns each row its
+       local 0-based index within its partition — pure per-partition
+       streaming, no state crosses partitions.
+    3. Per-partition row counts (one row per partition) get a running-sum
+       window — over ≤ ``n_ranges`` rows, never data — and the offsets
+       broadcast back: ``global_id = offset(pid) + local_index + 1``.
+
+    The intermediate is materialized (``localCheckpoint``) because BOTH
+    the count aggregate and the final join consume it: without the
+    truncation the range shuffle could re-execute with different sampled
+    partition boundaries for each consumer, and offsets computed from one
+    partitioning would be applied to another — silently wrong ids. With
+    unique ``order_by`` keys the assignment equals
+    ``ROW_NUMBER() OVER (ORDER BY order_by)`` exactly.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = spark.sparkContext.defaultParallelism
+    cols = df.columns
+    ranged = (
+        df.repartitionByRange(n_ranges, *[F.col(c) for c in order_by])
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # NOT schema.add(...): StructType.add mutates the receiver in place,
+    # and ranged.schema is the live cached schema of the input plan.
+    out_schema = T.StructType(
+        list(ranged.schema.fields) + [T.StructField("_local", T.LongType())]
+    )
+
+    def add_local(batches):
+        i = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_local"] = range(i, i + len(pdf))
+            i += len(pdf)
+            yield pdf
+
+    indexed = ranged.mapInPandas(add_local, schema=out_schema).localCheckpoint(
+        eager=True
+    )
+    counts = indexed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
+    )
+    return (
+        indexed.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            key_col,
+            F.concat(
+                F.lit(prefix),
+                (F.col("_offset") + F.col("_local") + 1).cast("string"),
+            ),
+        )
+        .select(key_col, *cols)
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from world_cup_duckdb_spark.operators.relational import (
     diagonal_union,
     surrogate_key,
+    surrogate_key_distributed,
     unpivot_measures,
 )
 from world_cup_duckdb_spark.queries import register
@@ -105,6 +106,30 @@ def op33_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surrogate_key(brands, "BR-", ["p_brand"], key_col="brand_id").select(
         "brand_id", "p_brand"
     )
+
+
+@register(
+    "ext_surrogate_key_scalable",
+    oracle="""
+    SELECT 'PK-' || CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS VARCHAR)
+             AS part_sk,
+           p_partkey
+    FROM part
+    """,
+)
+def ext_surrogate_key_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-scale dense surrogate keys with NO global window: range
+    shuffle + order-preserving Arrow local indexing + broadcast
+    partition offsets (operators/relational.py:surrogate_key_distributed
+    — the scale-safe answer to the single-task sort that op33's
+    dimension-sized form deliberately accepts). Hash equality with the
+    oracle's ROW_NUMBER() OVER (ORDER BY p_partkey) proves the
+    decomposition is exact."""
+    p = load_tables(spark, sf_dir)["part"]
+    return surrogate_key_distributed(
+        p.select("p_partkey"), "PK-", ["p_partkey"], key_col="part_sk",
+        n_ranges=8,
+    ).select("part_sk", "p_partkey")
 
 
 @register(
