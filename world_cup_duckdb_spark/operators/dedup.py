@@ -331,9 +331,18 @@ def connected_components(
     iterates ROUNDS, never rows.
     """
     half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # Pre-partition the (bidirected) edge set by the per-round join key
+    # and materialize it ONCE: localCheckpoint preserves the hash
+    # partitioning in the LogicalRDD, so every round's edges⋈labels join
+    # reuses the layout and only the (node-sized) label table shuffles
+    # per round — the loop cost is rounds × label-shuffle, not
+    # rounds × edge-shuffle.
+    spark = pairs.sparkSession
+    n_part = int(str(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     edges = (
         half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(n_part, F.col("dst"))
         .localCheckpoint()
     )
     # Seed one propagation round ahead: label_0 = min(self, neighbors) —
