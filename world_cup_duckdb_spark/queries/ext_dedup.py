@@ -362,3 +362,99 @@ def ext_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return prefix_filtered_jaccard_pairs(d, threshold=0.5)
+
+
+def _bands_sql(corpus_sql: str, prefix: str) -> str:
+    """Banded-signature CTE chain over a corpus subquery (shared by the
+    incremental-dedup oracle for its two sides)."""
+    return f"""
+    {prefix}tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM ({corpus_sql})),
+    {prefix}sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL.replace('toks', prefix + 'tok.toks')})) AS shingle
+      FROM {prefix}tok
+    ),
+    {prefix}seeded AS (
+      SELECT doc_id, s.seed,
+             md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS h
+      FROM {prefix}sh CROSS JOIN (SELECT unnest(range(0, 2)) AS seed) s
+    ),
+    {prefix}sigs AS (
+      SELECT doc_id, seed,
+             MIN(substr(h, 1, 8)) AS m0, MIN(substr(h, 9, 8)) AS m1,
+             MIN(substr(h, 17, 8)) AS m2, MIN(substr(h, 25, 8)) AS m3
+      FROM {prefix}seeded GROUP BY doc_id, seed
+    ),
+    {prefix}bands AS (
+      SELECT doc_id, CAST(seed * 2 AS INT) AS band, m0 || m1 AS band_key
+      FROM {prefix}sigs
+      UNION ALL
+      SELECT doc_id, CAST(seed * 2 + 1 AS INT) AS band, m2 || m3
+      FROM {prefix}sigs
+    )"""
+
+
+_IDX_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+_NEW_SQL = """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 2 = 0"""
+
+
+@register(
+    "ext_dedup_incremental",
+    oracle=f"""
+    WITH {_bands_sql(_IDX_SQL, 'i')},
+    {_bands_sql(_NEW_SQL, 'n')},
+    m AS (
+      SELECT n.doc_id, CAST(MIN(i.doc_id) AS BIGINT) AS matched_index_doc
+      FROM nbands n JOIN ibands i
+        ON n.band = i.band AND n.band_key = i.band_key
+      GROUP BY n.doc_id
+    )
+    SELECT d.doc_id, m.matched_index_doc,
+           m.matched_index_doc IS NOT NULL AS is_dup
+    FROM (SELECT DISTINCT doc_id FROM ({_NEW_SQL})) d
+    LEFT JOIN m USING (doc_id)
+    """,
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW crawl batch checked against the standing
+    corpus INDEX — the steady-state form of dedup in a production
+    pipeline (the full corpus is deduped once; every later batch only
+    joins its bands against the stored index bands, never re-hashing the
+    corpus). Index = even doc_ids; the new batch = odd doc_ids (novel)
+    plus re-crawled copies of the index (known dups). Each new doc gets
+    the minimum colliding index doc as its canonical match, or null.
+
+    Scale: the index bands are precomputed state (here checkpointed, at
+    100 TB a stored table); per batch the cost is hashing the BATCH plus
+    one bucket equi-join — incremental, never quadratic, and the join
+    key (band, band_key) is uniform md5 output, so no skew.
+    """
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    idx = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        idx.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    ibands = minhash_bands(idx, num_hashes=8, band_size=2).select(
+        F.col("doc_id").alias("_idx_doc"), "band", "band_key"
+    ).localCheckpoint(eager=True)
+    nbands = minhash_bands(new, num_hashes=8, band_size=2).localCheckpoint(
+        eager=True
+    )
+    m = (
+        nbands.join(ibands, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("_idx_doc").alias("matched_index_doc"))
+    )
+    return (
+        new.select("doc_id")
+        .distinct()
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            "matched_index_doc",
+            F.col("matched_index_doc").isNotNull().alias("is_dup"),
+        )
+    )
