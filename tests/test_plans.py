@@ -465,3 +465,19 @@ def test_scalable_surrogate_key_has_no_fact_window(spark, sf_dir):
     assert "BroadcastHashJoin" in tree, p
     win_detail = p.split(") Window")[1].split("\n\n")[0]
     assert "_pid" in win_detail, p
+
+
+def test_no_antipatterns_anywhere_in_registry(spark, sf_dir):
+    """Whole-registry anti-pattern gate: NO query in the registry may
+    plan a row-at-a-time Python eval (BatchEvalPython — Arrow paths show
+    as ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas and are fine)
+    or a non-broadcast CartesianProduct (broadcast nested-loop joins of
+    1-row aggregates are fine and show as BroadcastNestedLoopJoin).
+    Covers the extension surface, not just the reference ops."""
+    offenders = []
+    for name in REGISTRY:
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        for bad in ("BatchEvalPython", "CartesianProduct"):
+            if bad in p:
+                offenders.append((name, bad))
+    assert offenders == [], offenders
