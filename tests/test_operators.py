@@ -449,3 +449,67 @@ def test_surrogate_key_distributed_equals_global_window(spark):
     }
     assert got == want
     assert want[3] == "X-1" and want[1999] == "X-10"
+
+
+def test_hdr_quantiles_bounded_relative_error(spark, sf_dir):
+    """The HDR sketch's bucket geometry guarantees ≤ 2^-(m) relative
+    half-width per bucket (m=4 → 6.25%, plus midpoint rounding); every
+    estimated percentile must land within that bound of the exact one."""
+    from world_cup_duckdb_spark.operators.sketch import hdr_quantiles
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    est = {
+        r["l_returnflag"]: r
+        for r in hdr_quantiles(li, "l_extendedprice", ["l_returnflag"]).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(
+                    "percentile_cont({p}) WITHIN GROUP "
+                    "(ORDER BY l_extendedprice)".format(p=p)
+                ).alias(f"p{round(p * 100)}")
+                for p in (0.5, 0.95, 0.99)
+            ]
+        )
+        .collect()
+    }
+    assert set(est) == set(exact) and est
+    for flag, e in est.items():
+        for pct in (50, 95, 99):
+            rel = abs(e[f"hdr_p{pct}"] - exact[flag][f"p{pct}"]) / exact[flag][f"p{pct}"]
+            assert rel <= 0.07, (flag, pct, e[f"hdr_p{pct}"], exact[flag][f"p{pct}"])
+
+
+def test_hdr_quantiles_exact_small_values(spark):
+    """Values whose cents fit in the mantissa bits get single-integer
+    buckets: the sketch is EXACT there (no midpoint smearing)."""
+    from world_cup_duckdb_spark.operators.sketch import hdr_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 0.01), ("g", 0.05), ("g", 0.10), ("g", 0.15)],
+        "g string, v double",
+    )
+    row = hdr_quantiles(df, "v", ["g"], quantiles=[0.5]).collect()[0]
+    # cents 1,5,10,15: p50 rank = ceil(0.5*4) = 2nd value = 5 cents; the
+    # 15-cent bucket (bin length 4 = mantissa) is still exact.
+    assert row["n"] == 4 and row["hdr_p50"] == 0.05
+
+
+def test_minhash_accuracy_identical_pairs_are_calibrated(spark, sf_dir):
+    """Re-crawl copies are exact duplicates: every (doc, doc+1M) pair the
+    LSH surfaces must read est_jaccard = exact_jaccard = 1.0 — the
+    calibration query's fixed point."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = REGISTRY["ext_minhash_accuracy"].fn(spark, sf_dir).collect()
+    recrawl = [r for r in rows if r["doc_b"] == r["doc_a"] + 1_000_000]
+    assert recrawl, "LSH must recover the identical re-crawl pairs"
+    assert all(
+        r["est_jaccard"] == 1.0 and r["exact_jaccard"] == 1.0 for r in recrawl
+    )

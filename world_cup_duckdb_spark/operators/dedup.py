@@ -54,15 +54,14 @@ def exact_duplicates(
     )
 
 
-def minhash_bands(
+def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
-    band_size: int = 2,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """Per-document LSH band keys: (id, band, band_key).
+    """Per-document MinHash signatures: (id, sig0..sig{n-1}).
 
     Signature_i = min over shingles of an 8-hex-char (32-bit) slice of a
     seeded md5 — min over a seeded uniform hash is a valid MinHash
@@ -70,17 +69,15 @@ def minhash_bands(
     streams, and hex-string min is portable. So num_hashes signatures
     cost only ceil(num_hashes/4) md5 evaluations per shingle (md5 is the
     map-side hot spot; slicing one digest 4 ways measured ~1.5× faster
-    end-to-end than one digest per signature). Bands concatenate
-    `band_size` consecutive signatures. The heavy part (shingling +
-    hashing) is map-side; one shuffle aggregates min per doc.
+    end-to-end than one digest per signature).
     """
     # Signatures are computed WITHOUT a shuffle: min-over-shingles runs as
     # array_min(transform(...)) inside the row, so no shingle explode ever
-    # hits an exchange — the per-doc row count is unchanged end-to-end and
-    # the band self-join is the pipeline's only shuffle. (The earlier
-    # explode → groupBy(min) formulation shuffled nothing extra either —
-    # partial aggregation combined map-side — but paid the 2M-row explode
-    # and hash-agg; the in-row form measured ~2× faster at sf0.1.)
+    # hits an exchange — the per-doc row count is unchanged end-to-end.
+    # (The earlier explode → groupBy(min) formulation shuffled nothing
+    # extra either — partial aggregation combined map-side — but paid the
+    # 2M-row explode and hash-agg; the in-row form measured ~2× faster at
+    # sf0.1.)
     # NOTE: F.transform treats a TWO-parameter lambda as (element, index) —
     # the `lambda s, seed=seed:` idiom silently binds the loop variable to
     # the array-index Column and corrupts every hash. Loop values must be
@@ -104,7 +101,7 @@ def minhash_bands(
         doc = doc.withColumn(
             f"_h{seed}", F.transform(F.col("_sh"), _seeded_md5(seed))
         )
-    sigs = doc.select(
+    return doc.select(
         F.col(id_col),
         *[
             F.array_min(
@@ -113,8 +110,40 @@ def minhash_bands(
             for i in range(num_hashes)
         ],
     )
-    # (doc, band, band_key) via stack — a map-side unpivot of the tiny
-    # per-doc signature row; band keys concatenate consecutive signatures.
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-document LSH band keys: (id, band, band_key).
+
+    Bands concatenate `band_size` consecutive signatures from
+    :func:`minhash_signatures`. The heavy part (shingling + hashing) is
+    map-side; the downstream band self-join is the pipeline's only
+    shuffle.
+    """
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes=num_hashes, shingle_words=shingle_words
+    )
+    return bands_from_signatures(sigs, id_col, num_hashes, band_size)
+
+
+def bands_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band, band_key) from a signature table — a map-side stack
+    unpivot of the tiny per-doc signature row; band keys concatenate
+    `band_size` consecutive signatures. Split out so callers that need
+    BOTH the signatures and the bands (e.g. the LSH-calibration query)
+    compute the expensive signature stage once."""
     n_bands = num_hashes // band_size
     stack_args = ", ".join(
         "{b}, concat({cols}) ".format(

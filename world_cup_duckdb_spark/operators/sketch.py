@@ -97,6 +97,84 @@ def kmv_distinct_estimate(
     )
 
 
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float] | None = None,
+    mantissa_bits: int = 4,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group quantile estimates from an HDR-histogram-style log-linear
+    sketch — the quantile member of the portable-sketch family (KMV for
+    distinct counts, this for percentiles).
+
+    Bucketing (HdrHistogram's exponent+mantissa scheme, all integer math so
+    both engines agree bit-for-bit — no libm log whose last-ulp rounding
+    could flip a bucket at a boundary): the value is fixed-pointed to an
+    integer ``c = round(value * scale)``, its binary magnitude is
+    ``b = length(bin(c))``, and the top ``mantissa_bits`` bits index a
+    sub-bucket within the octave: ``sub = floor(c / 2^shift)`` with
+    ``shift = max(b - mantissa_bits, 0)``. Buckets are disjoint intervals
+    ``[sub*2^shift, (sub+1)*2^shift)`` with relative width ``2^-(m-1)``
+    (m=4 → ≤ 6.7% relative error); the estimate is the bucket midpoint
+    (exact value when the bucket is single-integer).
+
+    Scale properties (why this replaces exact PERCENTILE_CONT at 100 TB):
+    the bucket count aggregation combines map-side (a group's state is
+    ≤ ~16 buckets/octave × ~40 octaves regardless of row count), sketches
+    merge by adding counts — so daily partials can be stored and any range
+    re-aggregated without rescanning facts — and the quantile extraction
+    runs over those few bucket rows, not the data. Division by a power of
+    two is exact in IEEE double for c < 2^53, so the only rounding is the
+    final display ROUND — deterministic across engines, hence
+    oracle-hashable (unlike percentile_approx, whose Greenwald-Khanna
+    summary is implementation-defined; see approx_group_stats).
+
+    Output: group cols + ``n`` (bigint) + one ``hdr_p{pct}`` double per
+    requested quantile (bucket-midpoint estimate, rounded to 4 decimals).
+    """
+    quantiles = quantiles or [0.5, 0.95, 0.99]
+    c = F.round(F.col(value_col) * scale).cast("bigint")
+    base = df.select(*group_cols, c.alias("_c")).filter(F.col("_c") >= 1)
+    shift = F.greatest(
+        F.length(F.bin(F.col("_c"))) - F.lit(mantissa_bits), F.lit(0)
+    )
+    sub = F.floor(F.col("_c") / F.pow(F.lit(2.0), shift.cast("double"))).cast(
+        "bigint"
+    )
+    counts = (
+        base.withColumn("_shift", shift)
+        .withColumn("_sub", sub)
+        .groupBy(*group_cols, "_shift", "_sub")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    two_pow = F.pow(F.lit(2.0), F.col("_shift").cast("double"))
+    lo = F.col("_sub") * two_pow  # bucket lower bound: orders buckets by value
+    est = (
+        F.when(F.col("_shift") > 0, (F.col("_sub") + F.lit(0.5)) * two_pow)
+        .otherwise(F.col("_sub").cast("double"))
+        / F.lit(float(scale))
+    )
+    grp = Window.partitionBy(*group_cols)
+    cum_w = grp.orderBy(lo).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = counts.select(
+        *group_cols,
+        F.round(est, 4).alias("_est"),
+        F.sum("_cnt").over(cum_w).alias("_cum"),
+        F.sum("_cnt").over(grp).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n")]
+    for q in quantiles:
+        target = F.ceil(F.lit(q) * F.col("_n"))
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, F.col("_est"))).alias(
+                f"hdr_p{round(q * 100)}"
+            )
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
 def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     """Partition-local Misra-Gries heavy-hitter candidates.
 

@@ -458,3 +458,130 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched_index_doc").isNotNull().alias("is_dup"),
         )
     )
+
+
+@register(
+    "ext_minhash_accuracy",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    shs AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM tok
+    ),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shs),
+    seeded AS (
+      SELECT doc_id, s.seed,
+             md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS seed) s
+    ),
+    persig AS (
+      SELECT doc_id, seed,
+             MIN(substr(h, 1, 8)) AS m0, MIN(substr(h, 9, 8)) AS m1,
+             MIN(substr(h, 17, 8)) AS m2, MIN(substr(h, 25, 8)) AS m3
+      FROM seeded GROUP BY doc_id, seed
+    ),
+    sigs AS (
+      SELECT doc_id,
+             MAX(CASE WHEN seed = 0 THEN m0 END) AS s0,
+             MAX(CASE WHEN seed = 0 THEN m1 END) AS s1,
+             MAX(CASE WHEN seed = 0 THEN m2 END) AS s2,
+             MAX(CASE WHEN seed = 0 THEN m3 END) AS s3,
+             MAX(CASE WHEN seed = 1 THEN m0 END) AS s4,
+             MAX(CASE WHEN seed = 1 THEN m1 END) AS s5,
+             MAX(CASE WHEN seed = 1 THEN m2 END) AS s6,
+             MAX(CASE WHEN seed = 1 THEN m3 END) AS s7
+      FROM persig GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, s0 || s1 AS band_key FROM sigs
+      UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigs
+      UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigs
+      UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(((CASE WHEN x.s0 = y.s0 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.s1 = y.s1 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.s2 = y.s2 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.s3 = y.s3 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.s4 = y.s4 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.s5 = y.s5 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.s6 = y.s6 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.s7 = y.s7 THEN 1 ELSE 0 END)) / 8.0,
+                 6) AS est_jaccard,
+           ROUND(len(list_intersect(p.sh, q.sh))
+                 / CAST(len(list_distinct(list_concat(p.sh, q.sh))) AS DOUBLE),
+                 6) AS exact_jaccard
+    FROM cand c
+    JOIN sigs x ON x.doc_id = c.doc_a
+    JOIN sigs y ON y.doc_id = c.doc_b
+    JOIN shs p ON p.doc_id = c.doc_a
+    JOIN shs q ON q.doc_id = c.doc_b
+    """,
+)
+def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH sketch calibration: for every MinHash-LSH candidate pair,
+    the Jaccard ESTIMATE implied by the signatures (fraction of the 8
+    signatures that agree) next to the EXACT shingle-set Jaccard — the
+    audit that tells you whether your banding parameters (8 hashes, 4
+    bands of 2) are tuned to the corpus before you spend a 100 TB pass
+    trusting them.
+
+    The signature stage (the expensive md5-over-shingles map work) is
+    computed ONCE and checkpointed; bands, candidate pairs, signature
+    agreement, and the exact verify all reuse it
+    (operators/dedup.py:minhash_signatures/bands_from_signatures). The
+    exact Jaccard runs only on candidate pairs (LSH-bounded, never
+    all-pairs), which is precisely the verify-stage contract. Estimates
+    are md5-deterministic, so the oracle hash-checks the CALIBRATION
+    itself, not just the mechanism."""
+    from world_cup_duckdb_spark.operators.dedup import (
+        bands_from_signatures,
+        minhash_signatures,
+    )
+    from world_cup_duckdb_spark.operators.text import tokens, word_shingles
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    corpus = with_recrawl(d)
+    sigs = minhash_signatures(corpus, num_hashes=8).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(bands_from_signatures(sigs, num_hashes=8, band_size=2))
+    shs = corpus.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), 3)).alias("sh"),
+    ).localCheckpoint(eager=True)
+
+    agree = sum(
+        F.when(F.col(f"a_sig{i}") == F.col(f"b_sig{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a_sig{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b_sig{i}") for i in range(8)],
+    )
+    pa = shs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    pb = shs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(8.0), 6).alias("est_jaccard"),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )

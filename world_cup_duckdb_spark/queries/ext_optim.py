@@ -319,3 +319,63 @@ def ext_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/optim.py:priority_sample)."""
     docs = load_tables(spark, sf_dir)["documents"]
     return priority_sample(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 20)
+
+
+@register(
+    "ext_hdr_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             GREATEST(LENGTH(bin(c)) - 4, 0) AS shift,
+             CAST(FLOOR(c / POWER(2.0, GREATEST(LENGTH(bin(c)) - 4, 0)))
+                  AS BIGINT) AS sub
+      FROM c WHERE c >= 1
+    ),
+    counts AS (
+      SELECT l_returnflag, shift, sub, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY l_returnflag, shift, sub
+    ),
+    ranked AS (
+      SELECT l_returnflag,
+             ROUND(CASE WHEN shift > 0
+                        THEN (sub + 0.5) * POWER(2.0, shift)
+                        ELSE CAST(sub AS DOUBLE) END / 100.0, 4) AS est,
+             SUM(cnt) OVER (PARTITION BY l_returnflag
+                            ORDER BY sub * POWER(2.0, shift)
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM counts
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN est END) AS hdr_p50,
+           MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN est END) AS hdr_p95,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN est END) AS hdr_p99
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def ext_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch per return flag
+    (operators/sketch.py:hdr_quantiles): extended price fixed-pointed to
+    integer cents and bucketed by binary magnitude + top-4 mantissa bits
+    (≤6.7% relative error), p50/p95/p99 read off the tiny cumulative
+    bucket table. The quantile member of the portable-sketch family
+    (KMV distinct / CMS frequency / Misra-Gries heavy hitters) — all
+    integer bucketing, so unlike percentile_approx the ESTIMATE is
+    bit-identical across engines and the oracle hash-checks it. Sketch
+    state is O(buckets) per group and merges by adding counts — the
+    store-daily-partials, reaggregate-any-range pattern at 100 TB.
+    """
+    from world_cup_duckdb_spark.operators.sketch import hdr_quantiles
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return hdr_quantiles(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_extendedprice",
+        ["l_returnflag"],
+    )
