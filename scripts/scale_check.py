@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Scaling self-check: catch accidentally super-linear operators.
+
+Replicates the fixture tables R× with shifted keys into a scratch
+directory, then times headline queries COLD (fresh file scans, no warm
+cache) at 1× and R× and reports per-query wall growth. An operator whose
+growth exceeds the data growth is super-linear — the thing that works at
+sf0.1 and dies at 100 TB. BASELINE.md records a run of this check; the
+script is committed so the claim is reproducible round-over-round.
+
+Replication is deliberately ADVERSARIAL for the dedup path: each replica
+suffixes document text with a replica tag, so the corpus becomes
+near-dup-HEAVY (R near-identical copies of every document) — the worst
+case for LSH bucket blowup. Fact keys (orderkey, event_id, doc_id) shift
+per replica so PK uniqueness holds; shared dimensions (customer, part,
+supplier, nation, region) stay 1×, so per-key fan-in grows R× — the skew
+direction, not the easy disjoint-key direction.
+
+Usage:
+    python scripts/scale_check.py [--sf-dir DIR] [--replication R]
+                                  [--reps N] [--queries a,b,c] [--keep]
+
+Prints one JSON line:
+    {"metric": "scale_check", "replication": R,
+     "queries": {name: {"base": s, "scaled": s, "growth": x}}, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+#: Queries timed by default — the BASELINE.md self-check set: every
+#: data-proportional headline query plus the training-data-pipeline ops
+#: whose scale behavior is the engine's core claim.
+DEFAULT_QUERIES = [
+    "flagship",
+    "op26_join_composite",
+    "op28_self_join",
+    "op43_hash_agg",
+    "op44_distinct_agg",
+    "ext_dedup_minhash",
+    "ext_tfidf",
+    "ext_sessionize_batch",
+    "ext_ann_bruteforce",
+    "ext_bloom_semijoin",
+]
+
+_KEY_SHIFT = 10**9  # orderkey/event space per replica
+_DOC_SHIFT = 10**7  # doc_id space per replica (documents + embeddings)
+
+
+def stage(
+    spark: SparkSession, src_dir: str, dst_dir: str, replication: int
+) -> None:
+    """Write a replication×-scaled copy of every table to ``dst_dir`` in
+    the catalog's ``<dir>/<name>.parquet`` layout.
+
+    Facts are unioned replicas with shifted surrogate keys (FK pairs
+    shift together: lineitem.l_orderkey tracks orders.o_orderkey);
+    documents get a per-replica text suffix (near-dup-heavy corpus);
+    dimensions copy through 1×. replication=1 stages a plain copy — the
+    cold-scan baseline, so both timings read staged parquet written the
+    same way (the comparison is data volume, not file layout).
+    """
+    from world_cup_duckdb_spark.sources.catalog import TABLES, table
+
+    for name in TABLES:
+        df = table(spark, src_dir, name)
+        if name == "orders":
+            out = _union_all(
+                [df]
+                + [
+                    df.withColumn(
+                        "o_orderkey", F.col("o_orderkey") + r * _KEY_SHIFT
+                    )
+                    for r in range(1, replication)
+                ]
+            )
+        elif name == "lineitem":
+            out = _union_all(
+                [df]
+                + [
+                    df.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + r * _KEY_SHIFT
+                    )
+                    for r in range(1, replication)
+                ]
+            )
+        elif name == "events":
+            out = _union_all(
+                [df]
+                + [
+                    df.withColumn(
+                        "event_id", F.col("event_id") + r * _KEY_SHIFT
+                    )
+                    for r in range(1, replication)
+                ]
+            )
+        elif name == "documents":
+            out = _union_all(
+                [df]
+                + [
+                    df.withColumn("doc_id", F.col("doc_id") + r * _DOC_SHIFT)
+                    .withColumn("text", F.concat("text", F.lit(f" r{r}")))
+                    for r in range(1, replication)
+                ]
+            )
+        elif name == "embeddings":
+            out = _union_all(
+                [df]
+                + [
+                    df.withColumn("vec_id", F.col("vec_id") + r * _DOC_SHIFT)
+                    for r in range(1, replication)
+                ]
+            )
+        else:  # bounded dimensions stay 1× — fan-in grows, the hard case
+            out = df
+        out.write.mode("overwrite").parquet(f"{dst_dir}/{name}.parquet")
+
+
+def _union_all(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def time_queries(
+    spark: SparkSession, sf_dir: str, names: list[str], reps: int
+) -> dict[str, float]:
+    """Min-of-reps cold wall time per query (build + full materialization
+    via noop write — same timer as bench.py, minus the warm cache)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    out: dict[str, float] = {}
+    for name in names:
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+    return out
+
+
+def run_check(
+    spark: SparkSession,
+    sf_dir: str,
+    replication: int,
+    reps: int,
+    names: list[str],
+    scratch: str,
+) -> dict:
+    base_dir = os.path.join(scratch, "base")
+    scaled_dir = os.path.join(scratch, f"x{replication}")
+    stage(spark, sf_dir, base_dir, 1)
+    stage(spark, sf_dir, scaled_dir, replication)
+    base = time_queries(spark, base_dir, names, reps)
+    scaled = time_queries(spark, scaled_dir, names, reps)
+    return {
+        "metric": "scale_check",
+        "replication": replication,
+        "sf_dir": sf_dir,
+        "reps": reps,
+        "queries": {
+            n: {
+                "base": base[n],
+                "scaled": scaled[n],
+                "growth": round(scaled[n] / base[n], 2) if base[n] else None,
+            }
+            for n in names
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--replication", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the staged scratch tables")
+    args = ap.parse_args()
+
+    from world_cup_duckdb_spark import get_spark
+
+    spark = get_spark("wcdbs-scale-check")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        f"scalecheck-{uuid.uuid4().hex[:12]}",
+    )
+    try:
+        report = run_check(
+            spark,
+            args.sf_dir,
+            args.replication,
+            args.reps,
+            [n for n in args.queries.split(",") if n],
+            scratch,
+        )
+        print(json.dumps(report))
+        worst = max(
+            (q["growth"] or 0) for q in report["queries"].values()
+        )
+        if worst > args.replication:
+            print(
+                f"WARNING: max growth {worst}× exceeds data growth "
+                f"{args.replication}× — super-linear operator",
+                file=sys.stderr,
+            )
+    finally:
+        if not args.keep:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -441,3 +441,39 @@ def test_spread_fires_on_persisted_single_partition_input(spark):
         )
     finally:
         df.unpersist()
+
+
+def test_scale_check_harness_stages_and_times(spark, sf_dir, tmp_path):
+    """The committed scaling harness (scripts/scale_check.py) must stage
+    shifted-key replicas in the catalog layout and produce growth numbers
+    — the reproducible form of BASELINE.md's 8× self-check."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import scale_check
+
+    report = scale_check.run_check(
+        spark,
+        sf_dir,
+        replication=2,
+        reps=1,
+        names=["op43_hash_agg"],
+        scratch=str(tmp_path / "sc"),
+    )
+    q = report["queries"]["op43_hash_agg"]
+    assert report["replication"] == 2
+    assert q["base"] > 0 and q["scaled"] > 0 and q["growth"] > 0
+    # staged replica actually doubled the fact table
+    import pyspark.sql.functions as F  # noqa: F401
+
+    doubled = spark.read.parquet(str(tmp_path / "sc" / "x2" / "lineitem.parquet"))
+    base = spark.read.parquet(str(tmp_path / "sc" / "base" / "lineitem.parquet"))
+    assert doubled.count() == 2 * base.count()
+    # replica key spaces are disjoint (the shift really separates them;
+    # the fixture itself carries PK duplicates by design — op50's quarry —
+    # so per-replica duplicate structure is preserved, not collapsed)
+    assert (
+        doubled.select("l_orderkey").distinct().count()
+        == 2 * base.select("l_orderkey").distinct().count()
+    )
