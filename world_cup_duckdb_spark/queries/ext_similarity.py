@@ -99,26 +99,148 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb.unionByName(copy), threshold=0.95)
 
 
-@register("ext_ann_lsh", oracle=None)
+def _sign_lsh_sql(num_planes: int = 4) -> str:
+    """DuckDB mirror of operators/similarity.py:lsh_signature: bit p =
+    sign of the vector's sequential-fold projection onto a hyperplane
+    whose ±1 coefficients come from md5(p ':' dim)."""
+    projs = []
+    for p in range(num_planes):
+        coef = (
+            "CASE WHEN (strpos('0123456789abcdef', "
+            f"substr(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) "
+            "% 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        projs.append(
+            "(CASE WHEN list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * ({coef}))) > 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(projs)
+
+
+@register(
+    "ext_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                                          i -> v[i] * v[i]))) AS nrm,
+             CAST({_sign_lsh_sql(4)} AS INT) AS bucket
+      FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+          FROM sigs WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+                                     i -> q.qv[i] * c.v[i]))
+               / (q.qnrm * c.nrm) AS cos_sim
+      FROM q JOIN sigs c ON q.bucket = c.bucket
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (operators/similarity.py:lsh_topk): random
     hyperplane signatures → bucket equi-join → exact re-score. The scale
-    path replacing brute-force's cross join. Rows-only check: the output
-    is an approximation whose recall is measured in tests against
-    brute_force_topk, not a SQL-expressible oracle."""
+    path replacing brute-force's cross join. Hash-checked oracle: the
+    hyperplane coefficients are md5-derived and the projection is a
+    sequential double fold, so DuckDB reproduces bucket assignments —
+    and therefore the APPROXIMATE top-k itself — exactly; recall vs
+    brute force is additionally pytest-measured."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, num_planes=4)
 
 
-@register("ext_ann_ivf", oracle=None)
+@register(
+    "ext_ann_ivf",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(embedding AS DOUBLE[])[i]
+                    * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+      FROM embeddings
+    ),
+    picked AS (
+      SELECT vec_id AS cid FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    centroids AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) AS INT) AS list_id,
+             e.v AS centroid, e.nrm AS cnrm
+      FROM picked JOIN e ON e.vec_id = picked.cid
+    ),
+    assign_scored AS (
+      SELECT e.vec_id AS vid, e.v, e.nrm, c.list_id,
+             list_sum(list_transform(range(1, len(c.centroid) + 1),
+                                     i -> c.centroid[i] * e.v[i]))
+               / (c.cnrm * e.nrm) AS c_sim
+      FROM e CROSS JOIN centroids c
+    ),
+    assigned AS (
+      SELECT vid, v, nrm, list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vid ORDER BY c_sim DESC, list_id) AS rn
+        FROM assign_scored
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+          FROM e WHERE vec_id < 10),
+    q_scored AS (
+      SELECT q.query_id, q.qv, q.qnrm, c.list_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+                                     i -> q.qv[i] * c.centroid[i]))
+               / (q.qnrm * c.cnrm) AS c_sim
+      FROM q CROSS JOIN centroids c
+    ),
+    probes AS (
+      SELECT query_id, qv, qnrm, list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY c_sim DESC, list_id) AS rn
+        FROM q_scored
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vid AS neighbor_id,
+             MAX(list_sum(list_transform(range(1, len(p.qv) + 1),
+                                         i -> p.qv[i] * a.v[i]))
+                 / (p.qnrm * a.nrm)) AS cos_sim
+      FROM probes p JOIN assigned a ON p.list_id = a.list_id
+      WHERE p.query_id <> a.vid
+      GROUP BY p.query_id, a.vid
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM cand
+    )
+    WHERE rnk <= 5
+    """,
+)
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-5 for 10 query vectors: coarse-quantize
     the corpus into 16 lists, probe the 4 nearest lists per query, exact
     re-score only within them (operators/similarity.py:ivf_topk — the
     candidate join is an equi-join on list_id, not a cross join).
-    Rows-only driver check; recall vs brute force and the
-    full-probe ≡ brute-force identity are pytest-verified
-    (tests/test_similarity.py)."""
+    Hash-checked oracle: the md5-ordered centroid pick, the argmax list
+    assignment, the probe selection, and every cosine are deterministic,
+    so DuckDB reproduces the APPROXIMATE result exactly — the whole IVF
+    pipeline (not just its mechanism) is differentially tested. Recall
+    vs brute force and the full-probe ≡ brute-force identity are
+    additionally pytest-verified (tests/test_similarity.py)."""
     from world_cup_duckdb_spark.operators.similarity import ivf_topk
 
     emb = load_tables(spark, sf_dir)["embeddings"]
