@@ -79,7 +79,7 @@ def _ordered_names() -> list[str]:
         "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_clusters",
         "ext_dedup_simhash", "ext_dedup_ngram_jaccard", "ext_dedup_ssjoin",
         "ext_minhash_accuracy", "ext_hdr_quantiles",
-        "ext_ann_bruteforce", "ext_ann_lsh", "ext_ann_ivf",
+        "ext_ann_bruteforce", "ext_ann_lsh", "ext_ann_ivf", "ext_ann_recall",
         "ext_embedding_near_dup", "ext_mm_decode_real", "ext_tfidf", "ext_lang_id",
         "ext_quality_filter_pipeline", "ext_token_count",
         "ext_doc_fingerprint", "ext_chunking", "ext_sequence_packing",

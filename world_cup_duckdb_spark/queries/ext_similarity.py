@@ -376,3 +376,72 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(codes)).cast("int").alias("n_levels"),
         F.array_max(errs).alias("max_abs_err"),
     )
+
+
+from world_cup_duckdb_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_BF_SQL = _REG["ext_ann_bruteforce"].oracle
+_LSH_SQL = _REG["ext_ann_lsh"].oracle
+_IVF_SQL = _REG["ext_ann_ivf"].oracle
+
+
+@register(
+    "ext_ann_recall",
+    oracle=f"""
+    WITH bf AS ({_BF_SQL}),
+    lshq AS ({_LSH_SQL}),
+    ivfq AS ({_IVF_SQL}),
+    approx AS (
+      SELECT 'lsh' AS method, query_id, neighbor_id FROM lshq
+      UNION ALL
+      SELECT 'ivf', query_id, neighbor_id FROM ivfq
+    ),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM bf),
+    hits AS (
+      SELECT method, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM approx JOIN bf USING (query_id, neighbor_id)
+      GROUP BY method
+    )
+    SELECT method, hits, n_base,
+           ROUND(hits / CAST(n_base AS DOUBLE), 6) AS recall_at_5
+    FROM hits CROSS JOIN base
+    """,
+)
+def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit for both approximate ANN paths against the exact
+    brute-force baseline — one hash-checked row per method. This is the
+    number you read before trusting an index config on a 100 TB corpus:
+    hits = ground-truth neighbors the method recovered, recall =
+    hits/n_base. Every input is deterministic (md5 centroids and
+    hyperplanes, sequential cosine folds), so the oracle — the three
+    full pipelines composed as CTEs — reproduces the recall itself.
+
+    The division uses integer hits over integer n_base (no float
+    accumulation anywhere), so the recall doubles match bit-for-bit.
+    """
+    from world_cup_duckdb_spark.operators.similarity import ivf_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    lsh = lsh_topk(q, emb, k=5, num_planes=4).select("query_id", "neighbor_id")
+    ivf = ivf_topk(q, emb, k=5, n_lists=16, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh.withColumn("method", F.lit("lsh")).unionByName(
+        ivf.withColumn("method", F.lit("ivf"))
+    )
+    base = bf.agg(F.count(F.lit(1)).alias("n_base"))
+    hits = (
+        approx.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return hits.crossJoin(F.broadcast(base)).select(
+        "method",
+        "hits",
+        "n_base",
+        F.round(F.col("hits") / F.col("n_base").cast("double"), 6).alias(
+            "recall_at_5"
+        ),
+    )
