@@ -513,3 +513,42 @@ def test_minhash_accuracy_identical_pairs_are_calibrated(spark, sf_dir):
     assert all(
         r["est_jaccard"] == 1.0 and r["exact_jaccard"] == 1.0 for r in recrawl
     )
+
+
+def test_hdr_quantiles_sketch_is_mergeable(spark, sf_dir):
+    """The 100 TB property claimed for the HDR sketch: bucket-count
+    partials computed INDEPENDENTLY per shard, merged by summing counts
+    per bucket, must yield the same quantile estimates as one pass over
+    the whole data. This is the store-daily-partials /
+    reaggregate-any-range pattern, exercised through the real merge
+    path (hdr_bucket_counts per shard → union → groupBy-sum →
+    hdr_quantiles_from_buckets), not just a union of rows."""
+    from world_cup_duckdb_spark.operators.sketch import (
+        hdr_bucket_counts,
+        hdr_quantiles,
+        hdr_quantiles_from_buckets,
+    )
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey"
+    )
+    whole = hdr_quantiles(li, "l_extendedprice", ["l_returnflag"])
+    parts = [
+        hdr_bucket_counts(
+            li.filter(F.col("l_orderkey") % 2 == m),
+            "l_extendedprice",
+            ["l_returnflag"],
+        )
+        for m in (0, 1)
+    ]
+    merged_counts = (
+        parts[0]
+        .unionByName(parts[1])
+        .groupBy("l_returnflag", "_shift", "_sub")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+    merged = hdr_quantiles_from_buckets(merged_counts, ["l_returnflag"])
+    w = {r["l_returnflag"]: r.asDict() for r in whole.collect()}
+    m = {r["l_returnflag"]: r.asDict() for r in merged.collect()}
+    assert w == m and w

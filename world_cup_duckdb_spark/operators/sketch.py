@@ -134,7 +134,21 @@ def hdr_quantiles(
     Output: group cols + ``n`` (bigint) + one ``hdr_p{pct}`` double per
     requested quantile (bucket-midpoint estimate, rounded to 4 decimals).
     """
-    quantiles = quantiles or [0.5, 0.95, 0.99]
+    counts = hdr_bucket_counts(df, value_col, group_cols, mantissa_bits, scale)
+    return hdr_quantiles_from_buckets(counts, group_cols, quantiles, scale)
+
+
+def hdr_bucket_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    mantissa_bits: int = 4,
+    scale: int = 100,
+) -> DataFrame:
+    """The sketch STATE: per-group bucket counts (group cols, _shift,
+    _sub, _cnt). This is what a 100 TB pipeline stores per shard/day —
+    sketches MERGE by unioning count tables and summing _cnt per bucket
+    (groupBy + sum), proven in tests/test_operators.py."""
     c = F.round(F.col(value_col) * scale).cast("bigint")
     base = df.select(*group_cols, c.alias("_c")).filter(F.col("_c") >= 1)
     shift = F.greatest(
@@ -143,12 +157,23 @@ def hdr_quantiles(
     sub = F.floor(F.col("_c") / F.pow(F.lit(2.0), shift.cast("double"))).cast(
         "bigint"
     )
-    counts = (
+    return (
         base.withColumn("_shift", shift)
         .withColumn("_sub", sub)
         .groupBy(*group_cols, "_shift", "_sub")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
+
+
+def hdr_quantiles_from_buckets(
+    counts: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile extraction over a (possibly merged) bucket-count table —
+    runs over O(buckets) rows, never the data."""
+    quantiles = quantiles or [0.5, 0.95, 0.99]
     two_pow = F.pow(F.lit(2.0), F.col("_shift").cast("double"))
     lo = F.col("_sub") * two_pow  # bucket lower bound: orders buckets by value
     est = (
