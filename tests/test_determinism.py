@@ -1,0 +1,44 @@
+"""Re-invocation determinism gate for stateful queries.
+
+Round-1 history: ext_ivm_join matched the oracle in isolation but
+hash-flapped under the driver because it mutated a SHARED scratch dir and
+returned a lazily re-read plan — any re-entry changed what a later
+collect saw. The fix (uuid-fresh scratch per invocation + eager
+materialization) must never regress, so this gate runs each
+scratch-mutating / checkpoint-backed query twice and re-collects the
+first returned DataFrame, asserting all three reads canonicalize
+identically — exactly the stability the driver's hash compare needs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.parity import _rows_to_canon, spark_result
+from world_cup_duckdb_spark.queries import REGISTRY
+
+#: Queries that write scratch state or checkpoint intermediates — the
+#: re-entry hazard class. Representative, not exhaustive: one per
+#: distinct state mechanism (DDL temp views, export dirs, versioned
+#: lakehouse dirs, IVM delta state, compaction round-trip, eager
+#: localCheckpoint pipelines).
+STATEFUL = [
+    "op06_ddl_create",
+    "op10_export_database",
+    "ext_time_travel",
+    "ext_merge_upsert",
+    "ext_ivm_join",
+    "ext_compaction",
+    "ext_dedup_minhash",
+    "ext_minhash_accuracy",
+]
+
+
+@pytest.mark.parametrize("name", STATEFUL)
+def test_stateful_query_is_reinvocation_stable(name, spark, sf_dir):
+    df1 = REGISTRY[name].fn(spark, sf_dir)
+    first = _rows_to_canon(*spark_result(df1))
+    recollect = _rows_to_canon(*spark_result(df1))
+    fresh = _rows_to_canon(*spark_result(REGISTRY[name].fn(spark, sf_dir)))
+    assert first == recollect, f"{name}: same DataFrame re-collect differs"
+    assert first == fresh, f"{name}: fresh invocation differs"
