@@ -481,3 +481,31 @@ def test_no_antipatterns_anywhere_in_registry(spark, sf_dir):
             if bad in p:
                 offenders.append((name, bad))
     assert offenders == [], offenders
+
+
+def test_hdr_sketch_aggregates_map_side_before_exchange(spark, sf_dir):
+    """The HDR quantile sketch's scale claim, pinned to the plan: bucket
+    counts combine map-side (partial_count below the exchange), so a
+    group's shuffled state is O(buckets), not O(rows) — and the window
+    extraction runs above that reduction, never over fact rows."""
+    p = plan(REGISTRY["ext_hdr_quantiles"].fn(spark, sf_dir))
+    # partial aggregation keyed by (group, bucket) feeds the exchange:
+    # the partial_count block and a bucket-keyed hashpartitioning both
+    # exist, so what shuffles is bucket counts, not fact rows.
+    assert "partial_count" in p, p
+    assert "hashpartitioning(l_returnflag" in p and "_sub" in p, p
+    # extraction windows exist above that reduction
+    assert "Window" in p, p
+    # and the scan reads only the two needed columns
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in p, p
+
+
+def test_minhash_accuracy_reuses_one_signature_stage(spark, sf_dir):
+    """The calibration query's cost claim: signatures are checkpointed
+    once and every consumer (bands, pairs, agreement) reads the
+    checkpoint — the md5-over-shingles stage must appear ZERO times in
+    the final plan (it ran eagerly at build), so no shingle hashing is
+    re-planned per join side."""
+    p = plan(REGISTRY["ext_minhash_accuracy"].fn(spark, sf_dir))
+    assert "md5" not in p, p
+    assert "ExistingRDD" in p or "Scan ExistingRDD" in p, p
