@@ -501,6 +501,21 @@ def test_hdr_quantiles_exact_small_values(spark):
     assert row["n"] == 4 and row["hdr_p50"] == 0.05
 
 
+def test_hdr_quantiles_counts_zero_values(spark):
+    """Zeros fixed-point to c=0 and land in the exact [0,1) bucket —
+    they must be COUNTED (n and quantile ranks include them), not
+    silently dropped from the population."""
+    from world_cup_duckdb_spark.operators.sketch import hdr_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 0.01)],
+        "g string, v double",
+    )
+    row = hdr_quantiles(df, "v", ["g"], quantiles=[0.5]).collect()[0]
+    # p50 rank = ceil(0.5*4) = 2nd value = 0.0; n counts all four rows.
+    assert row["n"] == 4 and row["hdr_p50"] == 0.0
+
+
 def test_minhash_accuracy_identical_pairs_are_calibrated(spark, sf_dir):
     """Re-crawl copies are exact duplicates: every (doc, doc+1M) pair the
     LSH surfaces must read est_jaccard = exact_jaccard = 1.0 — the

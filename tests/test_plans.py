@@ -416,11 +416,21 @@ def test_bucketed_join_query_has_no_join_exchange(spark, sf_dir):
     """ext_bucketed_join's sort-merge join must consume the bucketed
     layout directly: no Exchange and no Sort between the table scans and
     the join — the only exchange in the plan belongs to the final
-    aggregate."""
+    aggregate. Asserted on the LAZY plan via bucketed_join_plan: the
+    registry query checkpoints the (tiny) result so it can drop its
+    catalog tables, which hides the join plan behind an RDD scan."""
     import re
+    import shutil
+    import uuid
 
-    df = REGISTRY["ext_bucketed_join"].fn(spark, sf_dir)
+    from world_cup_duckdb_spark.queries.ext_scale import bucketed_join_plan
+
+    tag = uuid.uuid4().hex[:12]
+    df, loc = bucketed_join_plan(spark, sf_dir, tag)
     p = plan(df)
+    spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
+    shutil.rmtree(loc, ignore_errors=True)
     assert "SortMergeJoin" in p, p
     # Exactly one Exchange in the whole plan — the final aggregate's. The
     # join itself consumes the bucketed layout with no shuffle on either

@@ -97,29 +97,41 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
     documented integration point, and everything around it (mapInPandas
     batching, schemas, fan-out) is unchanged by that swap.
     """
+    # Truncated/garbled payloads must fail with the SAME documented
+    # ValueError as unknown formats — a corrupt corpus row raising
+    # IndexError/struct.error from deep inside an Arrow batch is the kind
+    # of unhandled task failure a 100 TB scan cannot afford to leak.
     if payload[:2] == b"P6":
-        fields: list[bytes] = []
-        i = 2
-        while len(fields) < 3:
-            while i < len(payload) and payload[i : i + 1].isspace():
-                i += 1
-            if payload[i : i + 1] == b"#":  # comment line
-                while i < len(payload) and payload[i : i + 1] != b"\n":
+        try:
+            fields: list[bytes] = []
+            i = 2
+            while len(fields) < 3:
+                while i < len(payload) and payload[i : i + 1].isspace():
                     i += 1
-                continue
-            j = i
-            while j < len(payload) and not payload[j : j + 1].isspace():
-                j += 1
-            fields.append(payload[i:j])
-            i = j
-        width, height = int(fields[0]), int(fields[1])
+                if payload[i : i + 1] == b"#":  # comment line
+                    while i < len(payload) and payload[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                if i >= len(payload):
+                    raise ValueError("truncated PPM header")
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                fields.append(payload[i:j])
+                i = j
+            width, height = int(fields[0]), int(fields[1])
+        except ValueError:
+            raise ValueError("corrupt PPM payload: malformed P6 header")
         return width, height, 3
     if payload[:2] == b"BM":
         import struct
 
-        width = struct.unpack_from("<i", payload, 18)[0]
-        height = abs(struct.unpack_from("<i", payload, 22)[0])
-        bpp = struct.unpack_from("<H", payload, 28)[0]
+        try:
+            width = struct.unpack_from("<i", payload, 18)[0]
+            height = abs(struct.unpack_from("<i", payload, 22)[0])
+            bpp = struct.unpack_from("<H", payload, 28)[0]
+        except struct.error:
+            raise ValueError("corrupt BMP payload: truncated header")
         return width, height, max(1, bpp // 8)
     raise ValueError(
         "unsupported image format (PPM/BMP decodable here; wire "

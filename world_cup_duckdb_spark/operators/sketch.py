@@ -148,9 +148,16 @@ def hdr_bucket_counts(
     """The sketch STATE: per-group bucket counts (group cols, _shift,
     _sub, _cnt). This is what a 100 TB pipeline stores per shard/day —
     sketches MERGE by unioning count tables and summing _cnt per bucket
-    (groupBy + sum), proven in tests/test_operators.py."""
+    (groupBy + sum), proven in tests/test_operators.py.
+
+    Domain: values fixed-pointing to c >= 0. Zeros land in the exact
+    [0,1) bucket (bin(0)='0' gives shift 0, sub 0 in both engines);
+    NEGATIVE values are outside the sketch's domain (HdrHistogram
+    likewise records non-negative magnitudes) and are excluded from the
+    counts — quantiles over a signed distribution need a sign-split pair
+    of sketches, not this one."""
     c = F.round(F.col(value_col) * scale).cast("bigint")
-    base = df.select(*group_cols, c.alias("_c")).filter(F.col("_c") >= 1)
+    base = df.select(*group_cols, c.alias("_c")).filter(F.col("_c") >= 0)
     shift = F.greatest(
         F.length(F.bin(F.col("_c"))) - F.lit(mantissa_bits), F.lit(0)
     )

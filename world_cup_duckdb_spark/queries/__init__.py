@@ -77,14 +77,24 @@ def _ordered_names() -> list[str]:
     ]
     priority_ext = [
         "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_clusters",
-        "ext_dedup_simhash", "ext_dedup_ngram_jaccard", "ext_dedup_ssjoin",
+        "ext_dedup_simhash", "ext_dedup_ngram_jaccard",
+        "ext_jaccard_prefix_join", "ext_dedup_incremental",
         "ext_minhash_accuracy", "ext_hdr_quantiles",
         "ext_ann_bruteforce", "ext_ann_lsh", "ext_ann_ivf", "ext_ann_recall",
-        "ext_embedding_near_dup", "ext_mm_decode_real", "ext_tfidf", "ext_lang_id",
+        "ext_embedding_neardup", "ext_mm_decode_real", "ext_tfidf", "ext_lang_id",
         "ext_quality_filter_pipeline", "ext_token_count",
-        "ext_doc_fingerprint", "ext_chunking", "ext_sequence_packing",
+        "ext_fingerprint", "ext_chunk_documents", "ext_pack_sequences",
         "ext_corpus_mix", "ext_contamination",
     ]
+    # Guard against silent priority demotion: every priority name must be a
+    # real registry key (a rename upstream would otherwise quietly drop the
+    # query from the driver-sampled head of the ordering).
+    missing = [
+        n
+        for n in priority_ext + first_round_unverified + variants
+        if n not in REGISTRY
+    ]
+    assert not missing, f"ordering names not in REGISTRY: {missing}"
     ordered: list[str] = [n for n in first_round_unverified if n in REGISTRY]
     ordered += sorted(
         n

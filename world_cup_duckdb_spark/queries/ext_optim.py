@@ -173,6 +173,11 @@ def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("_cand")).cast("long").alias("bloom_candidates"),
             F.count_if(F.col("_exact")).cast("long").alias("exact_rows"),
         )
+        # The oracle's two-CTE form (candidates JOIN exact) emits a flag
+        # only when BOTH counts are nonzero; the fused single-pass form
+        # must drop all-zero groups the same way or a flag with no ASIA
+        # rows diverges (fixture never triggers it, semantics must match).
+        .filter((F.col("bloom_candidates") > 0) & (F.col("exact_rows") > 0))
         .select(
             "l_returnflag",
             "bloom_candidates",
@@ -333,7 +338,7 @@ def ext_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              GREATEST(LENGTH(bin(c)) - 4, 0) AS shift,
              CAST(FLOOR(c / POWER(2.0, GREATEST(LENGTH(bin(c)) - 4, 0)))
                   AS BIGINT) AS sub
-      FROM c WHERE c >= 1
+      FROM c WHERE c >= 0
     ),
     counts AS (
       SELECT l_returnflag, shift, sub, CAST(COUNT(*) AS BIGINT) AS cnt

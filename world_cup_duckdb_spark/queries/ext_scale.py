@@ -5,6 +5,8 @@ while spreading hot keys over n reducers at scale)."""
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -174,19 +176,41 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed+sorted by the join key, so the subsequent join runs
     bucket-to-bucket with NO exchange on either side — the shuffle is
     paid once at write time and amortized over every later join
-    (operators/scale.py:write_bucketed; tests/test_scale.py asserts the
-    exchange-free plan). At 100 TB this is how recurring fact-fact joins
-    (orders⋈lineitem every run) stop re-shuffling the corpus.
+    (operators/scale.py:write_bucketed; tests/test_plans.py asserts the
+    lazy plan via bucketed_join_plan, tests/test_scale.py the operator).
+    At 100 TB this is how recurring fact-fact joins (orders⋈lineitem
+    every run) stop re-shuffling the corpus.
 
-    Hermetic: unique per-invocation table names + scratch location (the
-    returned plan lazily reads the bucketed files; nothing mutates them).
+    Hermetic AND leak-free: unique per-invocation table names + scratch
+    location, eagerly executed, then the catalog entries and scratch
+    files are dropped before returning.
     """
     import uuid
 
+    tag = uuid.uuid4().hex[:12]
+    lazy, loc = bucketed_join_plan(spark, sf_dir, tag)
+    # Eagerly run the bucketed join (the zero-exchange plan shape is
+    # separately pinned in tests/test_plans.py), so the catalog tables
+    # and scratch files can be dropped before returning — without this,
+    # every invocation leaks two catalog entries plus full bucketed
+    # copies of lineitem and orders.
+    out = lazy.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
+    shutil.rmtree(loc, ignore_errors=True)
+    return out
+
+
+def bucketed_join_plan(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[DataFrame, str]:
+    """The lazy bucketed-join plan behind ext_bucketed_join, plus its
+    scratch location. Split out so the plan test can assert the
+    exchange-free join shape BEFORE the query checkpoints it away (the
+    checkpoint is what lets the query drop its catalog tables)."""
     from world_cup_duckdb_spark.operators.scale import write_bucketed
     from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
 
-    tag = uuid.uuid4().hex[:12]
     loc = _fresh_dir(f"bucketed-{tag}")
     li = write_bucketed(
         table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
@@ -204,9 +228,7 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
         f"{loc}/orders",
     )
-    from world_cup_duckdb_spark.functions.strings import cents
-
-    return (
+    lazy = (
         # merge hint: at fixture scale the planner would broadcast orders,
         # which bypasses the very mechanism under test; at fact scale SMJ
         # is what the planner picks anyway, and bucket co-location means
@@ -219,6 +241,7 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("l_quantity")).alias("qty_c"),
         )
     )
+    return lazy, loc
 
 
 @register(

@@ -95,6 +95,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def _parquet_bytes(path: str) -> int:
+    """Data bytes under ``path``, whether a single parquet file or a
+    directory of part files (both are valid `spark.read.parquet` inputs —
+    `scripts/scale_check.py` stages the directory layout). `getsize` on a
+    directory returns the ~4 KB inode size, which would silently collapse
+    the fact-table slice count to 1 and serialize per-row work."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def warm_cache(
     spark: SparkSession, sf_dir: str, slices: int | None = None
 ) -> dict[str, DataFrame]:
@@ -134,10 +153,7 @@ def warm_cache(
         elif name in BROADCAST_TABLES:
             n = 1
         else:
-            try:
-                bytes_ = os.path.getsize(f"{sf_dir}/{name}.parquet")
-            except OSError:
-                bytes_ = 0
+            bytes_ = _parquet_bytes(f"{sf_dir}/{name}.parquet")
             n = min(slices, max(1, -(-bytes_ // (1 << 20))))
         if n > 1 and df.rdd.getNumPartitions() < n:
             df = df.repartition(n)

@@ -27,6 +27,7 @@ import hashlib
 import os
 import urllib.parse
 import urllib.request
+import uuid
 
 
 def fetch_cached(url: str, cache_dir: str) -> tuple[str, bool]:
@@ -36,8 +37,11 @@ def fetch_cached(url: str, cache_dir: str) -> tuple[str, bool]:
     ``md5(url)[:16]-basename``: content-addressed by URL so re-fetches of
     the same URL are free (the reference's fetch-if-absent behavior) and
     different URLs can never collide on basename. Downloads land in a
-    ``.part`` temp file and are published by atomic rename — readers
-    never see a partial file. Supports any urllib scheme (``file://`` in
+    per-call unique temp file (two concurrent fetches of the same URL
+    must not interleave writes into one temp path) and are published by
+    atomic rename — readers never see a partial file, and concurrent
+    publishers of the same URL each rename a complete copy (last one
+    wins, both complete). Supports any urllib scheme (``file://`` in
     the sandboxed tests, ``http(s)://`` in real use).
     """
     os.makedirs(cache_dir, exist_ok=True)
@@ -46,7 +50,11 @@ def fetch_cached(url: str, cache_dir: str) -> tuple[str, bool]:
     dest = os.path.join(cache_dir, f"{key}-{base}")
     if os.path.exists(dest):
         return dest, True
-    tmp = f"{dest}.part"
-    urllib.request.urlretrieve(url, tmp)
-    os.replace(tmp, dest)
+    tmp = f"{dest}.part-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return dest, False
