@@ -127,6 +127,28 @@ def test_asof_join_ties_and_no_match(spark):
     assert got == {"tie": "r1", "late": "r2"}
 
 
+def test_asof_join_right_ts_tie_picks_max_payload(spark):
+    """Two right rows sharing (key, ts) must resolve to the MAX payload
+    struct deterministically — not whichever row the partition sort
+    happened to place last (the pick must be stable under any input
+    partitioning, or cross-engine hash checks flap)."""
+    from datetime import datetime
+    from world_cup_duckdb_spark.operators.relational import asof_join
+
+    ts = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T13:00:00"), "probe")],
+        "k bigint, lts timestamp, tag string",
+    )
+    dup = [(1, ts("2024-01-01T12:00:00"), rid) for rid in (7, 3, 9, 1)]
+    for n_parts in (1, 4):
+        right = spark.createDataFrame(
+            dup, "k bigint, rts timestamp, rid bigint"
+        ).repartition(n_parts)
+        rows = asof_join(left, right, "k", "lts", "rts", ["rid"]).collect()
+        assert [r["rid"] for r in rows] == [9], rows
+
+
 def test_bucketed_range_join_spanning_intervals(spark):
     from datetime import datetime
     from world_cup_duckdb_spark.operators.relational import bucketed_range_join

@@ -204,9 +204,15 @@ def asof_join(
         ).schema["s"].dataType.simpleString()).alias("_rpay"),
     )
     unioned = l_tag.unionByName(r_tag)
+    # Final _rpay tie-break: two right rows sharing (key, ts) would
+    # otherwise make the carried pick partition-order-dependent (and
+    # DuckDB's native ASOF JOIN is likewise unspecified under right-side
+    # ts ties). Ordering by the payload struct makes the pick the MAX
+    # payload (lexicographic on right_cols) — deterministic on both
+    # engines when the oracle dedupes ties the same way.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_rpay")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

@@ -572,6 +572,8 @@ def ext_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, ngram string", useArrow=True)
     class NgramSpans:
         def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            if text is None:  # NULL text yields no spans (string_split
+                return  # of NULL propagates NULL in the oracle too)
             toks = text.split(" ")
             for i in range(len(toks) - 2):
                 yield i + 1, " ".join(toks[i : i + 3])
@@ -678,9 +680,12 @@ def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     ),
     m AS (
+      -- GREATEST(.., 0): for a (near-)constant group the cancellation
+      -- s2/n - mean^2 can land a hair below zero; Spark sqrt would give
+      -- NaN while DuckDB sqrt ERRORS — clamp on both engines
       SELECT event_type, n,
              s1 / n AS mean,
-             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+             sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std
       FROM stats
     )
     SELECT e.event_id, e.event_type,
@@ -713,9 +718,15 @@ def ext_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         (F.col("s1") / F.col("n")).alias("mean"),
+        # GREATEST(.., 0): cancellation on a (near-)constant group can
+        # push the population variance a few ulps below zero; unclamped,
+        # Spark returns NaN where the DuckDB oracle ERRORS on sqrt(<0)
         F.sqrt(
-            F.col("s2") / F.col("n")
-            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+            F.greatest(
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+                F.lit(0.0),
+            )
         ).alias("std"),
     )
     return e.join(F.broadcast(m), "event_type").select(

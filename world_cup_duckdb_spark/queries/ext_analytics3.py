@@ -41,7 +41,11 @@ _HOUR_US = 3_600_000_000
       FROM b WHERE lo <= hi
     ),
     u AS (
-      SELECT user_id, us, 0 AS tag, event_id, value, us AS evt_us FROM e
+      -- evt_us is null WHEN value is null: the carried (pv, pts) pair
+      -- must come from the SAME observation, or a null-valued event
+      -- would desynchronize the slope's anchor timestamp from its value
+      SELECT user_id, us, 0 AS tag, event_id, value,
+             CASE WHEN value IS NOT NULL THEN us END AS evt_us FROM e
       UNION ALL
       SELECT user_id, us, 1 AS tag, -1 AS event_id,
              NULL::DOUBLE AS value, NULL::BIGINT AS evt_us FROM g
@@ -102,7 +106,9 @@ def ext_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = e.select(
         "user_id", "us", F.lit(0).alias("tag"), "event_id", "value",
-        F.col("us").alias("evt_us"),
+        # null evt_us for null-valued events: (pv, pts) and (nv, nts)
+        # must be carried as synchronized pairs from the same observation
+        F.when(F.col("value").isNotNull(), F.col("us")).alias("evt_us"),
     ).unionAll(
         g.select(
             "user_id", "us", F.lit(1).alias("tag"),
@@ -217,9 +223,13 @@ def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.agg(
         F.max("tot").cast("bigint").alias("n"),
-        (
+        # NULL-on-empty like the oracle's (MAX(r)-1)*(MAX(c)-1): bare
+        # count_distinct over zero rows is 0, which would yield dof=1
+        # where DuckDB's MAX-over-empty yields NULL
+        F.when(
+            F.count(F.lit(1)) > 0,
             (F.count_distinct(F.col("p")) - 1)
-            * (F.count_distinct(F.col("s")) - 1)
+            * (F.count_distinct(F.col("s")) - 1),
         )
         .cast("int")
         .alias("dof"),
@@ -409,12 +419,18 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     subjects AS (
       SELECT c.user_id,
-             COALESCE(d.td, horizon.h) - c.t0 AS dur,
+             COALESCE(d.td, horizon.h) - c.t0 AS dur_us,
              CASE WHEN d.td IS NULL THEN 0 ELSE 1 END AS died
       FROM clicks c LEFT JOIN deaths d ON c.user_id = d.user_id, horizon
     ),
     grouped AS (
-      SELECT dur, SUM(died) AS d, COUNT(*) AS x
+      -- durations CEIL-bucketed to whole hours BEFORE grouping: the KM
+      -- table's cardinality is then bounded by the horizon in hours,
+      -- not the subject count — microsecond-exact durs are ~unique per
+      -- user and would funnel the whole population through the global
+      -- cumulative windows below
+      SELECT ((dur_us + 3599999999) // 3600000000) * 3600000000 AS dur,
+             SUM(died) AS d, COUNT(*) AS x
       FROM subjects GROUP BY 1
     ),
     risk AS (
@@ -452,9 +468,12 @@ def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     is biased by the censored users).
 
     Scale: subjects reduce to one row per user (two filtered min-aggs
-    and a left join on user_id), then everything — risk sets via a
-    cumulative window, the product via a cumulative log-sum — runs over
-    distinct death times only. Determinism: durations are exact integer
+    and a left join on user_id), and durations are CEIL-bucketed to
+    whole hours before grouping, so everything downstream — risk sets
+    via a cumulative window, the product via a cumulative log-sum —
+    runs over at most horizon-in-hours rows, never the subject count
+    (microsecond-exact durations are ~unique per user, which would put
+    the whole population through the single-task global windows). Determinism: durations are exact integer
     microseconds; d/n is one exact-integer IEEE divide; ln is quantized
     to DECIMAL(20,12) pre-sum so the cumulative sum is order-exact; EXP
     is libm so the curve is ROUND()ed to 9; an S(t)=0 absorbing state is
@@ -481,11 +500,21 @@ def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks.join(deaths, "user_id", "left")
         .crossJoin(F.broadcast(horizon))
         .select(
-            (F.coalesce("td", "h") - F.col("t0")).alias("dur"),
+            (F.coalesce("td", "h") - F.col("t0")).alias("dur_us"),
             F.when(F.col("td").isNull(), 0).otherwise(1).alias("died"),
         )
     )
-    grouped = subjects.groupBy("dur").agg(
+    # CEIL-bucket durations to whole hours BEFORE grouping: distinct
+    # death times are then bounded by the horizon in hours, never the
+    # subject count — without this the microsecond-exact durs are
+    # ~unique per user and the global cumulative windows below would
+    # sort the entire population on one task.
+    grouped = subjects.select(
+        (
+            F.expr(f"((dur_us + {_HOUR_US - 1}) div {_HOUR_US})") * _HOUR_US
+        ).alias("dur"),
+        "died",
+    ).groupBy("dur").agg(
         F.sum("died").alias("d"), F.count(F.lit(1)).alias("x")
     )
     wall = Window.partitionBy()

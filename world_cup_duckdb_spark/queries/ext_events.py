@@ -114,9 +114,13 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type = 'purchase'
     ),
     clicks AS (
-      SELECT event_id AS click_event_id, user_id,
+      -- one row per (user, ts): ASOF JOIN's pick among right-side ts
+      -- ties is unspecified, so ties are collapsed to MAX(event_id) —
+      -- the same row the Spark operator's max-payload tie-break carries
+      SELECT CAST(MAX(event_id) AS BIGINT) AS click_event_id, user_id,
              CAST(ts AS TIMESTAMP) AS click_ts
       FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
     )
     SELECT p.event_id, p.user_id, p.ts, c.click_event_id, c.click_ts
     FROM purchases p
@@ -243,8 +247,15 @@ def ext_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(k) AS BIGINT) AS sum_k,
            CAST(MAX(k) AS INT) AS max_k
     FROM (
+      -- mirrors Spark from_json('k INT') on DIRTY payloads (verified on
+      -- malformed json, float/string/bool/overflow/missing/null k):
+      -- only a JSON integer that fits INT yields a value, else NULL
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             TRY_CAST(CASE WHEN json_valid(props)
+                            AND json_type(props, '$.k')
+                                IN ('UBIGINT', 'BIGINT')
+                       THEN json_extract_string(props, '$.k')
+                  END AS INTEGER) AS k
       FROM events
     ) e
     GROUP BY event_type

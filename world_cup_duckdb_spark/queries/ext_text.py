@@ -227,7 +227,12 @@ def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tf.doc_id, tf.token,
            CAST(tf.tf AS BIGINT) AS tf,
            CAST(df.df AS BIGINT) AS df,
-           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+           -- ln quantized to DECIMAL(20,12) BEFORE the tf multiply: the
+           -- engines' libm ln may differ in the last ulp, and an
+           -- unquantized product can flip the 6th rounded decimal at a
+           -- boundary (same discipline as ext_lm_score)
+           ROUND(CAST(tf.tf * CAST(ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                                   AS DECIMAL(20,12)) AS DOUBLE), 6) AS tfidf
     FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
     WHERE tf.tf >= 3
     """,
@@ -268,8 +273,16 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             "tf",
             "df",
+            # ln quantized to decimal(20,12) pre-multiply: a 1-ulp libm
+            # difference between engines must not reach the tf product
+            # (the ext_lm_score float discipline)
             F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                (
+                    F.col("tf")
+                    * F.log(
+                        F.col("n_docs").cast("double") / F.col("df")
+                    ).cast("decimal(20,12)")
+                ).cast("double"),
                 6,
             ).alias("tfidf"),
         )
