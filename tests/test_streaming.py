@@ -448,3 +448,67 @@ def test_stream_ivm_view_matches_batch_join_and_replay_is_fenced(
     q2.awaitTermination(180)
     assert latest_version(fact) == fv
     assert latest_version(view) == vv
+
+
+def test_stream_ivm_recovers_first_batch_crash_before_view_write(
+    spark, sf_dir, staged, tmp_path
+):
+    """Crash landing BETWEEN the very first fact write and the first view
+    write: on replay the fact fence equals the batch id but the view does
+    not exist — recovery must build the initial view from the version-0
+    fact snapshot, not diff against a nonexistent version -1."""
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        latest_version,
+        read_table,
+        write_table,
+    )
+    from world_cup_duckdb_spark.streaming import read_event_stream
+    from world_cup_duckdb_spark.streaming.ivm_sink import (
+        stream_maintain_join_view,
+    )
+
+    fact = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    # Simulate the half-committed state: batch 0 (one availableNow batch
+    # = the whole backfill) reached the fact table, then the process died
+    # before the view write.
+    latest0 = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("ts", "value", "event_id"),
+                F.struct("ts", "event_id"),
+            ).alias("_s")
+        )
+        .select(
+            "user_id", "event_type",
+            F.col("_s.ts").alias("ts"),
+            F.col("_s.value").alias("value"),
+            F.col("_s.event_id").alias("event_id"),
+        )
+    )
+    write_table(latest0, fact, meta={"batch_id": 0})
+
+    q = stream_maintain_join_view(
+        read_event_stream(spark, staged),  # no file cap → single batch 0
+        fact, view, str(tmp_path / "ck"), dim, join_key="event_type",
+    )
+    q.awaitTermination(180)
+
+    # fact untouched (fenced), view initialized from the fact snapshot
+    assert latest_version(fact) == 0
+    assert latest_version(view) == 0
+    got = read_table(spark, view)
+    want = read_table(spark, fact).join(dim, "event_type")
+    assert got.count() == want.count()
+    assert got.select(*sorted(got.columns)).exceptAll(
+        want.select(*sorted(got.columns))
+    ).count() == 0

@@ -252,9 +252,11 @@ def ngram_jaccard_pairs(
     a = with_sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = with_sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # NULL (filtered by the >= threshold below) when both shingle sets
+    # are empty (texts shorter than n): the oracle's 0/0.0 is NULL in
+    # DuckDB, while an unguarded divide errors under ANSI mode.
+    un = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(un > 0, F.size(F.array_intersect("sh_a", "sh_b")) / un)
     return (
         pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -319,6 +321,9 @@ def prefix_filtered_jaccard_pairs(
     )
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    # No zero-union guard needed here: every candidate pair shares at
+    # least one prefix shingle by construction, so the union is ≥ 1
+    # (empty-shingle docs emit no prefix rows and can't reach cand).
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -357,7 +362,9 @@ def connected_components(
     handful of rounds suffices. Each round is one shuffle keyed by node;
     ``localCheckpoint`` truncates the growing lineage (on a cluster, use
     a checkpoint dir for fault tolerance instead). The driver-side loop
-    iterates ROUNDS, never rows.
+    iterates ROUNDS, never rows. Raises ``RuntimeError`` rather than
+    returning intermediate labels when a component's diameter exceeds
+    ``max_iterations``.
     """
     half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     # Pre-partition the (bidirected) edge set by the per-round join key
@@ -404,6 +411,17 @@ def connected_components(
         labels = new_labels.drop("old")
         if changed == 0:
             break
+    else:
+        # Fail loudly: a component whose diameter exceeds the round
+        # budget would otherwise return intermediate labels as if they
+        # were converged clusters — silently wrong dedup groups (e.g. a
+        # chain of gradually-drifting templated docs where only
+        # consecutive members share an LSH bucket).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (rounds needed ~= component "
+            "diameter) or pre-contract obvious stars"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -40,8 +40,14 @@ def norm2(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """cos = dot / (sqrt(|a|²) · sqrt(|b|²)) — exactly this association,
-    which is what DuckDB's list_cosine_similarity computes."""
-    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+    which is what DuckDB's list_cosine_similarity computes.
+
+    NULL (not an ANSI DIVIDE_BY_ZERO error) when either vector has zero
+    norm: a single all-zero or empty embedding in a 100 TB corpus must
+    rank as no-similarity, not kill the scan — and NULL is what the
+    DuckDB oracle's x/0.0 evaluates to."""
+    denom = F.sqrt(norm2(a)) * F.sqrt(norm2(b))
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def brute_force_topk(

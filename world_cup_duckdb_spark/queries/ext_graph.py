@@ -21,17 +21,29 @@ from pyspark.sql import functions as F
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
-_DAMP = 0.85
+#: Damping 0.85 enters the integer iteration as the exact ratio 17/20.
 _ITERS = 3
 
-_PR_ITER_SQL = """
-    r{k} AS (
+#: Rank unit: pr is an exact BIGINT in units of 1e-12 rank mass;
+#: per-edge transition probabilities are BIGINT parts-per-million.
+#: All iteration arithmetic is integer multiply + floor division —
+#: bit-identical and addition-order-independent in BOTH engines, unlike
+#: any float formulation (mid-chain ROUND(x, 9) was measurably unsound:
+#: Spark rounds the exact binary expansion, DuckDB a scaled float, and
+#: boundary doubles flip — verified on adversarial samples).
+_R_SCALE = 1_000_000_000_000
+_P_SCALE = 1_000_000
+
+_PR_ITER_SQL = f"""
+    r{{k}} AS (
       SELECT nodes.nk,
-             ROUND(0.15 / nn.n_nodes + 0.85 * COALESCE(cs.s, 0.0), 9) AS pr
+             (3 * {_R_SCALE}) // (20 * nn.n_nodes)
+             + (17 * COALESCE(cs.s, 0)) // 20 AS pr
       FROM nodes CROSS JOIN nn
       LEFT JOIN (
-        SELECT norm.dst, SUM(r{prev}.pr * norm.p) AS s
-        FROM norm JOIN r{prev} ON r{prev}.nk = norm.src
+        SELECT norm.dst,
+               SUM((r{{prev}}.pr * norm.p_ppm) // {_P_SCALE}) AS s
+        FROM norm JOIN r{{prev}} ON r{{prev}}.nk = norm.src
         GROUP BY norm.dst
       ) cs ON cs.dst = nodes.nk
     )"""
@@ -50,18 +62,20 @@ _PR_ITER_SQL = """
     ),
     outw AS (SELECT src, SUM(w) AS sw FROM edges GROUP BY src),
     norm AS (
-      SELECT edges.src, edges.dst, edges.w / CAST(outw.sw AS DOUBLE) AS p
+      SELECT edges.src, edges.dst,
+             (edges.w * 1000000) // outw.sw AS p_ppm
       FROM edges JOIN outw USING (src)
     ),
     nodes AS (
       SELECT src AS nk FROM edges UNION SELECT dst FROM edges
     ),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
-    r0 AS (SELECT nk, 1.0 / nn.n_nodes AS pr FROM nodes CROSS JOIN nn),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT nk, 1000000000000 // nn.n_nodes AS pr
+           FROM nodes CROSS JOIN nn),
     {iters}
     SELECT n_name,
            CAST(nk AS INT) AS nationkey,
-           ROUND(r{last}.pr, 6) AS pagerank
+           ROUND(CAST(r{last}.pr AS DOUBLE) / 1000000000000.0, 6) AS pagerank
     FROM r{last} JOIN nation ON n_nationkey = nk
     """.format(
         iters=",".join(
@@ -81,10 +95,23 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey, and the partial aggregate collapses to ≤|nations|² edge
     rows before anything iterates. Each of the 3 iterations is a join +
     groupBy on that tiny frame (AQE broadcasts it), so iteration count
-    scales the plan, not the data volume. Cross-engine float parity:
-    each iteration rounds to 9 decimals in BOTH engines (sums of ~25
-    products are addition-order-sensitive in the last ulps; mid-chain
-    rounding removes the divergence), final ranks round to 6.
+    scales the plan, not the data volume.
+
+    Cross-engine exactness: the whole iteration runs in scaled INTEGER
+    arithmetic — pr in BIGINT units of 1e-12 rank mass, per-edge
+    transition probabilities in parts-per-million, every step an
+    integer multiply + floor division (identical in Spark `div` and
+    DuckDB `//` for non-negative operands) — so the fixed point is
+    bit-identical and addition-order-independent in both engines.
+    Float formulations are NOT equalizable by mid-chain rounding:
+    Spark's ROUND works on the exact binary expansion while DuckDB
+    scales a float, and boundary doubles measurably flip between them.
+    The per-edge floor leaks < 1e-6 relative mass per hop (deterministic
+    in both engines); only the final display value divides into a double.
+    Overflow bounds: pr ≤ 1e12 and p_ppm ≤ 1e6 keep every product
+    ≤ 1e18 < 2^63; the w*1e6 normalization requires per-edge weight
+    < 9.2e12 rows (repartition the edge extract first if a single
+    nation-pair ever exceeds that).
     """
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_suppkey")
@@ -102,30 +129,30 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("sw"))
     norm = edges.join(outw, "src").select(
-        "src", "dst", (F.col("w") / F.col("sw").cast("double")).alias("p")
+        "src", "dst", F.expr(f"(w * {_P_SCALE}) div sw").alias("p_ppm")
     )
     nodes = edges.select(F.col("src").alias("nk")).union(
         edges.select(F.col("dst").alias("nk"))
     ).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "nk", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+        "nk", F.expr(f"{_R_SCALE} div n_nodes").alias("pr")
     )
     for it in range(_ITERS):
         contrib = (
             norm.join(ranks, norm.src == ranks.nk)
+            .select("dst", F.expr(f"(pr * p_ppm) div {_P_SCALE}").alias("t"))
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("p")).alias("s"))
+            .agg(F.sum("t").alias("s"))
         )
         ranks = (
             nodes.join(contrib, nodes.nk == contrib.dst, "left")
             .crossJoin(F.broadcast(nn))
             .select(
                 "nk",
-                F.round(
-                    F.lit(1 - _DAMP) / F.col("n_nodes")
-                    + F.lit(_DAMP) * F.coalesce("s", F.lit(0.0)),
-                    9,
+                F.expr(
+                    f"(3 * {_R_SCALE}) div (20 * n_nodes)"
+                    f" + (17 * coalesce(s, 0)) div 20"
                 ).alias("pr"),
             )
         )
@@ -143,7 +170,11 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_name",
         F.col("nk").cast("int").alias("nationkey"),
-        F.round("pr", 6).alias("pagerank"),
+        # the only float op in the query: one exact-BIGINT-to-double
+        # divide (pr < 2^53) for display, identical in both engines
+        F.round(F.col("pr").cast("double") / F.lit(float(_R_SCALE)), 6).alias(
+            "pagerank"
+        ),
     )
 
 
@@ -254,9 +285,12 @@ def ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nk").cast("int").alias("nationkey"),
             F.col("degree").cast("int").alias("degree"),
             F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
-            (
+            # NULL for degree-1 nodes (0 wedges): DuckDB's x/0.0 is
+            # NULL, Spark under ANSI would error — guard to match
+            F.when(
+                F.col("degree") > 1,
                 F.coalesce("n_triangles", F.lit(0))
-                / (F.col("degree") * (F.col("degree") - 1) / 2.0)
+                / (F.col("degree") * (F.col("degree") - 1) / 2.0),
             ).alias("clustering_coeff"),
         )
     )

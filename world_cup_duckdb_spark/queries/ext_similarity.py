@@ -274,7 +274,15 @@ def ext_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    return emb.select("vec_id", F.round(F.sqrt(sq_sum), 6).alias("l2_norm"))
+    # NULL for an empty embedding array: the fold's 0.0 seed would say
+    # norm 0.0, but DuckDB's list_sum([]) is NULL — match the oracle (a
+    # zero-length vector has no meaningful norm anyway).
+    return emb.select(
+        "vec_id",
+        F.when(F.size("embedding") > 0, F.round(F.sqrt(sq_sum), 6)).alias(
+            "l2_norm"
+        ),
+    )
 
 
 @register(

@@ -224,13 +224,19 @@ def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out eval document (doc_id % {EVAL_MOD} == 0) — the
     decontamination scan run before any benchmark-adjacent corpus ships.
 
-    Scale: the eval set is tiny by construction, so its shingle table is
-    BROADCAST — the full training corpus never shuffles; each scan task
-    probes the in-memory eval hash map and only matching (train, eval,
-    shingle) hits reach the count aggregate. At 100 TB this is a map-side
-    join over the dominant table plus an aggregate over the (sparse) hit
-    set; swap char shingles for token shingles via ext_token_count
-    unchanged.
+    Scale: the broadcast rests on an explicit SIZE CONTRACT — the eval
+    side must be a fixed benchmark suite (the production case: ~10³-10⁵
+    eval docs regardless of corpus size), whose shingle table fits in a
+    broadcast. The fixture's `doc_id % {EVAL_MOD}` selection is a
+    stand-in for that suite, NOT a license to broadcast a
+    corpus-proportional fraction: if the eval side genuinely grows with
+    the corpus, drop the F.broadcast hint and let the planner shuffle
+    both sides on `h`. Under the contract, the full training corpus
+    never shuffles; each scan task probes the in-memory eval hash map
+    and only matching (train, eval, shingle) hits reach the count
+    aggregate — a map-side join over the dominant table plus an
+    aggregate over the (sparse) hit set. Swap char shingles for token
+    shingles via ext_token_count unchanged.
     """
     d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= SHINGLE)
     starts = d.select(

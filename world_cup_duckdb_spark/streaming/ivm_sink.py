@@ -98,6 +98,24 @@ def stream_maintain_join_view(
         else:
             # fact has it; the view crashed behind — recover the diff.
             v1 = _version_of_batch(fact_path, batch_id)
+            if v1 == 0:
+                # The crash landed between the FIRST fact write and the
+                # first view write: there is no predecessor version to
+                # diff against (v0 would be -1 and the manifest read
+                # would fail forever). The recovery is the initial view
+                # build from that first fact snapshot.
+                from world_cup_duckdb_spark.operators.lakehouse import (
+                    read_table,
+                )
+
+                write_table(
+                    read_table(spark, fact_path, version=0).join(
+                        dim, on=join_key
+                    ),
+                    view_path,
+                    meta={"batch_id": batch_id},
+                )
+                return
             v0 = v1 - 1
         from world_cup_duckdb_spark.operators.lakehouse import diff_versions
 

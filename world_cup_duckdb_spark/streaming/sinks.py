@@ -5,7 +5,10 @@ The batch engine gates every load behind the §2.9 validators
 insert-time enforcement). This extends the same guarantee to streams:
 each micro-batch is audited (PK duplicates within the batch, FK orphans
 against a dimension snapshot) inside ``foreachBatch`` BEFORE it is
-appended; a dirty batch fails the query instead of corrupting the sink.
+published; a dirty batch fails the query instead of corrupting the
+sink. Publishes are replay-idempotent: each batch overwrites its own
+``batch_id=N`` partition, so foreachBatch's at-least-once redelivery
+can never double-append.
 
 Scale notes: the audit runs on the micro-batch only (bounded by trigger
 size), so validation cost tracks ingest rate, not table size. The FK
@@ -15,6 +18,7 @@ swap in a bloom-filter pre-screen and reconcile asynchronously.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -54,7 +58,15 @@ def stream_validated_write(
                 problems.append(f"batch {batch_id}: FK orphans {on}")
         if problems:
             raise ValidationError("; ".join(problems))
-        batch.write.mode("append").parquet(path)
+        # Replay-idempotent publish: each batch OVERWRITES its own
+        # hive-style batch_id=N directory, so a crash-replayed batch
+        # (foreachBatch is at-least-once) rewrites the same partition
+        # instead of appending duplicate rows — the same fence contract
+        # as the sibling table/rollup/ivm sinks. Readers of `path` see a
+        # batch_id partition column as provenance.
+        batch.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
 
     writer = stream.writeStream.foreachBatch(audit_and_append).option(
         "checkpointLocation", checkpoint

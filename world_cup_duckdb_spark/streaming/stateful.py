@@ -65,7 +65,11 @@ def _update_profile(
         cand = (int(pd.Timestamp(latest["ts"]).value), int(latest["event_id"]))
         if cand > (last_us, last_id):
             last_us, last_id = cand
-    state.update((n, round(total, 6), last_us, last_id))
+    # State keeps the UNROUNDED running sum — rounding only the emitted
+    # snapshot. Storing round(total, 6) would accumulate the next batch
+    # on top of an already-truncated value, drifting the running total
+    # away from the batch-sum-then-round result by up to 5e-7 per batch.
+    state.update((n, total, last_us, last_id))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
