@@ -72,14 +72,15 @@ def _commit(
     stats: dict | None = None,
 ) -> None:
     """Atomically publish a manifest: write to a temp name, fsync, then
-    rename into place — readers never observe a partial manifest.
+    hard-link into place — readers never observe a partial manifest, and
+    the link doubles as the optimistic-concurrency claim (exactly one of
+    any concurrent committers of the same version wins; losers get
+    ``ValueError``).
     ``meta`` carries committer bookkeeping (e.g. a streaming batch id
     for exactly-once sinks); ``stats`` carries per-directory column
     zone maps for data skipping."""
     os.makedirs(_log_dir(path), exist_ok=True)
     target = _manifest_path(path, version)
-    if os.path.exists(target):
-        raise ValueError(f"version {version} already committed")
     tmp = target + f".tmp-{uuid.uuid4().hex}"
     body = {"version": version, "mode": mode, "dirs": dirs}
     if meta:
@@ -90,7 +91,17 @@ def _commit(
         json.dump(body, f)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, target)
+    # Atomic version CLAIM, not check-then-rename: link(2) fails with
+    # EEXIST when another committer already published this version, so
+    # concurrent writers of version N race to exactly one winner — a
+    # plain rename would silently clobber the earlier manifest (TOCTOU)
+    # and orphan a commit that had already returned success.
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise ValueError(f"version {version} already committed")
+    finally:
+        os.remove(tmp)
 
 
 def _column_stats(df: DataFrame, cols: list[str]) -> dict:
@@ -138,7 +149,12 @@ def write_table(
         else _read_manifest(path, prev).get("stats", {})
     )
     if stats_cols:
-        stats[data_dir] = _column_stats(df, stats_cols)
+        # Stats come from the files just LANDED, not a re-evaluation of
+        # the input plan: a nondeterministic df (sample, drifting source)
+        # would otherwise commit zones that disagree with the written
+        # rows, turning read_table_pruned's skipping into silent row loss.
+        landed = df.sparkSession.read.parquet(os.path.join(path, data_dir))
+        stats[data_dir] = _column_stats(landed, stats_cols)
     _commit(
         path, version, base + [data_dir], mode, meta=meta,
         stats=stats or None,
@@ -245,11 +261,17 @@ def restore_table(path: str, version: int) -> int:
 
 
 def table_history(path: str) -> list[dict]:
-    """All committed manifests, oldest first (the audit trail)."""
+    """All SURVIVING manifests, oldest first (the audit trail). Versions
+    vacuumed out of the retention window are skipped, not errors — the
+    same guard fsck uses."""
     last = latest_version(path)
     if last is None:
         return []
-    return [_read_manifest(path, v) for v in range(last + 1)]
+    return [
+        _read_manifest(path, v)
+        for v in range(last + 1)
+        if os.path.exists(_manifest_path(path, v))
+    ]
 
 
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:

@@ -281,6 +281,10 @@ def build_worldcup(
         name_expr = cond if name_expr is None else name_expr.when(pos_name == code, nm)
     t["position"] = (
         surrogate_key(pos_src, "POS-", ["position_code"])
+        # LEFT: a code outside GK/DF/MF/FW (dirty upstream data, a new
+        # code) must still become a position row — null type id, name
+        # 'unknown' (otherwise the .otherwise branch below is dead code
+        # and downstream squad rows silently vanish through their joins)
         .join(
             F.broadcast(
                 t["position_type"].select(
@@ -289,6 +293,7 @@ def build_worldcup(
                 )
             ),
             "position_code",
+            "left",
         )
         .select(
             "id",
@@ -360,6 +365,9 @@ def build_worldcup(
     # --- tournament_squad (shirt 0 → null, scripts/build_db.py:898-917) ---
     t["tournament_squad"] = (
         raw["squads"]
+        # LEFT like match_player below: a null/unmapped position_code
+        # keeps the squad row with a null position_id instead of
+        # silently deleting the player from the tournament squad
         .join(
             F.broadcast(
                 t["position"].select(
@@ -368,6 +376,7 @@ def build_worldcup(
                 )
             ),
             "position_code",
+            "left",
         )
         .select(
             "tournament_id",
@@ -416,14 +425,21 @@ def build_worldcup(
         "home_team_id",
         "away_team_id",
         F.col("match_name").alias("name"),
-        F.to_timestamp(
+        # try_to_timestamp: the reference's parser is lenient — a row
+        # with a missing/malformed kickoff time yields a null datetime
+        # there, while ANSI to_timestamp would abort the whole 27-table
+        # build on the first such row (concat_ws silently DROPS a null
+        # match_time, handing the pattern a date-only string).
+        F.try_to_timestamp(
             F.concat_ws(" ", F.col("match_date"), F.col("match_time")),
-            "yyyy-MM-dd HH:mm",
+            F.lit("yyyy-MM-dd HH:mm"),
         ).alias("datetime"),
         "stadium_id",
-        F.when(et_ps == 0, "FT").when(et_ps == 1, "ET").otherwise("PS").alias(
-            "completed"
-        ),
+        # null-safe: a null extra_time/penalty_shootout must surface as
+        # null, not fall through the two WHENs into the 'PS' branch
+        F.when(et_ps == 0, "FT").when(et_ps == 1, "ET").when(
+            et_ps >= 2, "PS"
+        ).alias("completed"),
         "result",
         "score",
         F.col("home_team_score").cast("int").alias("home_team_score"),
@@ -637,7 +653,15 @@ def build_worldcup(
     # --- tournament_team_group_performance (RECOMPUTED standings —
     # the §2.7 showcase: conditional agg OP43 + rank window OP45;
     # reference loads group_standings verbatim,
-    # scripts/build_db.py:1363-1389) ---
+    # scripts/build_db.py:1363-1389).
+    # DOCUMENTED DEVIATION: the recompute applies the MODERN rules —
+    # 3 points per win, (points, goal diff, goals for, team_id) ordering,
+    # top-2 advance. The reference's loaded table encodes each era's
+    # actual rules (2-point wins through 1990, group-winners-only
+    # advancement in several formats, goal-average/lots tie-breaks), so
+    # on the historical corpus the loaded values are authoritative and
+    # this derived table is the modern-rules VIEW of the same matches,
+    # not a byte-level reproduction. ---
     group_stage_ids = F.broadcast(
         stage_dim.filter(F.col("type") == "Group").select(
             F.col("id").alias("stage_id")

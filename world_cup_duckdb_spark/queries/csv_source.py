@@ -46,17 +46,30 @@ ORDERS_CSV_SCHEMA = T.StructType(
 def op02b_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV round-trip scan with explicit schema, projection and filter
     (OP02+OP03 on the real CSV path). Timestamps survive the text
-    round-trip exactly (written/parsed as ISO with microseconds)."""
+    round-trip exactly because BOTH sides pin a microsecond
+    timestampFormat — Spark's default CSV pattern carries only
+    milliseconds (.SSS), which would silently truncate sub-ms values
+    (the fixture's midnight-only o_orderdate never exposes it; real
+    event data would)."""
+    # Both variants pinned: the parquet source carries NTZ timestamps
+    # (isAdjustedToUTC=false → TIMESTAMP_NTZ under inferTimestampNTZ),
+    # whose CSV writer consults timestampNTZFormat, while the declared
+    # read schema is TimestampType and consults timestampFormat.
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     loc = _fresh_dir("op02b_orders_csv")
     (
         table(spark, sf_dir, "orders")
         .write.mode("overwrite")
         .option("header", True)
+        .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
         .csv(os.path.join(loc, "orders"))
     )
     return (
         spark.read.schema(ORDERS_CSV_SCHEMA)
         .option("header", True)
+        .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
         .csv(os.path.join(loc, "orders"))
         .filter(F.col("o_orderstatus") == "O")
         .select("o_orderkey", "o_orderstatus", "o_orderdate")
@@ -164,18 +177,18 @@ def op01_remote_fetch_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage the "remote" side once (plays the role of the upstream host).
     remote_dir, staged = _stable_staged_dir("op01_remote_host")
-    csv_path = os.path.join(remote_dir, "nation.csv")
     if not staged:
         import csv as _csv
 
         rows = table(spark, sf_dir, "nation").select(
             "n_nationkey", "n_name", "n_regionkey"
         ).collect()  # 25 rows at any scale factor: nation is bounded
-        with open(csv_path, "w", newline="") as fh:
+        with open(os.path.join(remote_dir, "nation.csv"), "w", newline="") as fh:
             w = _csv.writer(fh)
             w.writerow(["n_nationkey", "n_name", "n_regionkey"])
             w.writerows([r[0], r[1], r[2]] for r in rows)
-        _mark_staged(remote_dir)
+        remote_dir = _mark_staged(remote_dir)  # atomic publish → final path
+    csv_path = os.path.join(remote_dir, "nation.csv")
 
     cache = _fresh_dir("op01_cache")
     url = f"file://{csv_path}"
@@ -384,7 +397,7 @@ def ext_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.filter(F.col("n_regionkey") >= 2).repartition(1).write.mode(
             "append"
         ).parquet(loc)
-        _mark_staged(loc)
+        loc = _mark_staged(loc)  # atomic publish; returns the final path
     return (
         spark.read.parquet(loc)
         .select(

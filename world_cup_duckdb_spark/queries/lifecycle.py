@@ -53,24 +53,42 @@ def _fresh_dir(name: str) -> str:
 
 
 def _stable_staged_dir(name: str) -> tuple[str, bool]:
-    """Fixed-path scratch dir with a stage-once marker, for the one query
-    whose DuckDB oracle must read the same files by a static path
-    (ext_metadata_columns). Returns (path, already_staged); the caller
-    stages only when not already staged, so once written the files are
-    immutable for the life of the scratch tree — re-entrant reads stay
-    stable."""
+    """Fixed-path scratch dir with a stage-once marker, for queries whose
+    DuckDB oracle must read the same files by a static path
+    (ext_metadata_columns, op01's fixture host). Returns
+    ``(path, already_staged)``. When staging is needed, ``path`` is a
+    per-call UNIQUE work dir — the caller writes there and then calls
+    :func:`_mark_staged`, which publishes it to the stable path with an
+    atomic directory rename and returns the FINAL path. Concurrent
+    processes (pytest + the bench driver share REPO_SCRATCH) each build
+    their own work dir and race to one winner; check-then-write into the
+    shared path would let one rmtree the other's half-written staging
+    and then mark the interleaved result as staged."""
     path = os.path.join(REPO_SCRATCH, name)
-    marker = os.path.join(path, "_STAGED")
-    if os.path.exists(marker):
+    if os.path.exists(os.path.join(path, "_STAGED")):
         return path, True
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    return path, False
+    work = f"{path}.stage-{uuid.uuid4().hex[:12]}"
+    os.makedirs(work, exist_ok=True)
+    return work, False
 
 
-def _mark_staged(path: str) -> None:
-    with open(os.path.join(path, "_STAGED"), "w") as fh:
+def _mark_staged(work: str) -> str:
+    """Publish a staged work dir to its stable path (atomic rename claim);
+    returns the final path. Exactly one of any concurrent stagers wins —
+    losers adopt the winner's published files."""
+    final = work.rsplit(".stage-", 1)[0]
+    with open(os.path.join(work, "_STAGED"), "w") as fh:
         fh.write("staged\n")
+    try:
+        os.rename(work, final)
+    except OSError:
+        if os.path.exists(os.path.join(final, "_STAGED")):
+            shutil.rmtree(work, ignore_errors=True)  # lost the race
+        else:
+            # stale partial dir from a crashed run: replace it
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(work, final)
+    return final
 
 
 _SPARK_TO_SQL = {

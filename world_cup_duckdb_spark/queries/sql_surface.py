@@ -71,7 +71,12 @@ SHARED_SQL: dict[str, str] = {
       AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
     """,
     # correlated-shape rewrite: customers whose spend exceeds 2x the
-    # average order price (join against a scalar aggregate)
+    # average order price (join against a scalar aggregate).
+    # Cross-multiplied (total*n > 2*sum, exact decimal/integer) instead
+    # of comparing against AVG: Spark types AVG(DECIMAL(18,2)) as
+    # DECIMAL(22,6) while DuckDB returns DOUBLE, so an AVG threshold can
+    # flip boundary customers between engines (same fix as
+    # sql_idle_customers).
     "sql_big_spenders": """
     SELECT c_custkey,
            CAST(total AS DOUBLE) AS total_spend
@@ -81,9 +86,11 @@ SHARED_SQL: dict[str, str] = {
       GROUP BY c_custkey
     ) s
     CROSS JOIN (
-      SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS avg_price FROM orders
+      SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+             COUNT(*) AS n_orders
+      FROM orders
     ) a
-    WHERE total > 2 * avg_price
+    WHERE total * n_orders > 2 * sum_price
     """,
     # TPC-H Q4 shape: correlated EXISTS — Catalyst decorrelates to a
     # semi join (SURVEY §4 "subquery decorrelation" exercised end-to-end)
