@@ -305,33 +305,25 @@ def merge_table(
     key_cols: list[str],
     meta: dict | None = None,
 ) -> int:
-    """MERGE (upsert): source rows UPDATE matching keys and INSERT new
-    ones; untouched current rows carry over. Implemented as
-    copy-on-write against the current snapshot — one full-outer join by
-    key, then an atomic `overwrite` commit, so readers see the pre- or
-    post-merge version, never a blend. This is the open-table MERGE INTO
-    semantic on immutable files; at scale the join shuffles once on the
-    key and AQE handles source/target size asymmetry (a small CDC batch
-    broadcasts against the big snapshot)."""
+    """MERGE (upsert): each source row REPLACES all current rows sharing
+    its key, or inserts if the key is new; untouched current rows carry
+    over. Implemented as copy-on-write against the current snapshot —
+    one anti-join by key plus a union, then an atomic `overwrite`
+    commit, so readers see the pre- or post-merge version, never a
+    blend. Delete-then-insert (not a full-outer join): if the target
+    somehow holds duplicate keys, a join-based merge would match EACH
+    duplicate against the source row and silently emit the source
+    payload twice — replace-by-key collapses them instead, which is the
+    upsert contract the IVM/stream sinks rely on. At scale the
+    anti-join shuffles once on the key and AQE broadcasts a small CDC
+    batch against the big snapshot."""
     current = read_table(spark, path)
     cols = current.columns
     if source.columns != cols:
         raise ValueError(f"source columns {source.columns} != table {cols}")
-    from pyspark.sql import functions as F
-
-    src = source.select(
-        *key_cols,
-        F.struct(*[F.col(c) for c in cols]).alias("_src"),
-    )
-    cur = current.select(
-        *key_cols,
-        F.struct(*[F.col(c) for c in cols]).alias("_cur"),
-    )
-    merged = (
-        cur.join(src, key_cols, "full_outer")
-        .select(F.coalesce("_src", "_cur").alias("_row"))
-        .select([F.col(f"_row.{c}").alias(c) for c in cols])
-    )
+    merged = current.join(
+        source.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(source)
     return write_table(merged, path, mode="overwrite", meta=meta)
 
 

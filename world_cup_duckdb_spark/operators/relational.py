@@ -75,7 +75,10 @@ def surrogate_key(
     dimension tables (≤10⁵ rows). Fact-scale keying should use natural or
     composite keys instead.
     """
-    w = Window.orderBy(*order_by)
+    # NULLS LAST explicitly: Spark's ASC default is nulls-first, ANSI
+    # SQL engines' (DuckDB, Postgres) is nulls-last — a null natural key
+    # would otherwise take id 1 and shift every real key by one.
+    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
     return df.withColumn(
         key_col, F.concat(F.lit(prefix), F.row_number().over(w).cast("string"))
     )
@@ -119,9 +122,13 @@ def surrogate_key_distributed(
     if n_ranges is None:
         n_ranges = spark.sparkContext.defaultParallelism
     cols = df.columns
+    # asc_nulls_last on BOTH the range shuffle and the in-partition sort,
+    # matching surrogate_key / ANSI ROW_NUMBER (Spark's default would
+    # range nulls into the first partition and number them first).
+    order_cols = [F.col(c).asc_nulls_last() for c in order_by]
     ranged = (
-        df.repartitionByRange(n_ranges, *[F.col(c) for c in order_by])
-        .sortWithinPartitions(*order_by)
+        df.repartitionByRange(n_ranges, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     # NOT schema.add(...): StructType.add mutates the receiver in place,

@@ -170,7 +170,12 @@ def op46_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag/running values are deterministic even with timestamp ties.
     """
     e = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last on ts: Spark's ASC default is nulls-first, the
+    # oracle's (DuckDB) is nulls-last — a null-ts row would otherwise
+    # sit at opposite ends of its partition in the two engines.
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return e.select(
         "event_id",

@@ -39,15 +39,19 @@ def op50_pk_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op34_fk_orphans",
     oracle="""
+    -- IS NOT NULL mirrors SQL FK semantics (and fk_orphans): a NULL FK
+    -- is not an orphan, but bare NOT EXISTS would count it as one
     SELECT 'lineitem.l_orderkey->orders' AS check_name,
            CAST((SELECT COUNT(*) FROM lineitem l
-                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
                                    WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
              AS n_orphans
     UNION ALL
     SELECT 'customer.c_nationkey->nation',
            CAST((SELECT COUNT(*) FROM customer c
-                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                 WHERE c.c_nationkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM nation n
                                    WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
     """,
 )

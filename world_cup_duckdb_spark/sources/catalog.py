@@ -47,6 +47,10 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 #: so a restarted session never sees stale plans.
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+#: Keys warm_cache has already persisted+sliced — guards re-entry from
+#: stacking another persisted copy per call (see warm_cache).
+_WARMED: set[tuple[str, str, str]] = set()
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (OP02/OP03-equivalent: columnar scan, lazy plan).
@@ -73,7 +77,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # FLOOR division, not `div`: DuckDB's TIMESTAMP_NS→TIMESTAMP
+            # cast floors, while `div` truncates toward zero — a 1 µs
+            # divergence on every pre-1970 sub-µs timestamp.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr("(ts - ((ts % 1000 + 1000) % 1000)) div 1000")
+                ),
+            )
         elif isinstance(ts_type, T.TimestampNTZType):
             # timestamp[us] parquet with no zone: with the session pinned
             # UTC the cast is wall-clock identity, and downstream
@@ -147,6 +159,14 @@ def warm_cache(
     app = spark.sparkContext.applicationId
     cpu_heavy = {"documents", "embeddings"}
     for name in TABLES:
+        key = (app, sf_dir, name)
+        # Idempotent re-warm: a second call must hand back the already
+        # persisted frames, not stack a fresh repartition+persist on top
+        # of them (each such pass pins another full in-memory copy with
+        # no remaining reference — a storage-memory leak per call).
+        if key in _WARMED:
+            out[name] = _PLAN_CACHE[key]
+            continue
         df = table(spark, sf_dir, name)
         if name in cpu_heavy:
             n = slices
@@ -159,6 +179,7 @@ def warm_cache(
             df = df.repartition(n)
         df = df.persist()
         df.count()
-        _PLAN_CACHE[(app, sf_dir, name)] = df
+        _PLAN_CACHE[key] = df
+        _WARMED.add(key)
         out[name] = df
     return out
