@@ -66,7 +66,11 @@ def ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()
     obs = F.col("n").cast("double") / F.sum("n").over(w)
-    expected = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    # digit 0 (an o_totalprice < 1) has no Benford expectation: NULL,
+    # like the oracle's 1.0/0 — unguarded it's an ANSI DIVIDE_BY_ZERO
+    expected = F.when(
+        F.col("digit") > 0, F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    )
     return c.select(
         "digit",
         F.col("n").cast("bigint").alias("n"),
@@ -106,9 +110,15 @@ def ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full distinct-price set. The initial groupBy is the only full
     shuffle. Determinism: pure integer/decimal comparisons, no floats."""
     p = load_tables(spark, sf_dir)["part"]
-    g = p.groupBy("p_retailprice").agg(
+    gall = p.groupBy("p_retailprice").agg(
         F.max("p_size").cast("int").alias("best_size")
     )
+    # A NULL price neither dominates nor is dominated (every oracle
+    # comparison is NULL): route it AROUND the staircase — inside it,
+    # Spark's nulls-first ordering would seed the running max with the
+    # null row's size and wrongly kill real frontier rows.
+    null_rows = gall.filter(F.col("p_retailprice").isNull())
+    g = gall.filter(F.col("p_retailprice").isNotNull())
     # Local prune: a staircase within each Spark partition is lossless
     # (any point dominated locally is dominated globally).
     loc = g.withColumn("_pid", F.spark_partition_id())
@@ -127,6 +137,7 @@ def ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("_m", F.max("best_size").over(wg))
         .filter(F.col("_m").isNull() | (F.col("best_size") > F.col("_m")))
         .drop("_m")
+        .unionByName(null_rows)
     )
 
 
@@ -143,7 +154,7 @@ _HOLD_US = 30 * 60 * 1_000_000  # each event holds a 30-minute interval
       FROM events
     ),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN s > MAX(e) OVER (
                     PARTITION BY user_id ORDER BY s, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -154,9 +165,12 @@ _HOLD_US = 30 * 60 * 1_000_000  # each event holds a 30-minute interval
       FROM iv
     ),
     islands AS (
+      -- SAME (s, event_id) total order as the flag window: ordering by
+      -- (s, e) would let same-timestamp rows swap between the two
+      -- passes and attach a flag to the wrong row
       SELECT user_id, s, e,
              SUM(new_island) OVER (
-               PARTITION BY user_id ORDER BY s, e
+               PARTITION BY user_id ORDER BY s, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM flagged
     ),
@@ -193,9 +207,11 @@ def ext_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("s"),
         (F.unix_micros("ts") + F.lit(_HOLD_US)).alias("e"),
     )
+    # asc_nulls_last mirrors the oracle's default null placement (a
+    # null-ts interval must not open a phantom first island).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
+        .orderBy(F.col("s").asc_nulls_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = iv.withColumn(
@@ -204,9 +220,12 @@ def ext_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s") > F.max("e").over(w), F.lit(1)
         ).when(F.max("e").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
     )
+    # Same (s, event_id) total order as the flag window — (s, e) has
+    # duplicate sort keys whenever s ties (e = s + const), letting tied
+    # rows swap between passes and carry the wrong flag.
     wi = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy(F.col("s").asc_nulls_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.withColumn("island", F.sum("new_island").over(wi))
@@ -350,9 +369,12 @@ def ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w")
     )
+    # asc_nulls_last: Spark's nulls-first default would count a null
+    # price group's weight at the START of the cumulative sum, the
+    # oracle's nulls-last at the END — every real cum shifts.
     wc = (
         Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
+        .orderBy(F.col("l_extendedprice").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wp = Window.partitionBy("l_returnflag")

@@ -328,7 +328,11 @@ def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("a")).alias("cb"),
         F.count(F.lit(1)).alias("c"),
     )
-    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    # asc_nulls_last: a NULL-val group must rank AFTER every real value
+    # (the oracle's default), not shift every real rank from the front
+    w = Window.orderBy(F.col("val").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     r = g.select(
         "ca",
         "cb",
@@ -358,15 +362,26 @@ def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_a = F.col("ra") - na * (na + 1) / F.lit(2.0)
     mu = na * nb.cast("double") / 2.0
     n = na + nb
+    # try_divide: n <= 1 zeroes the ties denominator — DuckDB's /0 is
+    # NULL, and the z guard below then yields NULL rather than ANSI error
     sigma2 = (
         na * nb.cast("double") / 12.0
-        * ((n + 1) - F.col("ties").cast("double") / (n * (n - 1).cast("double")))
+        * (
+            (n + 1)
+            - F.try_divide(
+                F.col("ties").cast("double"), n * (n - 1).cast("double")
+            )
+        )
     )
     return s.select(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),
         u_a.alias("u_a"),
-        F.round((u_a - mu) / F.sqrt(sigma2), 9).alias("z"),
+        # z is NULL when either sample is empty (sigma2 = 0): the
+        # oracle's x/0.0 is NULL, an unguarded divide is an ANSI error
+        F.when(
+            sigma2 > 0, F.round((u_a - mu) / F.sqrt(sigma2), 9)
+        ).alias("z"),
     )
 
 

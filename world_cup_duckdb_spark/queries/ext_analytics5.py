@@ -201,9 +201,15 @@ def ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_N_BINS - 1),
             F.greatest(
                 F.lit(0),
+                # try_divide: a constant reference period makes the bin
+                # width 0 — DuckDB's /0 gives NULL and GREATEST(0,NULL)
+                # clamps to bin 0 (both engines ignore NULL in greatest);
+                # an unguarded divide is an ANSI crash instead
                 F.floor(
-                    (F.col("value") - F.col("mn"))
-                    / ((F.col("mx") - F.col("mn")) / _N_BINS)
+                    F.try_divide(
+                        F.col("value") - F.col("mn"),
+                        (F.col("mx") - F.col("mn")) / _N_BINS,
+                    )
                 ).cast("int"),
             ),
         ).alias("bin"),
@@ -361,8 +367,13 @@ def ext_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(w).over(wc).alias("cum"),
         F.sum(w).over(wa).alias("tot"),
     )
-    hi = F.expr(f"(cum * {_SAMPLE_K}) div tot")
-    lo = F.expr(f"((cum - n_chars) * {_SAMPLE_K}) div tot")
+    # tot = 0 (all-zero weights) must yield NULL bounds — the filter
+    # then drops every row like the oracle's `// 0 → NULL`; a bare
+    # `div` is an ANSI DIVIDE_BY_ZERO crash
+    hi = F.expr(f"CASE WHEN tot > 0 THEN (cum * {_SAMPLE_K}) div tot END")
+    lo = F.expr(
+        f"CASE WHEN tot > 0 THEN ((cum - n_chars) * {_SAMPLE_K}) div tot END"
+    )
     return c.filter(hi > lo).select(
         "doc_id",
         "lang",

@@ -183,7 +183,10 @@ def ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum to double differs in the last ulp between engines, and rounding
     removes that (positive values, so HALF_UP == half-away)."""
     e = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last mirrors the oracle's null placement for null ts
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     seg = (
         e.select(
             "user_id",
@@ -204,5 +207,10 @@ def ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         F.sum("dur").cast("bigint").alias("total_us"),
-        F.round(F.sum("term").cast("double") / F.sum("dur"), 6).alias("twap"),
+        # try_divide: a user whose kept segments all have zero duration
+        # (identical timestamps) has twap NULL like the oracle's /0,
+        # not an ANSI DIVIDE_BY_ZERO crash
+        F.round(
+            F.try_divide(F.sum("term").cast("double"), F.sum("dur")), 6
+        ).alias("twap"),
     )

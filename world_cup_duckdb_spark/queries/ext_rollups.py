@@ -153,7 +153,11 @@ def ext_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same on both engines (single IEEE division, then round).
     """
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last: a null-ts event must pair AFTER the user's last
+    # real event (the oracle's placement), not before the first
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     seq = e.select(
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
