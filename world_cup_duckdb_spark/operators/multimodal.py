@@ -163,8 +163,13 @@ def decode_media(mm: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in it:
+            # Nullable Int64: a NULL payload (null source text) must
+            # yield NULL dims like the oracle's octet_length(NULL), not
+            # a TypeError from len(None) killing the whole task.
             n_bytes = pd.Series(
-                [len(b) for b in pdf["payload"]], index=pdf.index, dtype="int64"
+                [len(b) if b is not None else None for b in pdf["payload"]],
+                index=pdf.index,
+                dtype="Int64",
             )
             width, height = _fake_dims(n_bytes)
             media = pdf["meta"].map(lambda m: m["media_type"])
@@ -172,8 +177,8 @@ def decode_media(mm: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": media,
-                    "width": width.astype("int32"),
-                    "height": height.astype("int32"),
+                    "width": width.astype("Int32"),
+                    "height": height.astype("Int32"),
                     "channels": media.map(
                         lambda m: 1 if m == "audio" else 3
                     ).astype("int32"),
@@ -202,7 +207,8 @@ def extract_features(mm: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in it:
             feats = []
             for b in pdf["payload"]:
-                arr = np.frombuffer(b, dtype=np.uint8)
+                # NULL payload → all-zero histogram (no per-task crash)
+                arr = np.frombuffer(b if b is not None else b"", dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")
                 total = hist.sum()
                 feats.append(hist / total if total else hist)
@@ -230,8 +236,14 @@ def resize_images(mm: DataFrame, width: int = 64, height: int = 64) -> DataFrame
             pdf = pdf[mask]
             out = []
             for b in pdf["payload"]:
-                arr = np.frombuffer(b, dtype=np.uint8)
-                reps = -(-target // max(len(arr), 1))
+                arr = np.frombuffer(b if b is not None else b"", dtype=np.uint8)
+                if len(arr) == 0:
+                    # np.tile of an empty array stays empty for any reps:
+                    # an empty/NULL source must still produce the full
+                    # target-size buffer (zeros), as the oracle pins.
+                    out.append(bytes(target))
+                    continue
+                reps = -(-target // len(arr))
                 out.append(np.tile(arr, reps)[:target].tobytes())
             yield pd.DataFrame(
                 {
@@ -263,6 +275,8 @@ def sample_frames(mm: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
                 if meta["media_type"] != "video":
+                    continue
+                if b is None:  # NULL payload: nothing to sample
                     continue
                 n = len(b)
                 for i in range(1 + n % FRAME_MOD):

@@ -203,9 +203,16 @@ def priority_sample(
     """
     u = (mix_hash(F.col(id_col)) + 1).cast("double") / F.lit(float(MERSENNE_P))
     pri = (F.col(weight_col).cast("double") / u).alias("priority")
-    top = items.select(F.col(id_col), F.col(weight_col), pri).orderBy(
-        F.desc("priority"), F.col(id_col)
-    ).limit(k + 1)
+    # Materialized: both the tau aggregate and the k-row re-sort consume
+    # `top`; unmaterialized, each would re-run the TakeOrdered heap scan
+    # over the full input (correct either way thanks to the
+    # deterministic tie-break, but twice the corpus reads).
+    top = (
+        items.select(F.col(id_col), F.col(weight_col), pri)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k + 1)
+        .localCheckpoint(eager=True)
+    )
     tau = top.agg(F.min("priority").alias("tau"))
     return (
         top.orderBy(F.desc("priority"), F.col(id_col))

@@ -292,6 +292,7 @@ def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
+    WHERE ts IS NOT NULL  -- mirrors F.window's implicit isnotnull filter
     GROUP BY 1, 2
     """,
 )

@@ -283,13 +283,21 @@ def ext_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     est ≥ exact with overcount bounded by N/w per row
     (operators/optim.py:cms_cells/cms_estimate)."""
     li = load_tables(spark, sf_dir)["lineitem"]
+    # Materialize the fact-sized derivations ONCE: `exact` feeds the
+    # estimate probes (twice, via cms_estimate's union) AND the final
+    # join, `cells` both probe rows — without truncation each consumer
+    # re-runs the full lineitem aggregate (the same single-derivation
+    # discipline as ext_bloom_semijoin above).
     exact = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), "l_partkey")
         .limit(5)
+        .localCheckpoint(eager=True)
     )
-    cells = cms_cells(li.select("l_partkey"), "l_partkey", _CMS_W)
+    cells = cms_cells(li.select("l_partkey"), "l_partkey", _CMS_W).localCheckpoint(
+        eager=True
+    )
     est = cms_estimate(exact, "l_partkey", cells, _CMS_W)
     return exact.join(est, "l_partkey").select("l_partkey", "exact_cnt", "cms_est")
 

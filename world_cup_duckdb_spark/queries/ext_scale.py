@@ -126,7 +126,7 @@ def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_seasonality",
     oracle="""
-    SELECT CAST(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400.0)
+    SELECT CAST(CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
                      AS BIGINT) % 7 AS INT) AS day_nr,
            CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -146,7 +146,12 @@ def ext_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return (
         e.select(
-            ((F.unix_timestamp("ts") / F.lit(86400)).cast("bigint") % 7)
+            # floor() over MICROSECONDS, not a truncate-cast of seconds:
+            # the oracle floors epoch_us/86400e6, and for pre-1970
+            # timestamps truncation lands on day 0 where floor lands on
+            # day -1 (catalog.py guards the same divergence for ns→µs);
+            # microseconds also avoid unix_timestamp's sub-second trunc
+            (F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0)) % 7)
             .cast("int")
             .alias("day_nr"),
             F.hour("ts").cast("int").alias("hour_of_day"),

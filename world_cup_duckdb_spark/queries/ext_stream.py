@@ -29,6 +29,9 @@ from world_cup_duckdb_spark.sources.catalog import load_tables
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
+    -- Spark's F.window inserts an isnotnull(ts) filter (null-ts rows
+    -- are unwindowable); mirror it or the oracle emits a NULL-window row
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -56,7 +59,10 @@ def ext_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_stream_sliding",
     oracle="""
     WITH e AS (
-      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events
+      -- ts IS NOT NULL mirrors F.window's implicit filter (the UNION
+      -- ALL grid would otherwise emit the null row TWICE)
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+      FROM events WHERE ts IS NOT NULL
     ),
     w AS (
       SELECT make_timestamp((us // 300000000) * 300000000) AS window_start,
@@ -96,13 +102,19 @@ def ext_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_stream_session",
     oracle="""
     WITH e AS (
+      -- ts IS NOT NULL: Spark's session_window drops null-ts rows (its
+      -- TimeWindowing rule inserts an isnotnull filter); the
+      -- gaps-and-islands form would fold them into the last session
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      WHERE ts IS NOT NULL
     ),
     marked AS (
+      -- strictly > : Spark session_window MERGES events exactly one
+      -- gap apart (the window is [start, last+gap), boundary inclusive)
       SELECT *,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL '30 minutes'
+                       > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS brk
       FROM e
     ),
@@ -123,7 +135,10 @@ def ext_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap session windows per user
     (`session_window` — the streaming stateful operator, batch mode).
     Oracle is the classic gaps-and-islands rewrite; a new session starts
-    when the gap is ≥ the timeout (Spark's window is [start, last+gap)).
+    only when the gap is STRICTLY GREATER than the timeout — Spark's
+    per-event window [ts, ts+gap) merges an event landing exactly on the
+    boundary (verified empirically). Null-ts rows are dropped by
+    session_window; the oracle filters them to match.
     """
     e = load_tables(spark, sf_dir)["events"]
     return (
@@ -163,7 +178,11 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # asc_nulls_last: a null-ts event must not win rn=1 over real events
+    # (the oracle's default places nulls last)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -183,7 +202,7 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * 3600000000) AS window_start,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
 def ext_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
