@@ -395,10 +395,13 @@ def ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_ewma",
     oracle="""
     WITH d AS (
+      -- ts IS NOT NULL on both sides: a null day has no position in the
+      -- fold order, and Spark's array_sort puts a null struct field
+      -- FIRST where list(... ORDER BY day) puts it LAST
       SELECT user_id,
              CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
              CAST(COUNT(*) AS DOUBLE) AS c
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     a AS (
       SELECT user_id, list(c ORDER BY day) AS l FROM d GROUP BY 1
@@ -427,7 +430,10 @@ def ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     array; the result is ROUND()ed to 9 to absorb any fused-multiply-add
     divergence."""
     e = load_tables(spark, sf_dir)["events"]
-    d = e.groupBy(
+    # ts IS NOT NULL mirrors the oracle: a null day would sort FIRST in
+    # array_sort's struct ordering but LAST in the oracle's ORDER BY,
+    # changing the fold sequence
+    d = e.filter(F.col("ts").isNotNull()).groupBy(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).cast("double").alias("c"))
     a = d.groupBy("user_id").agg(

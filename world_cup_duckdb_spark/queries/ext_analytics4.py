@@ -24,10 +24,13 @@ from world_cup_duckdb_spark.sources.catalog import load_tables
     "ext_match_recognize",
     oracle="""
     WITH s AS (
+      -- ts IS NOT NULL on both sides: a null-ts event has no position
+      -- in the symbol sequence (Spark's array_sort would place its
+      -- struct first, this ORDER BY last)
       SELECT user_id,
              string_agg(substring(event_type, 1, 1), ''
                         ORDER BY ts, event_id) AS seq
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
     SELECT user_id,
            CAST(len(seq) AS INTEGER) AS n_events,
@@ -55,8 +58,10 @@ def ext_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftmost non-overlapping matching is identical in Java regex and RE2
     for this pattern class; all outputs are integers."""
     e = load_tables(spark, sf_dir)["events"]
+    # ts IS NOT NULL mirrors the oracle (null ts has no sequence position)
     s = (
-        e.select(
+        e.filter(F.col("ts").isNotNull())
+        .select(
             "user_id",
             F.struct(
                 F.unix_micros("ts").alias("us"),

@@ -442,7 +442,10 @@ def ext_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject keeps the final top-k sort local. Determinism:
     (ts, event_id) total order, struct sort on rn."""
     e = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last: a null-ts event must rank last like the oracle
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     paths = (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
