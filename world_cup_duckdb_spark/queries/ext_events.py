@@ -465,7 +465,16 @@ def ext_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_hll_sketch_union")
+@register(
+    "ext_hll_sketch_union",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total,
+           CAST(TRUE AS BOOLEAN) AS est_ok
+    FROM events
+    """,
+)
 def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable cardinality sketches as DATA (Apache DataSketches HLL,
     Spark 4 `hll_sketch_agg`/`hll_union_agg`): build one user-cardinality
@@ -474,13 +483,13 @@ def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials are stored once (bytes, not user sets) and any date range
     re-aggregates by unioning sketches instead of rescanning facts.
 
-    No SQL oracle: the sketch binary is implementation-defined, so the
-    driver records the rows-only check; tests/test_scale.py bounds the
-    estimate against the exact distinct count (and the exact twin lives
-    in ext_window_distinct_users at hour grain).
-
-    Columns: n_days, est_union (sketch estimate over the full range),
-    exact_total (countDistinct twin for the bound check)."""
+    Oracle strategy: the sketch binary and its exact estimate are
+    implementation-defined, so the hash-checked columns are n_days,
+    exact_total (both SQL-exact) and est_ok — the 5%-relative-error
+    bound on the unioned estimate (HLL lgConfigK=12 has ~1.6% standard
+    error, so TRUE is the deterministic expected value). tests/
+    test_scale.py additionally bounds the raw estimate, and the exact
+    twin lives in ext_window_distinct_users at hour grain."""
     e = load_tables(spark, sf_dir)["events"]
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -490,7 +499,15 @@ def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
     )
     exact = e.agg(F.countDistinct("user_id").alias("exact_total"))
-    return est.crossJoin(exact)
+    return est.crossJoin(exact).select(
+        "n_days",
+        "exact_total",
+        (
+            F.abs(F.col("est_union") - F.col("exact_total"))
+            / F.col("exact_total")
+            <= F.lit(0.05)
+        ).alias("est_ok"),
+    )
 
 
 @register(

@@ -7,9 +7,9 @@ backed by operators/multimodal.py. Payloads are deterministic fakes
 value with `encode`/`octet_length` arithmetic — proving the Arrow/
 mapInPandas plumbing end-to-end, not just "it ran".
 
-The feature-extraction query is rows-only checked (byte histograms are
-not SQL-expressible in the oracle); its determinism across partitionings
-is covered by tests/test_multimodal.py instead.
+The feature-extraction query hash-checks exact integer bin counts (the
+normalized float32 vectors de-normalize losslessly); determinism across
+partitionings is additionally covered by tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -73,13 +73,43 @@ def ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(attach_payload(load_tables(spark, sf_dir)["documents"]))
 
 
-@register("ext_mm_features", oracle=None)
+@register(
+    "ext_mm_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> ord(c) % 8) AS bins
+      FROM documents
+    )
+    SELECT doc_id,
+           list_transform(generate_series(0, 7),
+               b -> CAST(length(list_filter(bins, x -> x = b)) AS BIGINT))
+             AS counts
+    FROM d
+    """,
+)
 def ext_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction: 8-bin byte histogram per payload (vectorized
-    numpy in mapInPandas). Rows-only driver check; determinism across
-    partitionings is pytest-verified."""
-    return extract_features(
-        attach_payload(load_tables(spark, sf_dir)["documents"])
+    numpy in mapInPandas, operators/multimodal.py:194).
+
+    Oracle strategy: the mapInPandas stage emits L1-normalized float32
+    vectors — not portably hashable across engines — so the registered
+    query de-normalizes back to exact integer bin COUNTS (feature ×
+    n_bytes, rounded; exact because counts ≤ payload size are well inside
+    float32's 2^24 integer range) and the DuckDB oracle recomputes the
+    same counts from the text bytes (fixtures are ASCII, so codepoint ==
+    byte). The float path itself stays exercised end-to-end; determinism
+    across partitionings is additionally pytest-verified."""
+    mm = attach_payload(load_tables(spark, sf_dir)["documents"])
+    feats = extract_features(mm)
+    sized = feats.join(mm.select("doc_id", "meta.n_bytes"), "doc_id")
+    return sized.select(
+        "doc_id",
+        F.transform(
+            "features",
+            lambda x: F.round(x.cast("double") * F.col("n_bytes"))
+            .cast("bigint"),
+        ).alias("counts"),
     )
 
 

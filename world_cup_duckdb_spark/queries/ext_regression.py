@@ -114,10 +114,34 @@ def fit_events_ols(events: DataFrame) -> DataFrame:
     return ex.groupBy("event_type").applyInPandas(_ols, _FIT_SCHEMA)
 
 
-@register("ext_fit_pandas", oracle=None)
+@register(
+    "ext_fit_pandas",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(REGR_SLOPE(value, (epoch(CAST(ts AS TIMESTAMP)) - {_T0})
+                                   / 3600.0), 4) AS slope,
+           ROUND(REGR_INTERCEPT(value,
+                                (epoch(CAST(ts AS TIMESTAMP)) - {_T0})
+                                / 3600.0), 4) AS intercept,
+           ROUND(REGR_R2(value, (epoch(CAST(ts AS TIMESTAMP)) - {_T0})
+                                / 3600.0), 4) AS r2
+    FROM events GROUP BY event_type
+    """,
+)
 def ext_fit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas group-map fit (rows-only driver check; numeric
-    equality to the REGR_* aggregate twin is pytest-verified — float
-    accumulation order differs between numpy and SQL sums, so the match
-    is tolerance-based, not hash-based)."""
-    return fit_events_ols(table(spark, sf_dir, "events"))
+    """applyInPandas group-map fit, hash-checked against the same REGR_*
+    oracle as its JVM twin ext_regr_per_group: numpy's mean-centered
+    two-pass OLS and SQL's algebraic sums agree to ~1e-12 relative on
+    the bounded hours-since-origin regressor, so a 4-decimal round (done
+    Spark-side with F.round so rounding semantics match the twin's)
+    pins both engines to identical doubles. Raw (unrounded) numeric
+    equality to the aggregate twin remains pytest-verified."""
+    fit = fit_events_ols(table(spark, sf_dir, "events"))
+    return fit.select(
+        "event_type",
+        "n",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 4).alias("r2"),
+    )
