@@ -220,9 +220,15 @@ def test_stream_validated_write_clean_and_dirty(
     )
     import os
 
-    assert not any(
-        f.endswith(".parquet") for f in os.listdir(out2)
-    ), "dirty batch leaked into the sink"
+    # Walk recursively: the sink writes into batch_id=N subdirectories, so
+    # a leaked dirty batch would never appear in the top-level listing.
+    leaked = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(out2)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    assert not leaked, f"dirty batch leaked into the sink: {leaked}"
 
 
 def test_stateful_profile_accumulates_across_batches(spark, sf_dir, staged):

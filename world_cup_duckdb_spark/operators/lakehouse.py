@@ -100,6 +100,21 @@ def _commit(
         os.link(tmp, target)
     except FileExistsError:
         raise ValueError(f"version {version} already committed")
+    except OSError:
+        # link(2) is unsupported on some filesystems (NFS without link,
+        # overlay/object-store mounts → EPERM/ENOTSUP). O_CREAT|O_EXCL is
+        # the same exactly-one-winner claim without hard links: creation
+        # is atomic, and the loser's open raises FileExistsError.
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ValueError(f"version {version} already committed")
+        try:
+            with open(tmp, "rb") as src:
+                os.write(fd, src.read())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
     finally:
         os.remove(tmp)
 

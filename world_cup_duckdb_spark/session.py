@@ -48,6 +48,41 @@ _DEFAULTS = {
 }
 
 
+#: Deployment-posture overrides for a REAL multi-executor cluster, passed
+#: as ``get_spark(extra_conf=CLUSTER_PROFILE | {...})``. The local[...]
+#: defaults above deliberately disable shuffle compression (blocks never
+#: cross a network there); on a cluster that would be wrong — shuffle
+#: bytes traverse NICs and executor disks, so lz4 pays for itself — and
+#: shuffle parallelism must track total cluster cores, not one machine.
+CLUSTER_PROFILE: dict[str, str] = {
+    "spark.shuffle.compress": "true",
+    "spark.shuffle.spill.compress": "true",
+    # ~2-3x total executor cores; AQE coalesces the excess at runtime.
+    "spark.sql.shuffle.partitions": "2000",
+    # Executors are remote: cap in-flight fetch and favor larger scan
+    # splits so a 100 TB table doesn't explode into tiny tasks.
+    "spark.sql.files.maxPartitionBytes": "256m",
+}
+
+
+def build_conf(
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Resolve the effective session conf (defaults ← env ← extra_conf)
+    without building a session — session confs are sticky per JVM, so
+    this is also the only honestly testable surface for alternate
+    deployment profiles (tests/ assert both the local posture and
+    CLUSTER_PROFILE through it)."""
+    conf = dict(_DEFAULTS)
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g")
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    return conf
+
+
 def get_spark(
     app_name: str = "world_cup_duckdb_spark",
     cpus: str | int | None = None,
@@ -61,13 +96,7 @@ def get_spark(
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
-    conf = dict(_DEFAULTS)
-    conf.setdefault(
-        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g")
-    )
-    if extra_conf:
-        conf.update(extra_conf)
-    for k, v in conf.items():
+    for k, v in build_conf(cpus, extra_conf).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
