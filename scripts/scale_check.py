@@ -53,6 +53,13 @@ DEFAULT_QUERIES = [
     "ext_sessionize_batch",
     "ext_ann_bruteforce",
     "ext_bloom_semijoin",
+    # Stateful layers: the lakehouse/IVM/stream designs claim KB-scale
+    # control state at any data volume — growth here must track data
+    # (fact inputs: orders for merge/IVM, events for the rollup), not
+    # blow up with snapshot/version bookkeeping.
+    "ext_merge_upsert_fact",
+    "ext_ivm_join",
+    "ext_stream_tumbling",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica

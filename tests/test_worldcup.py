@@ -154,3 +154,60 @@ def test_fk_violation_detected(spark, tables):
     problems = validate_worldcup(broken)
     assert "event" in problems
     assert any("match" in p for p in problems["event"])
+
+
+@pytest.fixture(scope="module")
+def dist_tables(spark):
+    """One distributed-keys build shared by the scale-path tests (each
+    full DAG build costs ~a minute of Catalyst + window work)."""
+    return build_worldcup(spark, raw_fixture(spark), distributed_keys=True)
+
+
+def test_distributed_keys_build_equals_window_build(tables, dist_tables):
+    """distributed_keys=True must assign the EXACT event ids of the
+    global-window build — the scale path changes the plan, never the
+    result (operators/relational.py:surrogate_key_distributed)."""
+    a = sorted(tuple(r) for r in tables["event"].collect())
+    b = sorted(tuple(r) for r in dist_tables["event"].collect())
+    assert a == b
+
+
+def test_replicated_build_validator_clean_and_linear(spark, tables):
+    """The WC-pipeline scale posture (scripts/wc_scale_check.py, small
+    local mirror): an R×-replicated raw corpus builds validator-clean
+    with distributed fact keys, fact tables grow exactly R×, and the
+    derived dimensions stay 1×."""
+    from world_cup_duckdb_spark.plans.fixtures import replicate_raw
+
+    R = 4
+    rep = build_worldcup(
+        spark, replicate_raw(raw_fixture(spark), R), distributed_keys=True
+    )
+    assert validate_worldcup(rep) == {}
+    for fact in ("event", "match", "team_appearance", "match_player"):
+        assert rep[fact].count() == tables[fact].count() * R, fact
+    for dim in ("confederation", "stage", "position", "city"):
+        assert rep[dim].count() == tables[dim].count(), dim
+
+
+def test_distributed_event_plan_has_no_fact_window(dist_tables):
+    """With distributed_keys=True the event table's plan must carry no
+    window over fact rows: the range shuffle + Arrow index already ran
+    at (checkpointed) build time, and the only Window computes offsets
+    over per-partition counts (tests/test_plans.py:
+    test_scalable_surrogate_key_has_no_fact_window pattern, extended to
+    the pipeline per VERDICT r2 item 5)."""
+    # Probe a derived frame: the shared fixture has been executed by the
+    # equality test, and an executed AQE queryExecution renders final +
+    # initial plans (two trees), which would double-count Window. A
+    # trivial select gets a fresh, unexecuted queryExecution over the
+    # same build plan.
+    df = dist_tables["event"].select("*")
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = p.split("\n\n")[0]
+    assert "Scan ExistingRDD" in tree, p
+    assert tree.count("Window") == 1, p
+    win_detail = p.split(") Window")[1].split("\n\n")[0]
+    assert "_pid" in win_detail, p

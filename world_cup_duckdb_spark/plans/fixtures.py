@@ -232,3 +232,55 @@ def raw_fixture(spark: SparkSession) -> dict[str, DataFrame]:
     return {
         name: spark.createDataFrame(rows, schema) for name, (schema, rows) in _T.items()
     }
+
+
+def replicate_raw(
+    raw: dict[str, DataFrame], replication: int
+) -> dict[str, DataFrame]:
+    """Referentially-consistent R× blow-up of the raw corpus, for the
+    WC-pipeline scale check (scripts/wc_scale_check.py).
+
+    Every ``*_id`` column gets a per-replica suffix (``~rN``), so all
+    id-keyed joins line up within a replica and never across replicas,
+    and every id-keyed PK stays unique. Name/code columns (stage names,
+    result strings, country/city/federation names, position codes) are
+    NOT suffixed — the pipeline branches on their literal values, and
+    leaving them shared keeps the derived dimensions (confederation,
+    city, position, stage) bounded while the id-keyed tables grow R× —
+    the same dims-stay-1×, facts-grow-R× direction scripts/
+    scale_check.py uses, which is the skew-adversarial one (per-dim-key
+    fan-in grows with R)."""
+    from pyspark.sql import functions as F
+
+    if replication <= 1:
+        return dict(raw)
+    # Name columns that act as JOIN KEYS to an id-suffixed entity must
+    # shift with it: tournament.winner joins team by display name
+    # (plans/worldcup.py tournament build), so team_name and winner
+    # suffix together or the winner join fans out R× per tournament.
+    extra_keys = {"teams": ["team_name"], "tournaments": ["winner"]}
+    out: dict[str, DataFrame] = {}
+    for name, df in raw.items():
+        id_cols = [c for c in df.columns if c.endswith("_id")]
+        id_cols += [c for c in extra_keys.get(name, []) if c in df.columns]
+        if not id_cols:
+            # Pure dimension source (confederations): no id to shift —
+            # replicating verbatim would duplicate its natural keys and
+            # fan out every code join downstream. It stays 1×, which is
+            # also the scale-check posture (bounded dims, growing facts).
+            out[name] = df
+            continue
+        reps = [df]
+        for r in range(1, replication):
+            rep = df
+            for c in id_cols:
+                # NULL ids stay NULL: concat propagates null, which is
+                # exactly the carry-through the pipeline's null handling
+                # expects.
+                rep = rep.withColumn(c, F.concat(F.col(c), F.lit(f"~r{r}")))
+            reps.append(rep)
+        u = reps[0]
+        for rep in reps[1:]:
+            u = u.unionByName(rep)
+        out[name] = u
+    return out

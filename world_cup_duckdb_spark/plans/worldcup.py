@@ -120,7 +120,9 @@ SUBSTITUTION_FLAGS = ["going_off", "coming_on"]
 
 
 def build_worldcup(
-    spark: SparkSession, raw: dict[str, DataFrame]
+    spark: SparkSession,
+    raw: dict[str, DataFrame],
+    distributed_keys: bool = False,
 ) -> dict[str, DataFrame]:
     """Raw corpus frames → all 27 schema.sql tables, dependency-ordered.
 
@@ -130,6 +132,17 @@ def build_worldcup(
     substitutions, penalty_kicks, team_appearances, qualified_teams,
     host_countries, tournament_referees, tournament_managers,
     tournament_stages.
+
+    ``distributed_keys`` switches the FACT-scale surrogate key (the
+    ``event`` table — the one key assignment whose input grows with the
+    corpus) from the global-window form to
+    :func:`~world_cup_duckdb_spark.operators.relational.
+    surrogate_key_distributed` (range shuffle + per-partition Arrow
+    index + broadcast offsets — identical ids, no single-task sort).
+    Dimension keys stay on the window form: their inputs are bounded
+    (confederations, stages, positions — dozens of rows at any corpus
+    size), so a global window over them is a non-issue. Default False
+    keeps the exact plan the oracle-checked queries pin.
     """
     t: dict[str, DataFrame] = {}
 
@@ -573,25 +586,32 @@ def build_worldcup(
     ).unionByName(
         melted(raw["substitutions"], SUBSTITUTION_FLAGS), allowMissingColumns=True
     )
-    keyed = surrogate_key(
-        events_long.join(
-            F.broadcast(
-                event_type_dim.select(
-                    F.col("id").alias("event_type_id"), "orig_name"
-                )
-            ),
-            events_long["variable"] == F.col("orig_name"),
+    event_key_order = [
+        "match_id",
+        "match_period",
+        "minute_regulation",
+        "minute_stoppage",
+        "player_id",
+        "variable",
+    ]
+    events_typed = events_long.join(
+        F.broadcast(
+            event_type_dim.select(
+                F.col("id").alias("event_type_id"), "orig_name"
+            )
         ),
-        "EV-",
-        [
-            "match_id",
-            "match_period",
-            "minute_regulation",
-            "minute_stoppage",
-            "player_id",
-            "variable",
-        ],
+        events_long["variable"] == F.col("orig_name"),
     )
+    if distributed_keys:
+        from world_cup_duckdb_spark.operators.relational import (
+            surrogate_key_distributed,
+        )
+
+        keyed = surrogate_key_distributed(
+            events_typed, "EV-", event_key_order
+        )
+    else:
+        keyed = surrogate_key(events_typed, "EV-", event_key_order)
     t["event"] = keyed.select(
         "id",
         "match_id",

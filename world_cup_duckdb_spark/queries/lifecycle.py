@@ -481,6 +481,60 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_merge_upsert_fact",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(CASE WHEN o_orderkey % 97 = 0
+                     THEN 2 * CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(18,2))
+                END AS DECIMAL(18,2)) AS price
+    FROM orders
+    UNION ALL
+    SELECT CAST(o_orderkey + 10000000000 AS BIGINT),
+           CAST(o_custkey AS BIGINT),
+           CAST(o_totalprice AS DECIMAL(18,2))
+    FROM orders WHERE o_orderkey % 1000 = 0
+    """,
+)
+def ext_merge_upsert_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO at FACT scale: the same copy-on-write merge_table as
+    ext_merge_upsert, but the target is the full orders table and the
+    CDC batch is fact-derived (every %97 key's price doubled, every
+    %1000 key re-inserted under a shifted key) — the shape a daily
+    warehouse upsert actually has, and the one scripts/scale_check.py
+    times to prove the lakehouse layer's cost grows with DATA, while
+    its manifest state stays KB-sized at any volume.
+
+    Scale: merge is one key-shuffled anti-join of the snapshot against
+    the (broadcast-small) CDC key set plus a union — no driver funnel;
+    the commit itself is an O(1) manifest rename regardless of table
+    size. Price math stays in decimal(18,2) (doubling is exact), so the
+    oracle hash-matches bit-for-bit."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        merge_table,
+        read_table,
+        write_table,
+    )
+
+    loc = _fresh_dir("ext_merge_upsert_fact")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    write_table(orders, loc)
+    updates = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "price", (F.col("price") * 2).cast("decimal(18,2)")
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000_000).cast("bigint")
+    )
+    merge_table(spark, loc, updates.unionByName(inserts), ["o_orderkey"])
+    return read_table(spark, loc)
+
+
+@register(
     "ext_table_diff",
     oracle="""
     SELECT 'insert' AS change, CAST(n_nationkey AS INT) AS n_nationkey,
