@@ -360,17 +360,23 @@ def test_bloom_probe_never_drops_true_matches(spark):
 
 
 def test_bloom_probe_joins_are_broadcast(spark, sf_dir):
-    """The bitset side of every probe join must broadcast — the probe is
-    a map-side filter of the big scan, never a shuffle of the big side.
-    (2 probe joins + nation + region dims + the final returnflag join are
-    all broadcast; only the bitset build and aggregates may exchange.)"""
+    """The filter side must broadcast — the probe is a map-side filter of
+    the big scan, never a shuffle of the big side. The bloom itself ships
+    as a single-row map<word,bits> (BroadcastNestedLoopJoin of a 1-row
+    build — both probes are then map lookups inside the scan stage); the
+    exact key set is a broadcast hash join (the nation/region dim joins
+    live inside the checkpointed key-set build and so don't appear in
+    this plan); the fact side never sort-merge- or shuffle-hash-joins."""
     from world_cup_duckdb_spark.queries import REGISTRY
 
     df = REGISTRY["ext_bloom_semijoin"].fn(spark, sf_dir)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
 
 
 def test_cms_estimate_never_undercounts(spark):

@@ -89,6 +89,43 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
     )
 
 
+def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
+    """The Bloom bitset as ONE row holding a ``map<word, bits>`` column.
+
+    This is the shape sideways information passing actually ships at
+    scale: the whole filter is a compact value (≤ m/63 map entries ≈ 1 KB
+    at m=8192) broadcast to every scan task as a single-row nested-loop
+    build, so a probe is a pure map lookup + bit test inside the scan's
+    codegen stage — no per-probe broadcast HASH join relation, and only
+    ONE join however many hash rows k the filter uses (``bloom_probe``
+    pays one join per hash row). Same (word, bits) arithmetic as
+    :func:`bloom_build`, so the DuckDB oracle mirrors it unchanged."""
+    return bloom_build(keys, key_col, m_bits).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("bits")))
+        ).alias("_bloom_bitmap")
+    )
+
+
+def bloom_bit_test(bitmap: Column, probe: Column, m_bits: int, row: int) -> Column:
+    """Boolean: does hash-row ``row``'s probe position hit in ``bitmap``?
+
+    ``try_element_at`` (not ``element_at``): a word no key ever touched is
+    absent from the map, and under ANSI mode a plain map lookup on a
+    missing key raises instead of returning NULL."""
+    pos = poly_hash(probe, row, m_bits)
+    word_bits = F.coalesce(
+        F.try_element_at(bitmap, (pos / 63).cast("long")),
+        F.lit(0).cast("long"),
+    )
+    return (
+        F.call_function(
+            "shiftright", word_bits, (pos % 63).cast("int")
+        ).bitwiseAND(F.lit(1).cast("long"))
+        == 1
+    )
+
+
 def bloom_probe(
     big: DataFrame, probe_col: str, bloom: DataFrame, m_bits: int
 ) -> DataFrame:

@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from world_cup_duckdb_spark.operators.optim import (
     HASH_PARAMS,
     MERSENNE_P,
-    bloom_build,
+    bloom_bit_test,
+    bloom_bitmap,
+    bloom_build,  # noqa: F401 — re-exported; the (word, bits) relation form
     bloom_probe,  # noqa: F401 — re-exported; the filter form of the probe
     cms_cells,
     cms_estimate,
@@ -133,31 +135,24 @@ def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         # computed once and shipped, never re-derived per consumer.
         .localCheckpoint(eager=True)
     )
-    bloom = bloom_build(asia, "s_suppkey", _BLOOM_M).localCheckpoint(eager=True)
-    # ONE pass over the fact table computes both counters: the bloom
-    # probes and the exact membership become per-row flags (broadcast word
-    # lookups + a broadcast left join on the key set), aggregated with
-    # conditional counts. The separate candidate-filter + exact-semi-join
+    # ONE pass over the fact table computes both counters: the whole
+    # bloom filter travels as a single-row map<word,bits> (≈1 KB at
+    # m=8192) broadcast into the scan — each probe is a map lookup + bit
+    # test inside the scan's codegen stage, not a per-hash-row broadcast
+    # hash join — and the exact membership is one broadcast left join on
+    # the key set. The separate candidate-filter + exact-semi-join
     # formulation scans lineitem twice — at 100 TB that is the difference
     # between reading the corpus once and twice.
-    li = t["lineitem"].select("l_returnflag", "l_suppkey")
-    flags = []
-    for row in range(2):
-        pos = poly_hash(F.col("l_suppkey"), row, _BLOOM_M)
-        w = bloom.select(
-            F.col("word").alias(f"_w{row}"), F.col("bits").alias(f"_bits{row}")
-        )
-        li = li.join(
-            F.broadcast(w), (pos / 63).cast("long") == F.col(f"_w{row}"), "left"
-        )
-        flags.append(
-            F.call_function(
-                "shiftright",
-                F.coalesce(F.col(f"_bits{row}"), F.lit(0).cast("long")),
-                (pos % 63).cast("int"),
-            ).bitwiseAND(F.lit(1).cast("long"))
-            == 1
-        )
+    bitmap = bloom_bitmap(asia, "s_suppkey", _BLOOM_M)
+    li = (
+        t["lineitem"]
+        .select("l_returnflag", "l_suppkey")
+        .join(F.broadcast(bitmap))
+    )
+    flags = [
+        bloom_bit_test(F.col("_bloom_bitmap"), F.col("l_suppkey"), _BLOOM_M, row)
+        for row in range(2)
+    ]
     probed = li.join(
         F.broadcast(asia.withColumnRenamed("s_suppkey", "_exact_key")),
         F.col("l_suppkey") == F.col("_exact_key"),

@@ -244,28 +244,29 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword extraction or dedup weighting.
 
     Scale: tf aggregates exploded tokens with map-side partials (shuffle
-    ∝ distinct (doc, token), not token occurrences); tf is materialized
-    once (localCheckpoint) because BOTH df and the final join consume it —
-    DataFrame plans have no common-subexpression reuse, so without
-    truncation the explode+aggregate runs twice. df then reduces tf by
-    token with a plain count (tf rows are unique per (doc, token) by
-    construction — countDistinct would pay the expand for nothing); the
-    df side is broadcast back onto tf, and the corpus count N rides along
-    as a literal-sized broadcast — the only fact-sized shuffle is the
-    first one."""
+    ∝ distinct (doc, token), not token occurrences); df is then a
+    ``count(*) over (partition by token)`` window on tf — tf rows are
+    unique per (doc, token) by construction, so the per-token row count
+    IS the document frequency. The window form keeps the whole query ONE
+    linear pipeline: the aggregate-then-broadcast-join alternative needs
+    tf materialized (two consumers), a second aggregation job, and a
+    broadcast build, for the same two shuffles this plan does anyway
+    (by (doc,token), then by token). Per-token partitions are bounded by
+    n_docs — the same bound the groupBy form shuffles. The corpus count
+    N rides along as a literal-sized broadcast."""
+    from pyspark.sql import Window
+
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    tf = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("token")).cast("long"),
+        )
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("tf") >= 3)
         .select(
