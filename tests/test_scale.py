@@ -300,15 +300,18 @@ def test_rfm_approx_cutoffs_match_ntile(spark, sf_dir):
 
 
 def test_hll_sketch_union_estimate_within_bound(spark, sf_dir):
-    # DataSketches HLL (default lgConfigK=12): union of daily sketches
-    # must estimate the whole-range distinct count within the published
-    # ~2.4% relative standard error (3 sigma headroom here).
+    # DataSketches HLL (default lgConfigK=12): the union of daily
+    # sketches must estimate the whole-range distinct count within 5%
+    # relative error (~3 sigma of the published ~1.6% standard error).
+    # The bound is computed INSIDE the query (est_ok) since the r2
+    # oracle upgrade — the raw estimate is implementation-defined and
+    # no longer part of the hash-checked output schema.
     from world_cup_duckdb_spark.queries import REGISTRY
 
     row = REGISTRY["ext_hll_sketch_union"].fn(spark, sf_dir).collect()[0]
     assert row["n_days"] >= 1
-    exact = row["exact_total"]
-    assert abs(row["est_union"] - exact) <= max(1, 0.075 * exact), row
+    assert row["exact_total"] >= 1
+    assert row["est_ok"] is True, row
 
 
 def test_dynamic_partition_overwrite_backfills_idempotently(

@@ -487,8 +487,7 @@ def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation-defined, so the hash-checked columns are n_days,
     exact_total (both SQL-exact) and est_ok — the 5%-relative-error
     bound on the unioned estimate (HLL lgConfigK=12 has ~1.6% standard
-    error, so TRUE is the deterministic expected value). tests/
-    test_scale.py additionally bounds the raw estimate, and the exact
+    error, so TRUE is the deterministic expected value). The exact
     twin lives in ext_window_distinct_users at hour grain."""
     e = load_tables(spark, sf_dir)["events"]
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
