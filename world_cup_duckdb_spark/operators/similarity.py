@@ -108,6 +108,123 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`brute_force_topk` — same contract,
+    same values, BLAS-style kernel.
+
+    The fold form's |Q|·|C|·d inner loop runs Catalyst's higher-order
+    functions, which evaluate the lambda per ELEMENT (interpreted, no
+    codegen) — correct, but the numeric kernel is exactly what vectorized
+    batch compute is for. Here each corpus partition is scored in numpy
+    via ``mapInPandas``: per query, one accumulate pass over the d
+    dimensions with all batch rows vectorized. The accumulation order is
+    dimension 0..d-1 exactly like the left-to-right ``aggregate`` fold
+    (and DuckDB's ``list_sum``), each step an IEEE-754 double mul+add on
+    every lane, so cos values are BIT-IDENTICAL to the fold form and the
+    shared oracle.
+
+    Distributed top-k: each partition emits only its local top-k per
+    query under (sim DESC NULLS LAST, id ASC) — top-k is a monoid under a
+    total order, so the global window ranks |Q|·k·partitions candidate
+    rows, never corpus volume.
+
+    The query side is driver-staged (``toPandas``) into the task closure:
+    it is bounded by the same "small by contract" rule that lets the fold
+    form ``F.broadcast`` it — the identical bytes ship either way (for
+    large query sets use the LSH/IVF operators). Zero-norm vectors score
+    NULL, exactly like :func:`cosine`."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from world_cup_duckdb_spark.operators.scale import spread_for_cpu_work
+
+    q_pdf = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        )
+        .toPandas()
+        .sort_values("query_id")
+    )
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = np.vstack(q_pdf["qv"].to_numpy()) if len(q_pdf) else np.zeros((0, 0))
+    dim = q_mat.shape[1] if len(q_pdf) else 0
+    q_norm = np.zeros(len(q_ids))
+    for d in range(dim):
+        q_norm += q_mat[:, d] * q_mat[:, d]
+    q_norm = np.sqrt(q_norm)
+
+    id_type = queries.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.vstack(pdf["cv"].to_numpy())
+            c_norm = np.zeros(len(pdf))
+            for d in range(dim):
+                c_norm += c_mat[:, d] * c_mat[:, d]
+            c_norm = np.sqrt(c_norm)
+            n_ids = pdf["neighbor_id"].to_numpy()
+            outs = []
+            for j in range(len(q_ids)):
+                acc = np.zeros(len(pdf))
+                for d in range(dim):
+                    acc += c_mat[:, d] * q_mat[j, d]
+                denom = q_norm[j] * c_norm
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.where(denom != 0.0, acc / denom, np.nan)
+                mask = n_ids != q_ids[j]
+                local = pd.DataFrame(
+                    {"neighbor_id": n_ids[mask], "cos_sim": sim[mask]}
+                ).sort_values(
+                    ["cos_sim", "neighbor_id"],
+                    ascending=[False, True],
+                    na_position="last",
+                ).head(k)
+                local.insert(0, "query_id", q_ids[j])
+                outs.append(local)
+            if outs:
+                out = pd.concat(outs, ignore_index=True)
+                # NaN (zero-norm) must land as SQL NULL, not double NaN —
+                # object dtype makes the Arrow conversion unambiguous.
+                out["cos_sim"] = out["cos_sim"].astype(object).map(
+                    lambda v: None
+                    if v is None or (isinstance(v, float) and math.isnan(v))
+                    else v
+                )
+                yield out
+
+    cand = (
+        spread_for_cpu_work(corpus, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+        .mapInPandas(score, schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def lsh_signature(vec: Column, num_planes: int = 8) -> Column:
     """Sign-LSH bucket id: bit p = sign of ⟨vec, r_p⟩ where hyperplane
     r_p has deterministic ±1 coefficients derived from md5(p ':' dim)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_np,
     embedding_near_duplicates,
     lsh_topk,
 )
@@ -19,9 +20,9 @@ from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 
-@register(
-    "ext_ann_bruteforce",
-    oracle="""
+# Shared by the fold form and its Arrow-vectorized twin: both compute the
+# identical left-to-right double arithmetic, so one oracle checks both.
+_BRUTEFORCE_ORACLE = """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
                       sqrt(list_sum(list_transform(
                         range(1, len(embedding) + 1),
@@ -50,14 +51,28 @@ from world_cup_duckdb_spark.sources.catalog import load_tables
       FROM scored
     )
     WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@register("ext_ann_bruteforce", oracle=_BRUTEFORCE_ORACLE)
 def ext_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 10 query vectors — the ANN
     baseline: broadcast queries, stream corpus, rank window
     (operators/similarity.py:brute_force_topk)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register("ext_ann_bruteforce_np", oracle=_BRUTEFORCE_ORACLE)
+def ext_ann_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-5, through the Arrow-vectorized kernel
+    (operators/similarity.py:brute_force_topk_np): per-partition numpy
+    scoring with dimension-ordered accumulation (bit-identical to the
+    fold and the shared oracle) and per-partition top-k, so the global
+    rank window sees |Q|·k·partitions rows, never corpus volume — the
+    throughput form a 100 TB brute-force pass actually runs."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return brute_force_topk_np(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
 @register(
