@@ -48,6 +48,41 @@ def test_ivf_partial_probe_recall(spark, emb):
     assert recall >= 0.5, f"recall@5 = {recall:.2f}"
 
 
+def test_np_twin_equals_fold_on_adversarial_vectors(spark):
+    """brute_force_topk_np must reproduce the fold form EXACTLY on the
+    inputs the fixture never exercises: zero-norm vectors (NULL cos_sim,
+    ordered last), exact ties (neighbor-id tie-break), and a corpus
+    smaller than k — including across the per-partition top-k combine
+    (corpus repartitioned so partition-local candidate sets differ)."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        brute_force_topk_np,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero norm: cos_sim NULL
+        (2, [1.0, 0.0, 0.0, 0.0]),  # exact duplicate of 0 → cos tie = 1
+        (3, [2.0, 0.0, 0.0, 0.0]),  # colinear with 0 → cos tie = 1
+        (4, [0.0, 1.0, 0.0, 0.0]),  # orthogonal → cos 0
+        (5, [-1.0, 0.0, 0.0, 0.0]),  # antipodal → cos -1
+        (6, [0.5, 0.5, 0.5, 0.5]),
+        (7, [1e-200, 0.0, 0.0, 0.0]),  # tiny but nonzero norm
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    ).repartition(4, "vec_id")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 4))
+    a = sorted(tuple(r) for r in brute_force_topk(q, emb, k=5).collect())
+    b = sorted(tuple(r) for r in brute_force_topk_np(q, emb, k=5).collect())
+    assert a == b
+    # and k larger than the corpus keeps every neighbor, nulls ranked last
+    a7 = sorted(tuple(r) for r in brute_force_topk(q, emb, k=50).collect())
+    b7 = sorted(tuple(r) for r in brute_force_topk_np(q, emb, k=50).collect())
+    assert a7 == b7
+    assert len(b7) == 3 * 7  # 3 queries × (8 corpus − self)
+
+
 def test_ivf_index_partitions_corpus(spark, emb):
     centroids, assigned = ivf_index(emb, n_lists=16)
     n_lists = centroids.count()
