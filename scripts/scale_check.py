@@ -52,6 +52,7 @@ DEFAULT_QUERIES = [
     "ext_tfidf",
     "ext_sessionize_batch",
     "ext_ann_bruteforce",
+    "ext_ann_bruteforce_np",
     "ext_bloom_semijoin",
     # Stateful layers: the lakehouse/IVM/stream designs claim KB-scale
     # control state at any data volume — growth here must track data

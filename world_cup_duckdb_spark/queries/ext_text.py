@@ -597,3 +597,120 @@ def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("bigint").alias("n_tokens"),
         (F.sum("term").cast("double") / F.sum("tf")).alias("avg_logprob"),
     )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@register(
+    "ext_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-0199' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.1' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
+    """,
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every training-data
+    pipeline runs before anything ships: count emails / phone numbers /
+    IPv4 addresses per document, and emit the md5 of the fully redacted
+    text (each class replaced by its '<CLASS>' token).
+
+    The fixture corpus is synthetic word soup with no natural PII, so
+    both engines deterministically enrich the same doc_id-keyed subset
+    with synthetic PII first (id-derived email / phone / IP appended to
+    the text) — the detector is then exercised against real positives
+    AND the untouched negatives, and the hash-checked redacted_md5
+    proves byte-identical redaction, not just equal counts. Patterns use
+    the regex intersection of Java (Spark) and RE2 (DuckDB): character
+    classes, bounded repetition, no lookaround.
+
+    Scale: embarrassingly parallel scan — regexp count/replace + md5 run
+    inside whole-stage codegen, no shuffle at all; at 100 TB this is a
+    map-only pass whose output feeds a partitioned write."""
+    d = load_tables(spark, sf_dir)["documents"]
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return (
+        aug.filter(
+            (F.col("doc_id") % 7 == 0)
+            | (F.col("doc_id") % 11 == 0)
+            | (F.col("doc_id") % 13 == 0)
+        )
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0))
+            .cast("int")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0))
+            .cast("int")
+            .alias("n_phones"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IP), 0))
+            .cast("int")
+            .alias("n_ips"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+    )
