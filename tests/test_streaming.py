@@ -265,6 +265,51 @@ def test_stateful_profile_accumulates_across_batches(spark, sf_dir, staged):
         assert last_id == r["last_id"]
 
 
+def test_transform_with_state_equals_apply_in_pandas_with_state(
+    spark, sf_dir, staged
+):
+    """The transformWithStateInPandas twin must emit the IDENTICAL
+    update stream as the applyInPandasWithState form: same per-user
+    snapshots, batch for batch (both read the same 3-file source with
+    maxFilesPerTrigger=1). Runs on the RocksDB state store provider the
+    new API requires; the conf is restored afterwards so the rest of the
+    suite keeps the default provider."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python worker speaks protobuf to the "
+        "JVM state server; the module is absent in this container",
+    )
+    from world_cup_duckdb_spark.streaming.stateful import (
+        running_user_profile_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, staged, max_files_per_trigger=1)
+        got_tws = _run_stream(
+            spark, running_user_profile_tws(stream), "update", "t_profile_tws"
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    stream = read_event_stream(spark, staged, max_files_per_trigger=1)
+    got_apips = _run_stream(
+        spark, running_user_profile(stream), "update", "t_profile_apips"
+    ).collect()
+    a = sorted(tuple(r) for r in got_tws)
+    b = sorted(tuple(r) for r in got_apips)
+    assert len(a) > 0
+    assert a == b
+
+
 def test_enrich_stream_equals_batch(spark, sf_dir, staged):
     """Stream-static broadcast join: the streaming enrichment pipeline
     (3 micro-batches probing the static customer dim) must equal the

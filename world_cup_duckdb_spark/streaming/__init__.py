@@ -6,7 +6,10 @@ from world_cup_duckdb_spark.streaming.ivm_sink import (
     stream_maintain_join_view,
 )
 from world_cup_duckdb_spark.streaming.sinks import stream_validated_write
-from world_cup_duckdb_spark.streaming.stateful import running_user_profile
+from world_cup_duckdb_spark.streaming.stateful import (
+    running_user_profile,
+    running_user_profile_tws,
+)
 from world_cup_duckdb_spark.streaming.table_sink import stream_upsert_table
 from world_cup_duckdb_spark.streaming.windows import (
     dedup_within_watermark,
@@ -25,6 +28,7 @@ __all__ = [
     "read_rollup",
     "read_event_stream",
     "running_user_profile",
+    "running_user_profile_tws",
     "sessionize",
     "stream_maintain_join_view",
     "stream_upsert_table",

@@ -91,3 +91,68 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_profile_tws(events: DataFrame) -> DataFrame:
+    """The same running profile through ``transformWithStateInPandas`` —
+    Spark 4's successor stateful API (SPARK-46815, arbitrary state v2):
+    typed state handles (value/list/map state per key), timers, and
+    initial-state seeding, on the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` must point at
+    RocksDBStateStoreProvider — the API refuses the default HDFS-backed
+    store). Semantics here are identical to :func:`running_user_profile`
+    by construction (same accumulation, same unrounded-state/rounded-emit
+    discipline), which the equivalence test asserts batch-for-batch.
+
+    Environment gate: the API's Python worker requires ``protobuf``
+    (it speaks the arbitrary-state-v2 protocol to the JVM state server);
+    where the module is absent the equivalence test skips and
+    :func:`running_user_profile` remains the portable form — both emit
+    the same stream, so callers lose no capability, only the newer
+    engine (timers, list/map state, initial-state seeding)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("profile", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n, total, last_us, last_id = (
+                self._state.get() if self._state.exists() else (0, 0.0, -1, -1)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                latest = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+                cand = (
+                    int(pd.Timestamp(latest["ts"]).value),
+                    int(latest["event_id"]),
+                )
+                if cand > (last_us, last_id):
+                    last_us, last_id = cand
+            # Unrounded state, rounded emission — same discipline as
+            # _update_profile (see the comment there).
+            self._state.update((n, total, last_us, last_id))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "last_event_id": [last_id],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_ProfileProcessor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
