@@ -519,3 +519,23 @@ def test_minhash_accuracy_reuses_one_signature_stage(spark, sf_dir):
     p = plan(REGISTRY["ext_minhash_accuracy"].fn(spark, sf_dir))
     assert "md5" not in p, p
     assert "ExistingRDD" in p or "Scan ExistingRDD" in p, p
+
+
+def test_tfidf_is_one_linear_pipeline(spark, sf_dir):
+    """The window-form tfidf (r3 rework): ONE plan with exactly the two
+    shuffles the algorithm needs — (doc,token) for tf, token for df —
+    no checkpointed side (Scan ExistingRDD), no BatchEvalPython, and the
+    corpus-count side rides along as a broadcast."""
+    p = plan(REGISTRY["ext_tfidf"].fn(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert "Scan ExistingRDD" not in tree, p
+    assert "BatchEvalPython" not in p, p
+    assert "Window" in tree, p
+    # The FACT pipeline (everything above the broadcast build of the
+    # 1-row corpus count) holds exactly the algorithm's two shuffles:
+    # by (doc,token) for tf, by token for the df window. The broadcast
+    # side's own exchanges move countDistinct partials — one row per
+    # partition, never corpus data.
+    fact_branch = tree.split("BroadcastExchange")[0]
+    assert fact_branch.count("Exchange") == 2, p
+    assert "BroadcastNestedLoopJoin" in tree, p
