@@ -714,3 +714,75 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(redacted).alias("redacted_md5"),
         )
     )
+
+
+_URL_HOST = "https?://([A-Za-z0-9.-]+)"
+
+
+@register(
+    "ext_url_filter",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' see https://site'
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example.org/page/' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    hosts AS (
+      SELECT doc_id, regexp_extract(text, '{_URL_HOST}', 1) AS host
+      FROM aug
+    ),
+    blocklist AS (
+      SELECT * FROM (VALUES ('site1.example.org'), ('site4.example.org'),
+                            ('site7.example.org'), ('site13.example.org'),
+                            ('site19.example.org')) AS t(bad_host)
+    )
+    SELECT h.doc_id, h.host,
+           b.bad_host IS NOT NULL AS blocked,
+           b.bad_host IS NULL AS keep
+    FROM hosts h LEFT JOIN blocklist b ON h.host = b.bad_host
+    """,
+)
+def ext_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist filtering — the crawl-hygiene gate every web
+    corpus passes through before training: extract each document's host
+    and drop documents from blocklisted domains.
+
+    The corpus has no natural URLs, so both engines append the same
+    doc_id-derived URL first (the ext_pii_redact enrichment pattern);
+    the host comes out of one regexp_extract group (identical pattern,
+    Java/RE2 intersection) and the block decision is a broadcast left
+    join against the literal blocklist dimension.
+
+    Scale: the blocklist is the canonical broadcast dim (real ones are
+    ~10⁵ domains ≪ corpus); the fact side is one map-side pass — extract,
+    probe, flag — with no shuffle of documents at all. At 100 TB the
+    same keep column drives the partitioned write of the retained
+    subset."""
+    d = load_tables(spark, sf_dir)["documents"]
+    aug = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.org/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    hosts = aug.select(
+        "doc_id", F.regexp_extract("text", _URL_HOST, 1).alias("host")
+    )
+    blocklist = spark.createDataFrame(
+        [(f"site{n}.example.org",) for n in (1, 4, 7, 13, 19)],
+        "bad_host string",
+    )
+    return hosts.join(
+        F.broadcast(blocklist), hosts["host"] == blocklist["bad_host"], "left"
+    ).select(
+        "doc_id",
+        "host",
+        F.col("bad_host").isNotNull().alias("blocked"),
+        F.col("bad_host").isNull().alias("keep"),
+    )
