@@ -303,15 +303,16 @@ def test_hll_sketch_union_estimate_within_bound(spark, sf_dir):
     # DataSketches HLL (default lgConfigK=12): the union of daily
     # sketches must estimate the whole-range distinct count within 5%
     # relative error (~3 sigma of the published ~1.6% standard error).
-    # The bound is computed INSIDE the query (est_ok) since the r2
+    # The bound is computed INSIDE the query (est_status) since the r2
     # oracle upgrade — the raw estimate is implementation-defined and
-    # no longer part of the hash-checked output schema.
+    # no longer part of the hash-checked output schema. On a bound miss
+    # est_status carries the estimate, so this assert prints it.
     from world_cup_duckdb_spark.queries import REGISTRY
 
     row = REGISTRY["ext_hll_sketch_union"].fn(spark, sf_dir).collect()[0]
     assert row["n_days"] >= 1
     assert row["exact_total"] >= 1
-    assert row["est_ok"] is True, row
+    assert row["est_status"] == "ok", row
 
 
 def test_dynamic_partition_overwrite_backfills_idempotently(

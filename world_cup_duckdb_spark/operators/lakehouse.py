@@ -102,21 +102,24 @@ def _commit(
         raise ValueError(f"version {version} already committed")
     except OSError:
         # link(2) is unsupported on some filesystems (NFS without link,
-        # overlay/object-store mounts → EPERM/ENOTSUP). O_CREAT|O_EXCL is
-        # the same exactly-one-winner claim without hard links: creation
-        # is atomic, and the loser's open raises FileExistsError.
+        # overlay/object-store mounts → EPERM/ENOTSUP). Same exactly-one-
+        # winner contract without hard links, in two atomic steps: the
+        # version CLAIM is an O_CREAT|O_EXCL sidecar (never read as a
+        # manifest — discovery matches v*.json only), and PUBLICATION is
+        # os.rename of the already-fsynced tmp. Writing into the target
+        # directly would let a reader open a half-written v{N}.json,
+        # breaking the "readers never observe a partial manifest"
+        # invariant this module documents.
+        claim = target + ".claim"
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
         except FileExistsError:
             raise ValueError(f"version {version} already committed")
-        try:
-            with open(tmp, "rb") as src:
-                os.write(fd, src.read())
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+        os.rename(tmp, target)
+        return
     finally:
-        os.remove(tmp)
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _column_stats(df: DataFrame, cols: list[str]) -> dict:

@@ -154,6 +154,22 @@ def brute_force_topk_np(
         .toPandas()
         .sort_values("query_id")
     )
+    # Enforce the broadcast-small contract EXPLICITLY: the query matrix
+    # rides to every task in the closure, so an unbounded query side would
+    # surface as an opaque driver/task OOM instead of this error. 64k
+    # queries × 1k dims ≈ 512 MB — already past any sane closure size.
+    _MAX_QUERIES = 65_536
+    if len(q_pdf) > _MAX_QUERIES:
+        raise ValueError(
+            f"brute_force_topk_np stages the query side into each task "
+            f"closure and is bounded to {_MAX_QUERIES} queries "
+            f"(got {len(q_pdf)}); for large query sets use the LSH "
+            f"(ann_lsh_topk) or IVF (ann_ivf_topk) operators."
+        )
+    if q_pdf["qv"].isna().any():
+        raise ValueError("brute_force_topk_np: NULL query embeddings")
+    if len(q_pdf) and len({len(v) for v in q_pdf["qv"]}) > 1:
+        raise ValueError("brute_force_topk_np: ragged query embeddings")
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = np.vstack(q_pdf["qv"].to_numpy()) if len(q_pdf) else np.zeros((0, 0))
     dim = q_mat.shape[1] if len(q_pdf) else 0

@@ -45,83 +45,106 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Union of CORRECTNESS_r01.json + CORRECTNESS_r02.json keys: every registry
-# key that already has a green driver-side correctness row. The driver
-# samples the first ~50 keys of the dict order each round, so keys in this
-# set are demoted to the tail and never-sampled keys lead — the coverage
-# policy that got all of SURVEY §2 green across rounds 1-2.
+# Every registry key with a GREEN (hash_match=true) driver-side correctness
+# row across CORRECTNESS_r01/r02/r03.json. The driver samples the first ~50
+# keys of the dict order each round, so keys in this set are demoted to the
+# tail and never-green keys lead — the coverage policy that got all of
+# SURVEY §2 green across rounds 1-2 and the LLM-pipeline surface in r3.
+# NOTE: membership requires a green row, not merely a sampled row — r3's
+# set was built from sampled keys and silently retired ext_ivm_join, whose
+# only driver row (r1) was a hash MISMATCH (decimal-vs-float pandas bridge,
+# fixed this round by casting the output to double).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
-    "ext_corrupt_json", "ext_deterministic_sample", "ext_fuzzy_join",
-    "ext_ivm_join", "ext_merge_upsert", "ext_metadata_columns",
-    "ext_python_datasource", "ext_quantiles", "ext_schema_evolution",
-    "ext_sessionize_batch", "ext_stratified_sample", "ext_table_diff",
-    "ext_time_travel", "ext_upsert_latest", "ext_window_distribution",
-    "ext_zone_map_pruning", "flagship", "op01_remote_fetch_cache",
-    "op02_scan_project", "op02b_csv_scan", "op02c_json_scan",
-    "op02d_orc_scan", "op03_date_parse", "op04_literal_table",
-    "op05_lazy_plan", "op06_ddl_create", "op07_insert_select",
-    "op08_catalog_introspection", "op09_preview_limit", "op10_export_database",
-    "op11_schema_report", "op12_project_compute", "op13_alias",
-    "op14_rename", "op15_drop", "op16_with_column",
-    "op17_filter_eq", "op18_when_chain", "op19_isin",
-    "op20_null_test", "op21_contains", "op22_endswith",
-    "op23_join_broadcast", "op24_join_dim", "op25_join_diff_keys",
-    "op26_join_composite", "op27_left_join_flag", "op28_self_join",
-    "op29_join_renamed_dim", "op30_distinct", "op31_diagonal_union",
-    "op32_unpivot", "op33_surrogate_key", "op34_fk_orphans",
-    "op35_concat_key", "op36_replace", "op37_capitalize",
-    "op38_singularize", "op39_timestamp_parse", "op40_casts",
-    "op41_arithmetic", "op42_contains_classifier", "op43_hash_agg",
-    "op44_distinct_agg", "op45_rank_window", "op46_analytic_window",
-    "op47_topk", "op48_sort", "op49_rollup",
-    "op50_pk_duplicates", "op51_notnull_pk",
+    "ext_ann_bruteforce", "ext_ann_ivf", "ext_ann_lsh",
+    "ext_ann_recall", "ext_bigram_topk", "ext_bm25",
+    "ext_chunk_documents", "ext_contamination", "ext_corpus_mix",
+    "ext_corrupt_json", "ext_dedup_clusters", "ext_dedup_exact",
+    "ext_dedup_incremental", "ext_dedup_minhash", "ext_dedup_ngram_jaccard",
+    "ext_dedup_simhash", "ext_deterministic_sample", "ext_embedding_centroids",
+    "ext_embedding_neardup", "ext_embedding_quantize", "ext_fingerprint",
+    "ext_fit_pandas", "ext_fuzzy_join", "ext_hll_sketch_union",
+    "ext_jaccard_prefix_join", "ext_kfold_split", "ext_lang_id",
+    "ext_lm_score", "ext_merge_upsert", "ext_metadata_columns",
+    "ext_minhash_accuracy", "ext_mm_decode", "ext_mm_decode_real",
+    "ext_mm_frames", "ext_mm_metadata", "ext_mm_resize",
+    "ext_pack_sequences", "ext_python_datasource", "ext_quality_filter_pipeline",
+    "ext_quality_score", "ext_quantiles", "ext_repetition",
+    "ext_schema_evolution", "ext_sessionize_batch", "ext_stratified_sample",
+    "ext_stream_dedup", "ext_stream_enrich", "ext_stream_session",
+    "ext_stream_sliding", "ext_stream_stream_join", "ext_stream_tumbling",
+    "ext_substring_dedup", "ext_table_diff", "ext_tfidf",
+    "ext_time_travel", "ext_token_count", "ext_upsert_latest",
+    "ext_vector_norm", "ext_vocab_growth", "ext_vocab_topk",
+    "ext_window_distribution", "ext_zone_map_pruning", "flagship",
+    "op01_remote_fetch_cache", "op02_scan_project", "op02b_csv_scan",
+    "op02c_json_scan", "op02d_orc_scan", "op03_date_parse",
+    "op04_literal_table", "op05_lazy_plan", "op06_ddl_create",
+    "op07_insert_select", "op08_catalog_introspection", "op09_preview_limit",
+    "op10_export_database", "op11_schema_report", "op12_project_compute",
+    "op13_alias", "op14_rename", "op15_drop",
+    "op16_with_column", "op17_filter_eq", "op18_when_chain",
+    "op19_isin", "op20_null_test", "op21_contains",
+    "op22_endswith", "op23_join_broadcast", "op24_join_dim",
+    "op25_join_diff_keys", "op26_join_composite", "op27_left_join_flag",
+    "op28_self_join", "op29_join_renamed_dim", "op30_distinct",
+    "op31_diagonal_union", "op32_unpivot", "op33_surrogate_key",
+    "op34_fk_orphans", "op35_concat_key", "op36_replace",
+    "op37_capitalize", "op38_singularize", "op39_timestamp_parse",
+    "op40_casts", "op41_arithmetic", "op42_contains_classifier",
+    "op43_hash_agg", "op44_distinct_agg", "op45_rank_window",
+    "op46_analytic_window", "op47_topk", "op48_sort",
+    "op49_rollup", "op50_pk_duplicates", "op51_notnull_pk",
+    "wc_build_manifest",
 })
 
 
 def _ordered_names() -> list[str]:
     """Driver-facing key order. The round driver evaluates queries in dict
     order and stops after a fixed budget (~50 keys per round), so the order
-    IS the coverage policy. Round-3 policy: lead with the never-driver-
-    verified LLM-data-pipeline surface (dedup, ANN/embedding, text quality,
-    training prep, streaming, multimodal — the keys VERDICT r2 flagged as
-    the evidence gap), then the rest of the never-verified extension and
-    SQL-surface keys, then everything already green in r01/r02."""
-    round3_head = [
-        # Deduplication family.
-        "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_clusters",
-        "ext_dedup_simhash", "ext_dedup_ngram_jaccard",
-        "ext_jaccard_prefix_join", "ext_dedup_incremental",
-        "ext_minhash_accuracy", "ext_substring_dedup",
-        # ANN / embedding family.
-        "ext_ann_bruteforce", "ext_ann_lsh", "ext_ann_ivf", "ext_ann_recall",
-        "ext_embedding_neardup", "ext_embedding_centroids",
-        "ext_embedding_quantize", "ext_vector_norm",
-        # Text analysis family.
-        "ext_tfidf", "ext_token_count", "ext_lang_id",
-        "ext_quality_filter_pipeline", "ext_quality_score",
-        "ext_fingerprint", "ext_bm25", "ext_vocab_topk", "ext_repetition",
-        "ext_bigram_topk", "ext_lm_score",
-        # Training-data prep family.
-        "ext_chunk_documents", "ext_pack_sequences", "ext_corpus_mix",
-        "ext_contamination", "ext_kfold_split", "ext_vocab_growth",
-        "ext_feature_hash",
-        # Streaming family (stream-equals-batch forms).
-        "ext_stream_tumbling", "ext_stream_sliding", "ext_stream_session",
-        "ext_stream_dedup", "ext_stream_enrich", "ext_stream_stream_join",
-        # Multimodal family.
-        "ext_mm_metadata", "ext_mm_decode", "ext_mm_decode_real",
-        "ext_mm_features", "ext_mm_resize", "ext_mm_frames",
-        # Rows-only queries upgraded to oracles this round + pipeline.
-        "ext_fit_pandas", "ext_hll_sketch_union", "wc_build_manifest",
+    IS the coverage policy. Round-4 policy: lead with the three keys that
+    were sampled but never green (the two array-output canonicalizer
+    crashes and the decimal-bridge hash miss — all three reshaped this
+    round), then the round-3 additions that have never been sampled, then
+    the full sql_* SQL surface (the reference's stated purpose and the
+    largest block with no driver evidence), then the lakehouse fact paths,
+    sketches, and graph set; everything already driver-green goes last."""
+    round4_head = [
+        # Sampled in r1/r3 but never green — fixed this round, must re-run.
+        "ext_ivm_join", "ext_feature_hash", "ext_mm_features",
+        # Round-3 additions, never sampled.
+        "ext_pii_redact", "ext_url_filter", "ext_ann_bruteforce_np",
+        "op10b_export_csv", "op36b_replace_first",
+        # The SQL surface (TPC-H-style + dialect features), reg. order.
+        "sql_pricing_summary", "sql_shipping_priority", "sql_local_supplier_volume",
+        "sql_revenue_change", "sql_big_spenders", "sql_order_priority_check",
+        "sql_customers_without_orders", "sql_grouping_sets", "sql_hypertable_rollup",
+        "sql_monthly_volume", "sql_nation_volume", "sql_order_count_distribution",
+        "sql_top_supplier", "sql_small_quantity_revenue", "sql_large_orders",
+        "sql_rolling_7day", "sql_balance_rank", "sql_min_price_supplier",
+        "sql_market_share", "sql_nation_profit", "sql_returned_items",
+        "sql_priority_linestatus", "sql_promo_revenue_ratio", "sql_supplier_part_counts",
+        "sql_disjunctive_parts", "sql_top_part_suppliers", "sql_sole_returner",
+        "sql_idle_customers", "sql_nation_set_ops", "sql_first_last_window",
+        "sql_recursive_calendar", "sql_lateral_topk", "sql_group_by_all",
+        "sql_bag_set_ops", "sql_filter_clause", "sql_important_parts",
+        "sql_percent_of_total", "sql_cube", "sql_pipe_syntax",
+        "sql_parameterized", "sql_listagg", "sql_scalar_correlated",
+        "sql_window_range_interval",
+        # Lakehouse fact paths, sketches, graph — next in line.
+        "ext_merge_upsert_fact", "ext_scd2_intervals",
+        "ext_kmv_sketch", "ext_cms_freq", "ext_hdr_quantiles",
+        "ext_heavy_hitters",
+        "ext_pagerank", "ext_triangles", "ext_bfs_reachability",
+        "ext_asof_join", "ext_range_join", "ext_table_checksum",
     ]
     # Guard against silent priority demotion: every priority name must be a
     # real registry key (a rename upstream would otherwise quietly drop the
     # query from the driver-sampled head of the ordering). Raise — not
     # assert — so the guard survives `python -O`.
-    missing = [n for n in round3_head if n not in REGISTRY]
+    missing = [n for n in round4_head if n not in REGISTRY]
     if missing:
         raise ValueError(f"ordering names not in REGISTRY: {missing}")
-    ordered: list[str] = list(round3_head)
+    ordered: list[str] = list(round4_head)
     # Remaining never-driver-verified keys, registration order.
     ordered += [
         n for n in REGISTRY

@@ -213,7 +213,7 @@ _CK_HEX = 14  # 56 bits per row: sums fit DECIMAL(38,0) at any scale
     )
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(h) AS DECIMAL(38,0)) AS checksum
+           CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
     FROM h GROUP BY 1
     """,
 )
@@ -261,10 +261,15 @@ def ext_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
+    # The sum is rendered as its exact decimal STRING: a decimal(38,0)
+    # survives neither engine's pandas bridge identically (Spark emits
+    # Decimal, DuckDB float64 — which has already lost bits at 2^53),
+    # while the digit string is exact and portable at any magnitude.
     return h.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("h").cast("decimal(28,0)"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("checksum"),
     )
 

@@ -267,7 +267,7 @@ def ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-           CAST(MAX(tot) AS DECIMAL(18,2)) AS total_revenue,
+           CAST(CAST(MAX(tot) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue,
            ROUND(CAST(SUM((2 * i - n - 1) * rev) AS DOUBLE)
                  / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE)), 9)
              AS gini
@@ -303,7 +303,8 @@ def ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
-        F.max("tot").cast("decimal(18,2)").alias("total_revenue"),
+        F.max("tot").cast("decimal(18,2)").cast("double")
+        .alias("total_revenue"),
         F.round(
             F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("rev")).cast(
                 "double"

@@ -471,7 +471,7 @@ def ext_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
                 AS BIGINT) AS n_days,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total,
-           CAST(TRUE AS BOOLEAN) AS est_ok
+           CAST('ok' AS VARCHAR) AS est_status
     FROM events
     """,
 )
@@ -485,10 +485,13 @@ def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle strategy: the sketch binary and its exact estimate are
     implementation-defined, so the hash-checked columns are n_days,
-    exact_total (both SQL-exact) and est_ok — the 5%-relative-error
-    bound on the unioned estimate (HLL lgConfigK=12 has ~1.6% standard
-    error, so TRUE is the deterministic expected value). The exact
-    twin lives in ext_window_distinct_users at hour grain."""
+    exact_total (both SQL-exact) and est_status — 'ok' iff the unioned
+    estimate is within 5% relative error (HLL lgConfigK=12 has ~1.6%
+    standard error, so 'ok' is the deterministic expected value). On a
+    bound failure est_status CARRIES the estimate ("est=N exact=M"), so
+    the driver's value diff shows how far off it was instead of an
+    opaque boolean flip. The exact twin lives in
+    ext_window_distinct_users at hour grain."""
     e = load_tables(spark, sf_dir)["events"]
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -498,14 +501,24 @@ def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
     )
     exact = e.agg(F.countDistinct("user_id").alias("exact_total"))
+    within = (
+        F.abs(F.col("est_union") - F.col("exact_total"))
+        / F.col("exact_total")
+        <= F.lit(0.05)
+    )
     return est.crossJoin(exact).select(
         "n_days",
         "exact_total",
-        (
-            F.abs(F.col("est_union") - F.col("exact_total"))
-            / F.col("exact_total")
-            <= F.lit(0.05)
-        ).alias("est_ok"),
+        F.when(within, F.lit("ok"))
+        .otherwise(
+            F.concat(
+                F.lit("est="),
+                F.round("est_union", 1).cast("string"),
+                F.lit(" exact="),
+                F.col("exact_total").cast("string"),
+            )
+        )
+        .alias("est_status"),
     )
 
 

@@ -82,9 +82,10 @@ def ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           list_transform(generate_series(0, 7),
-               b -> CAST(length(list_filter(bins, x -> x = b)) AS BIGINT))
-             AS counts
+           array_to_string(
+             list_transform(generate_series(0, 7),
+                 b -> CAST(length(list_filter(bins, x -> x = b)) AS BIGINT)),
+             ',') AS counts
     FROM d
     """,
 )
@@ -99,7 +100,22 @@ def ext_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32's 2^24 integer range) and the DuckDB oracle recomputes the
     same counts from the text bytes (fixtures are ASCII, so codepoint ==
     byte). The float path itself stays exercised end-to-end; determinism
-    across partitionings is additionally pytest-verified."""
+    across partitionings is additionally pytest-verified.
+
+    Output shape: the 8-bin count vector is emitted as its canonical CSV
+    string — a scalar cell the correctness harness can sort and hash
+    (driver canonicalization rejects array cells: CORRECTNESS_r03). The
+    array form is available via mm_feature_counts_vector for callers."""
+    return mm_feature_counts_vector(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.transform("counts", lambda x: x.cast("string")), ","
+        ).alias("counts"),
+    )
+
+
+def mm_feature_counts_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed twin of ext_mm_features: (doc_id, counts array<bigint>)."""
     mm = attach_payload(load_tables(spark, sf_dir)["documents"])
     feats = extract_features(mm)
     sized = feats.join(mm.select("doc_id", "meta.n_bytes"), "doc_id")

@@ -119,13 +119,13 @@ def fit_events_ols(events: DataFrame) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(REGR_SLOPE(value, (epoch(CAST(ts AS TIMESTAMP)) - {_T0})
-                                   / 3600.0), 4) AS slope,
-           ROUND(REGR_INTERCEPT(value,
+           FLOOR(REGR_SLOPE(value, (epoch(CAST(ts AS TIMESTAMP)) - {_T0})
+                                   / 3600.0) * 1e4 + 0.5) / 1e4 AS slope,
+           FLOOR(REGR_INTERCEPT(value,
                                 (epoch(CAST(ts AS TIMESTAMP)) - {_T0})
-                                / 3600.0), 4) AS intercept,
-           ROUND(REGR_R2(value, (epoch(CAST(ts AS TIMESTAMP)) - {_T0})
-                                / 3600.0), 4) AS r2
+                                / 3600.0) * 1e4 + 0.5) / 1e4 AS intercept,
+           FLOOR(REGR_R2(value, (epoch(CAST(ts AS TIMESTAMP)) - {_T0})
+                                / 3600.0) * 1e4 + 0.5) / 1e4 AS r2
     FROM events GROUP BY event_type
     """,
 )
@@ -133,15 +133,16 @@ def ext_fit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas group-map fit, hash-checked against the same REGR_*
     oracle as its JVM twin ext_regr_per_group: numpy's mean-centered
     two-pass OLS and SQL's algebraic sums agree to ~1e-12 relative on
-    the bounded hours-since-origin regressor, so a 4-decimal round (done
-    Spark-side with F.round so rounding semantics match the twin's)
-    pins both engines to identical doubles. Raw (unrounded) numeric
-    equality to the aggregate twin remains pytest-verified."""
+    the bounded hours-since-origin regressor, so a 4-decimal quantize
+    pins both engines to identical doubles. The quantizer is the
+    bit-portable floor(x*1e4 + 0.5)/1e4 on BOTH sides — pure IEEE-754
+    double ops, unlike ROUND, whose semantics differ across engines
+    (Spark HALF_UP via BigDecimal vs DuckDB double rounding) exactly at
+    representable .5 boundaries. Raw (unrounded) numeric equality to the
+    aggregate twin remains pytest-verified."""
     fit = fit_events_ols(table(spark, sf_dir, "events"))
-    return fit.select(
-        "event_type",
-        "n",
-        F.round("slope", 4).alias("slope"),
-        F.round("intercept", 4).alias("intercept"),
-        F.round("r2", 4).alias("r2"),
-    )
+
+    def q4(c: str):
+        return (F.floor(F.col(c) * 1e4 + 0.5) / 1e4).alias(c)
+
+    return fit.select("event_type", "n", q4("slope"), q4("intercept"), q4("r2"))

@@ -141,8 +141,8 @@ _N_FEATURES = 16
       FROM documents
     )
     SELECT spine.doc_id,
-           list(CAST(COALESCE(counts.c, 0) AS INTEGER)
-                ORDER BY spine.bucket) AS features
+           string_agg(CAST(CAST(COALESCE(counts.c, 0) AS INTEGER) AS VARCHAR),
+                      ',' ORDER BY spine.bucket) AS features
     FROM spine LEFT JOIN counts
       ON spine.doc_id = counts.doc_id AND spine.bucket = counts.bucket
     GROUP BY 1
@@ -161,7 +161,13 @@ def ext_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array assembles JVM-side from the aggregate (no per-bucket
     join: the dense vector comes from scattering counts into a
     sequence). Determinism: md5 buckets and integer counts only; array
-    order is the bucket index."""
+    order is the bucket index.
+
+    Output shape: the dense vector is projected to its canonical CSV
+    string ("c0,c1,...,c15") — a scalar cell the correctness harness can
+    sort and hash (driver canonicalization rejects array cells:
+    CORRECTNESS_r03). The array itself stays exercised (it is built,
+    then joined) and tests/test_llm_ops.py checks the vector form."""
     d = load_tables(spark, sf_dir)["documents"]
     counts = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -184,8 +190,24 @@ def ext_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(0, {_N_FEATURES - 1}),"
-            " b -> coalesce(m[b], 0))"
+        F.array_join(
+            F.expr(
+                f"transform(sequence(0, {_N_FEATURES - 1}),"
+                " b -> cast(coalesce(m[b], 0) as string))"
+            ),
+            ",",
         ).alias("features"),
+    )
+
+
+def feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed twin of ext_feature_hash: (doc_id, features array<int>).
+    Kept for callers that want the dense vector; the registered query
+    projects this to CSV for the hash-based correctness harness."""
+    csv = ext_feature_hash(spark, sf_dir)
+    return csv.select(
+        "doc_id",
+        F.transform(F.split("features", ","), lambda s: s.cast("int")).alias(
+            "features"
+        ),
     )

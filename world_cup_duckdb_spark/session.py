@@ -66,7 +66,6 @@ CLUSTER_PROFILE: dict[str, str] = {
 
 
 def build_conf(
-    cpus: str | int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Resolve the effective session conf (defaults ← env ← extra_conf)
@@ -96,7 +95,7 @@ def get_spark(
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
-    for k, v in build_conf(cpus, extra_conf).items():
+    for k, v in build_conf(extra_conf).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
