@@ -45,16 +45,45 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Every registry key with a GREEN (hash_match=true) driver-side correctness
-# row across CORRECTNESS_r01/r02/r03.json. The driver samples the first ~50
-# keys of the dict order each round, so keys in this set are demoted to the
-# tail and never-green keys lead — the coverage policy that got all of
-# SURVEY §2 green across rounds 1-2 and the LLM-pipeline surface in r3.
+def _green_correctness_rows() -> frozenset[str]:
+    """Keys with a green (hash_match=true) row in any committed
+    CORRECTNESS_r*.json at the repo root. Read at import so the rotation
+    is SELF-maintaining: the moment a round's correctness file lands in
+    the repo, its green keys demote behind the still-unverified ones at
+    the next import — no hand-edited set to forget. Failed/erred rows
+    (hash_match false or null) deliberately do NOT count: those keys stay
+    at the front until a green row exists."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    green: set[str] = set()
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        green.update(
+            k
+            for k, v in rows.items()
+            if isinstance(v, dict) and v.get("hash_match") is True
+        )
+    return frozenset(green)
+
+
+# Static floor: every registry key green across CORRECTNESS_r01/r02/r03
+# as of round 4 — kept as a literal so a checkout WITHOUT the correctness
+# files (fresh clone, driver sandbox) still orders correctly. The live
+# set below unions this with whatever newer files record.
 # NOTE: membership requires a green row, not merely a sampled row — r3's
 # set was built from sampled keys and silently retired ext_ivm_join, whose
 # only driver row (r1) was a hash MISMATCH (decimal-vs-float pandas bridge,
-# fixed this round by casting the output to double).
-DRIVER_VERIFIED: frozenset[str] = frozenset({
+# fixed in round 4 by casting the output to double).
+_VERIFIED_FLOOR: frozenset[str] = frozenset({
     "ext_ann_bruteforce", "ext_ann_ivf", "ext_ann_lsh",
     "ext_ann_recall", "ext_bigram_topk", "ext_bm25",
     "ext_chunk_documents", "ext_contamination", "ext_corpus_mix",
@@ -96,6 +125,10 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "op49_rollup", "op50_pk_duplicates", "op51_notnull_pk",
     "wc_build_manifest",
 })
+
+#: The live demotion set: static floor ∪ green rows from every committed
+#: correctness file. Keys here go to the TAIL of the driver-facing order.
+DRIVER_VERIFIED: frozenset[str] = _VERIFIED_FLOOR | _green_correctness_rows()
 
 
 def _ordered_names() -> list[str]:
@@ -144,7 +177,10 @@ def _ordered_names() -> list[str]:
     missing = [n for n in round4_head if n not in REGISTRY]
     if missing:
         raise ValueError(f"ordering names not in REGISTRY: {missing}")
-    ordered: list[str] = list(round4_head)
+    # The pinned head is itself rotation-aware: once a pinned key gets a
+    # green correctness row (next round's committed file), it demotes with
+    # everything else instead of hogging the sample window forever.
+    ordered: list[str] = [n for n in round4_head if n not in DRIVER_VERIFIED]
     # Remaining never-driver-verified keys, registration order.
     ordered += [
         n for n in REGISTRY
