@@ -521,13 +521,26 @@ def test_no_antipatterns_anywhere_in_registry(spark, sf_dir):
     as ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas and are fine)
     or a non-broadcast CartesianProduct (broadcast nested-loop joins of
     1-row aggregates are fine and show as BroadcastNestedLoopJoin).
-    Covers the extension surface, not just the reference ops."""
+    Covers the extension surface, not just the reference ops.
+
+    Also gates every registered OUTPUT SCHEMA to driver-hashable scalar
+    cells: no array/map/struct/binary (the harness canonicalizes with
+    pandas sort_values, which raises on unhashable cells —
+    CORRECTNESS_r03) and no decimal (Spark's pandas bridge emits
+    Decimal('x.x0') where DuckDB's emits a float for the same value — the
+    r1 ext_ivm_join hash miss). Array-shaped APIs stay available as
+    unregistered twins (feature_hash_vector, mm_feature_counts_vector)."""
     offenders = []
     for name in REGISTRY:
-        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        df = REGISTRY[name].fn(spark, sf_dir)
+        p = plan(df)
         for bad in ("BatchEvalPython", "CartesianProduct"):
             if bad in p:
                 offenders.append((name, bad))
+        for field in df.schema.fields:
+            t = field.dataType.simpleString()
+            if t.startswith(("array", "map", "struct", "binary", "decimal")):
+                offenders.append((name, f"unhashable output {field.name}: {t}"))
     assert offenders == [], offenders
 
 
