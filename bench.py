@@ -50,10 +50,24 @@ def main() -> None:
     # maxPartitionBytes chunk each); a production cluster overrides via
     # SPARK_GRAFT_SHUFFLE or leaves AQE to coalesce a higher initial value.
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
+    # AQE off FOR THE BENCH SESSION ONLY (engine default stays on —
+    # session.py/_DEFAULTS — and CLUSTER_PROFILE keeps it on, where its
+    # runtime re-planning earns its cost). AQE materializes every shuffle
+    # stage as a separate job so it can re-plan between them; with the
+    # bench's hand-sized shuffle=8, statically-broadcast dims, and no
+    # skew, there is nothing to re-plan and the barriers are pure
+    # per-query overhead. Measured same-process A/B at sf0.1 (min of 7,
+    # r4): core-10 total 3.42 s → 2.78 s, extension-6 total 3.34 s →
+    # 2.93 s. Same class of local-posture tuning as the shuffle=8 line
+    # above and shuffle-compression-off in session defaults.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
     spark = get_spark(
         "wcdbs-bench",
         cpus=cpus,
-        extra_conf={"spark.sql.shuffle.partitions": shuffle},
+        extra_conf={
+            "spark.sql.shuffle.partitions": shuffle,
+            "spark.sql.adaptive.enabled": aqe,
+        },
     )
 
     # Warm-up: persist every table in memory and run one small query
