@@ -200,6 +200,108 @@ def ext_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUDGET_FRAC = 0.3  # fraction of total corpus tokens the selection may keep
+
+
+@register(
+    "ext_token_budget_select",
+    oracle=f"""
+    WITH d AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ),
+    b AS (
+      SELECT CAST(FLOOR(100.0 * n_distinct / n_tokens) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+      FROM d GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, n_docs, bucket_tokens,
+             CAST(SUM(bucket_tokens) OVER (
+               ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens,
+             CAST(FLOOR({_BUDGET_FRAC} * SUM(bucket_tokens) OVER ())
+                  AS BIGINT) AS budget
+      FROM b
+    )
+    SELECT bucket, n_docs, bucket_tokens, cum_tokens,
+           CASE WHEN cum_tokens <= budget THEN 'all'
+                WHEN cum_tokens - bucket_tokens < budget THEN 'partial'
+                ELSE 'none' END AS selected
+    FROM c
+    """,
+)
+def ext_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (the data-mixing primitive): keep
+    the highest-quality documents whose combined token count fits a
+    global budget (here 30% of the corpus). Quality proxy = lexical
+    diversity, floor(100 · distinct/total tokens), bucketed to 0..100.
+
+    The 100 TB formulation matters here: the naive form is a GLOBAL
+    running token sum over quality-ordered documents — a total-order
+    window over the corpus, exactly what dies at scale. Instead the
+    selection threshold is derived from a QUALITY HISTOGRAM: one
+    partial-combinable aggregate reduces the corpus to ≤101 bucket rows,
+    the running sum and budget comparison run on those rows (the only
+    window in the plan is dimension-sized), and the output is the
+    per-bucket census with its keep decision ('all' above the cutoff,
+    'partial' for the boundary bucket, 'none' below). Materializing the
+    selected documents is then a broadcast of the cutoff bucket plus a
+    map-only filter — no fact-sized shuffle anywhere; the boundary
+    bucket's partial fill uses any deterministic within-bucket order on
+    ~1/100 of the corpus.
+
+    Determinism: integer token counts; the only doubles are one IEEE
+    divide/floor per doc and one budget multiply, bit-identical across
+    engines."""
+    d = load_tables(spark, sf_dir)["documents"].select(
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+    )
+    b = (
+        d.select(
+            F.floor(100.0 * F.col("n_distinct") / F.col("n_tokens"))
+            .cast("int")
+            .alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bucket_tokens"),
+        )
+    )
+    run = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    whole = Window.partitionBy()
+    c = b.select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(run).cast("bigint").alias("cum_tokens"),
+        F.floor(_BUDGET_FRAC * F.sum("bucket_tokens").over(whole))
+        .cast("bigint")
+        .alias("budget"),
+    )
+    return c.select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        "cum_tokens",
+        F.when(F.col("cum_tokens") <= F.col("budget"), F.lit("all"))
+        .when(
+            F.col("cum_tokens") - F.col("bucket_tokens") < F.col("budget"),
+            F.lit("partial"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("selected"),
+    )
+
+
 def feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-typed twin of ext_feature_hash: (doc_id, features array<int>).
     Kept for callers that want the dense vector; the registered query
