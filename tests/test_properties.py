@@ -217,3 +217,57 @@ def test_lakehouse_log_matches_model(spark, tmp_path_factory, ops):
     assert latest_version(path) == len(ops) - 1
     for v in range(len(ops)):
         assert read_table(spark, path, version=v).count() >= 0
+
+
+_corpora = st.lists(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=3),
+        min_size=1,
+        max_size=20,
+    ),
+    min_size=1,
+    max_size=25,
+)
+_fracs = st.sampled_from([0.0, 0.1, 0.3, 0.5, 0.9, 1.0])
+
+
+@given(docs=_corpora, frac=_fracs)
+@_slow
+def test_token_budget_census_invariants(spark, docs, frac):
+    """ext_token_budget_select's histogram-threshold selection, under
+    arbitrary corpora and budget fractions: (a) keep decisions are
+    monotone in quality — ordering buckets best-first the sequence is
+    all* partial? none*, with at most one 'partial'; (b) cum_tokens is
+    the exact best-first running sum; (c) the 'all' buckets fit the
+    budget and adding the partial bucket (if any) exceeds it."""
+    from world_cup_duckdb_spark.queries.ext_training2 import (
+        token_budget_census,
+    )
+
+    df = spark.createDataFrame([(" ".join(ws),) for ws in docs], "text string")
+    rows = sorted(
+        token_budget_census(df, frac).collect(),
+        key=lambda r: -r["bucket"],
+    )
+    total = sum(r["bucket_tokens"] for r in rows)
+    budget = int(frac * total)  # floor of double product
+    seq = [r["selected"] for r in rows]
+    # monotone: all* partial? none*
+    order = {"all": 0, "partial": 1, "none": 2}
+    assert [order[s] for s in seq] == sorted(order[s] for s in seq), seq
+    assert seq.count("partial") <= 1, seq
+    # exact running sum, best-first
+    cum = 0
+    for r in rows:
+        cum += r["bucket_tokens"]
+        assert r["cum_tokens"] == cum, rows
+    # budget arithmetic
+    all_tokens = sum(r["bucket_tokens"] for r in rows if r["selected"] == "all")
+    assert all_tokens <= budget, rows
+    partial = [r for r in rows if r["selected"] == "partial"]
+    if partial:
+        assert all_tokens + partial[0]["bucket_tokens"] > budget, rows
+    none_rows = [r for r in rows if r["selected"] == "none"]
+    for r in none_rows:
+        # a 'none' bucket would not have fit even before its own tokens
+        assert r["cum_tokens"] - r["bucket_tokens"] >= budget, rows

@@ -257,7 +257,17 @@ def ext_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer token counts; the only doubles are one IEEE
     divide/floor per doc and one budget multiply, bit-identical across
     engines."""
-    d = load_tables(spark, sf_dir)["documents"].select(
+    return token_budget_census(
+        load_tables(spark, sf_dir)["documents"], _BUDGET_FRAC
+    )
+
+
+def token_budget_census(docs: DataFrame, budget_frac: float) -> DataFrame:
+    """Core of ext_token_budget_select over any (text) relation — split
+    out so property tests can drive it with synthetic corpora
+    (tests/test_properties.py checks the census invariants: monotone
+    all→partial→none by bucket, ≤1 partial, budget arithmetic)."""
+    d = docs.select(
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
     )
@@ -283,7 +293,7 @@ def ext_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "bucket_tokens",
         F.sum("bucket_tokens").over(run).cast("bigint").alias("cum_tokens"),
-        F.floor(_BUDGET_FRAC * F.sum("bucket_tokens").over(whole))
+        F.floor(budget_frac * F.sum("bucket_tokens").over(whole))
         .cast("bigint")
         .alias("budget"),
     )
