@@ -115,6 +115,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--head", type=int, default=None)
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write the per-key records (driver CORRECTNESS format) here",
+    )
     ap.add_argument("keys", nargs="*")
     a = ap.parse_args()
 
@@ -135,6 +140,9 @@ def main() -> int:
         print(f"{status:5s} {k} rows={rec['spark_rows']}", flush=True)
         if not ok:
             print(f"      {str(rec['err'])[:500]}", flush=True)
+    if a.json_out:
+        with open(a.json_out, "w") as f:
+            json.dump(results, f, indent=1)
     print(json.dumps({"green": n_green, "total": len(keys)}))
     return 0 if n_green == len(keys) else 1
 
