@@ -26,62 +26,19 @@ sampling window is ~50). Prints one status line per key and a JSON summary.
 from __future__ import annotations
 
 import argparse
-import datetime as _dt
-import decimal
 import json
-import math
 import sys
 import traceback
 
-import pandas as pd
-
 sys.path.insert(0, ".")
 
+# The canonicalization lives in tests/parity.py (canon_frame/canon_cell)
+# so the pytest parity suite and this simulator share ONE implementation
+# of the driver's comparator semantics.
+from tests.parity import canon_frame as _canon_frame  # noqa: E402
 from tests.parity import duck_connect  # noqa: E402
 from world_cup_duckdb_spark.queries import REGISTRY, queries  # noqa: E402
 from world_cup_duckdb_spark.session import get_spark  # noqa: E402
-
-
-def _canon_cell(v):
-    """Scalar canon applied post-sort; mirrors exact-value hashing."""
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "NULL"
-    if v is pd.NaT:
-        return "NULL"
-    if isinstance(v, float):
-        return repr(float(v))
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime().replace(tzinfo=None).isoformat(
-            timespec="microseconds"
-        )
-    if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
-    if isinstance(v, _dt.date):
-        # DATE canonicalizes as midnight: the DuckDB pandas bridge turns
-        # every DATE into a datetime64 Timestamp, and the real driver
-        # judges Spark date vs bridge Timestamp EQUAL (op03_date_parse,
-        # green r1+r2, has exactly this shape) — so the sim must too.
-        return _dt.datetime(v.year, v.month, v.day).isoformat(
-            timespec="microseconds"
-        )
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def _canon_frame(df: pd.DataFrame) -> list[tuple]:
-    """The driver-shaped canonicalization: sort columns by name, then
-    sort ROWS via pandas sort_values over every column — this is the step
-    that dies on array/map cells, and it must be allowed to die here so
-    local runs predict driver behavior."""
-    cols = sorted(df.columns)
-    df = df[cols]
-    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
-    return [tuple(_canon_cell(v) for v in row) for row in df.itertuples(index=False)]
 
 
 def run_one(spark, con, name: str, sf_dir: str) -> dict:

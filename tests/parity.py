@@ -1,18 +1,28 @@
 """Local differential harness: Spark result vs DuckDB oracle.
 
-Mimics the driver's correctness gate (row count + schema-insensitive,
-order-insensitive value comparison) so every registry entry is verified
-before the driver ever sees it. Values are canonicalized to strings; floats
-via repr (exact — our determinism rules make both engines produce the same
-doubles), timestamps to microsecond ISO strings.
+Mimics the driver's correctness gate so every registry entry is verified
+before the driver ever sees it — and mimics it FAITHFULLY: the driver
+compares PANDAS frames (Spark toPandas vs DuckDB .df()), canonicalized by
+sorting the frame over every column, which is where the bridge hazards
+live (array cells crash the sort; Spark bridges DECIMAL as
+Decimal('x.x0') where DuckDB bridges it as a float; DATE arrives as a
+date object on one side and a midnight Timestamp on the other). The r3
+version of this harness compared collect()/fetchall() rows with a string
+canon and passed two queries the driver then failed — comparisons must go
+through the same pandas path the driver uses (canon_frame below).
+
+The legacy string canon (_canon/_rows_to_canon over collect() rows) is
+kept for re-invocation stability checks (tests/test_determinism.py).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import decimal
 import math
 
 import duckdb
+import pandas as pd
 
 from world_cup_duckdb_spark.sources.catalog import TABLES
 
@@ -66,18 +76,66 @@ def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def canon_cell(v) -> str:
+    """Driver-shaped scalar canon, applied AFTER the pandas sort."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if v is pd.NaT:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(float(v))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat(
+            timespec="microseconds"
+        )
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, _dt.date):
+        # DATE == midnight timestamp: the DuckDB pandas bridge turns every
+        # DATE into datetime64, and the driver judges Spark date vs bridge
+        # Timestamp equal (op03_date_parse, green r1+r2, has that shape).
+        return _dt.datetime(v.year, v.month, v.day).isoformat(
+            timespec="microseconds"
+        )
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_frame(df: pd.DataFrame) -> list[tuple]:
+    """The driver-shaped canonicalization: sort columns by name, then sort
+    ROWS via pandas sort_values over every column — the step that dies on
+    array/map cells, and it must be allowed to die here so local runs
+    predict driver behavior."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return [
+        tuple(canon_cell(v) for v in row)
+        for row in df.itertuples(index=False)
+    ]
+
+
 def compare(name: str, spark_df, con, sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty = parity)."""
+    """Return a list of mismatch descriptions (empty = parity). Goes
+    through the SAME pandas bridges the driver uses (toPandas / .df());
+    see the module docstring for why collect()-level comparison is not
+    faithful."""
     problems: list[str] = []
-    s_cols, s_rows = spark_result(spark_df)
-    d_cols, d_rows = duck_result(con, sql)
+    s_pdf = spark_df.toPandas()
+    d_pdf = con.execute(sql).df()
+    s_cols, d_cols = list(s_pdf.columns), list(d_pdf.columns)
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"{name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
-    if len(s_rows) != len(d_rows):
-        problems.append(f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}")
-    s_canon = _rows_to_canon(s_cols, s_rows)
-    d_canon = _rows_to_canon(d_cols, d_rows)
+    if len(s_pdf) != len(d_pdf):
+        problems.append(f"{name}: row count spark={len(s_pdf)} duck={len(d_pdf)}")
+    s_canon = canon_frame(s_pdf)
+    d_canon = canon_frame(d_pdf)
     if s_canon != d_canon:
         diffs = [
             (a, b) for a, b in zip(s_canon, d_canon) if a != b
