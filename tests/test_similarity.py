@@ -95,3 +95,68 @@ def test_ivf_index_partitions_corpus(spark, emb):
     sizes = [r["n"] for r in
              assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()]
     assert max(sizes) < emb.count()
+
+
+# --- Product quantization (pq_index / pq_topk) ---------------------------
+
+
+def test_pq_codes_complete_and_in_range(spark, emb):
+    from world_cup_duckdb_spark.operators.similarity import pq_index
+
+    n = emb.count()
+    codebook, codes = pq_index(emb, m=4, k=16, dims=64)
+    cb = codebook.collect()
+    assert len(cb) == 4 * 16
+    assert all(len(r["cent"]) == 16 for r in cb)
+    rows = codes.collect()
+    assert len(rows) == n * 4
+    assert all(0 <= r["code"] < 16 for r in rows)
+
+
+def test_pq_exact_duplicate_ranks_first(spark, emb):
+    """ADC(q, copy-of-q) = Σ_m min_c qd2(m, c) — the provable global
+    minimum of the ADC objective — so an exact duplicate of the query
+    must come back at rank 1 (tie-break falls to it on this fixture;
+    everything is deterministic, so the pin is stable)."""
+    from world_cup_duckdb_spark.operators.similarity import pq_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.unionByName(q.withColumn("vec_id", F.col("vec_id") + 100000))
+    top = pq_topk(q, corpus, k_neighbors=5, m=4, k=16, dims=64)
+    first = {
+        r["query_id"]: r["neighbor_id"]
+        for r in top.collect()
+        if r["rank"] == 1
+    }
+    assert first == {qid: qid + 100000 for qid in range(10)}
+
+
+def test_pq_dims_must_divide(spark, emb):
+    from world_cup_duckdb_spark.operators.similarity import pq_index
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_index(emb, m=5, k=16, dims=64)
+
+
+# --- SemDeDup (semantic_dedup_census) -------------------------------------
+
+
+def test_semantic_dedup_drops_every_exact_copy(spark, emb):
+    """Corpus ∪ id-shifted copy: every copy shares its original's cluster
+    (assignment is a pure function of the vector) and cosine 1.0, so
+    min-id-canonical dedup must drop exactly the N copies and keep the
+    N originals, whatever the cluster layout."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        semantic_dedup_census,
+    )
+
+    base = emb.filter(F.col("vec_id") < 200)
+    n = base.count()
+    corpus = base.unionByName(
+        base.withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    census = semantic_dedup_census(corpus, threshold=0.95, n_clusters=8)
+    rows = census.collect()
+    assert sum(r["n_vecs"] for r in rows) == 2 * n
+    assert sum(r["n_dropped"] for r in rows) == n
+    assert all(r["n_dropped"] <= r["n_vecs"] for r in rows)

@@ -445,3 +445,225 @@ def embedding_near_duplicates(
         .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-side scale path for ANN.
+#
+# IVF (above) prunes WHICH vectors a query scores; PQ compresses HOW each
+# score is computed: vectors are split into M sub-vectors, each sub-vector
+# quantized to one of K codebook centroids, and a query's distance to a
+# vector becomes a sum of M table lookups (ADC — asymmetric distance
+# computation) instead of a d-dimensional dot product. At 100 TB the codes
+# table is dims/M·log2(K) bits per vector instead of 4·dims bytes, the
+# codebook (M·K rows) broadcasts everywhere, and the per-pair cost is O(M).
+#
+# Determinism contract (what makes the whole pipeline hash-checkable
+# against DuckDB): all arithmetic is INTEGER. Components are scaled to
+# micro-units (round(x·1e6) → bigint, the same rule as the centroid
+# query), centroid means are floor(sum/n + 0.5) of exactly-representable
+# doubles, and every distance is a bigint sum of squared bigint diffs —
+# no float accumulation anywhere, so ranks and distances match
+# bit-for-bit across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+_MICRO = 1_000_000
+
+
+def _micro_units(vec: Column | str) -> Column:
+    """array<bigint> of round(x·1e6) — exact, order-free integer space."""
+    return F.transform(
+        as_double(vec), lambda x: F.round(x * _MICRO).cast("bigint")
+    )
+
+
+def _pq_subvectors(
+    df: DataFrame, id_col: str, id_alias: str, vec_col: str, m: int, d_sub: int
+) -> DataFrame:
+    """One row per (id, sub-space): (id_alias, m:int, sub:array<bigint>).
+
+    Map-only (inline over a literal array of slices) — no shuffle, no
+    per-dimension row blowup; the d_sub-wide slices stay packed."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(mi).cast("int").alias("m"),
+                F.slice(F.col("_e"), mi * d_sub + 1, d_sub).alias("sub"),
+            )
+            for mi in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias), _micro_units(vec_col).alias("_e")
+    ).select(id_alias, F.inline(parts))
+
+
+def _int_sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Σ (aᵢ-bᵢ)² over two bigint arrays — pure integer, exact."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_index(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """PQ index build: (codebook, codes).
+
+    codebook: (m, c, cent:array<bigint>) — M·K rows, broadcast-sized by
+    construction (a production M=16/K=256 codebook is 4096 rows).
+    codes: (vid, m, code) — the compressed corpus representation.
+
+    Codebook training is one deterministic Lloyd update: sub-vectors are
+    seed-assigned by ``id % k`` (a reproducible stand-in for k-means++
+    init — a full iterated fit slots in here unchanged, exactly like
+    ivf_index's md5 pick) and each (sub-space, seed-cluster) centroid is
+    the elementwise mean in micro-units. The build explodes dimensions
+    ONLY inside a partial-combinable aggregate keyed by (m, c, j) — the
+    shuffle moves M·K·d_sub pre-reduced rows, never corpus rows.
+
+    Encoding joins the broadcast codebook to the packed sub-vectors
+    (M·K candidate rows per vector, no dimension explosion) and takes
+    the argmin by min(struct(d2, c)) — a hash aggregate with map-side
+    partials, no window over fact rows.
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m} sub-spaces")
+    d_sub = dims // m
+    subs = _pq_subvectors(corpus, id_col, "vid", vec_col, m, d_sub)
+    codebook = (
+        subs.withColumn("c", (F.col("vid") % k).cast("int"))
+        .select("m", "c", F.posexplode("sub").alias("j", "x"))
+        .groupBy("m", "c", "j")
+        .agg(
+            F.floor(
+                F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cx")
+        )
+        .groupBy("m", "c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cx"))),
+                lambda s: s["cx"],
+            ).alias("cent")
+        )
+    )
+    scored = subs.join(F.broadcast(codebook), "m").select(
+        "vid", "m", "c", _int_sq_dist("sub", "cent").alias("d2")
+    )
+    codes = scored.groupBy("vid", "m").agg(
+        F.min(F.struct(F.col("d2").alias("d2"), F.col("c").alias("c")))
+        .getField("c")
+        .alias("code")
+    )
+    return codebook, codes
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_neighbors: int = 5,
+    m: int = 4,
+    k: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, rank, adc_dist).
+
+    Each query precomputes its distance to every codebook centroid
+    (Q·M·K rows — the ADC lookup tables, broadcast), then a vector's
+    approximate distance is the sum of its M code lookups: the scan over
+    the corpus reads only the codes relation (the compressed form), the
+    join is a broadcast equi-join on (m, code), and the per-pair cost is
+    an M-term integer sum — never a dims-wide dot product. Ties break on
+    neighbor id; distances are exact integers so ranking is
+    engine-independent.
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m} sub-spaces")
+    d_sub = dims // m
+    codebook, codes = pq_index(corpus, m, k, dims, id_col, vec_col)
+    qsubs = _pq_subvectors(queries, id_col, "query_id", vec_col, m, d_sub)
+    qd2 = qsubs.join(F.broadcast(codebook), "m").select(
+        F.col("query_id"),
+        F.col("m").alias("qm"),
+        F.col("c").alias("qc"),
+        _int_sq_dist("sub", "cent").alias("qd2"),
+    )
+    pairs = codes.join(
+        F.broadcast(qd2),
+        (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qc")),
+    )
+    adc = (
+        pairs.groupBy("query_id", "vid")
+        .agg(F.sum("qd2").cast("bigint").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("vid"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vid")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank", "adc_dist")
+    )
+
+
+def semantic_dedup_census(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-pruned embedding dedup census:
+    (list_id, n_vecs, n_dropped), one row per cluster.
+
+    The scale form of embedding_near_duplicates: vectors are first
+    coarse-clustered (ivf_index — identical vectors always land in the
+    same cluster, since assignment is a pure function of the vector),
+    then the quadratic cosine scan runs ONLY within clusters — a
+    self-equi-join on list_id instead of an all-pairs join, the same
+    candidate-bounding move LSH bands make for MinHash. A vector is
+    dropped when some same-cluster neighbor with a SMALLER id is ≥
+    threshold (min-id canonical, the rule every dedup operator here
+    shares). At 100 TB the assigned corpus is written partitioned by
+    list_id so each cluster's scan is partition-local; oversized
+    clusters would be re-split by a finer codebook, never scanned
+    all-pairs globally.
+    """
+    _, assigned = ivf_index(vectors, n_clusters, id_col, vec_col)
+    a = assigned.select(
+        F.col("list_id"), F.col("vid").alias("keep_id"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("list_id"), F.col("vid").alias("drop_id"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, ["list_id"])
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned.vid == dropped.drop_id, "left")
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.col("drop_id")).alias("n_dropped"),
+        )
+        .select("list_id", "n_vecs", "n_dropped")
+    )

@@ -468,3 +468,168 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_5"
         ),
     )
+
+
+@register(
+    "ext_ann_pq",
+    oracle="""
+    WITH micro AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, CAST(mm.m AS INT) AS m,
+             list_slice(e, mm.m * 16 + 1, mm.m * 16 + 16) AS sub
+      FROM micro CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm
+    ),
+    cb_dim AS (
+      SELECT m, CAST(vec_id % 16 AS INT) AS c,
+             generate_subscripts(sub, 1) AS j, unnest(sub) AS x
+      FROM subs
+    ),
+    cb AS (
+      SELECT m, c, j,
+             CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+               AS cx
+      FROM cb_dim GROUP BY m, c, j
+    ),
+    cent AS (SELECT m, c, list(cx ORDER BY j) AS cent FROM cb GROUP BY m, c),
+    scored AS (
+      SELECT s.vec_id AS vid, s.m, t.c,
+             list_sum(list_transform(
+               range(1, len(s.sub) + 1),
+               i -> (s.sub[i] - t.cent[i]) * (s.sub[i] - t.cent[i]))) AS d2
+      FROM subs s JOIN cent t ON s.m = t.m
+    ),
+    codes AS (
+      SELECT vid, m, c AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, m ORDER BY d2, c) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qd2 AS (
+      SELECT q.vec_id AS query_id, q.m, t.c,
+             list_sum(list_transform(
+               range(1, len(q.sub) + 1),
+               i -> (q.sub[i] - t.cent[i]) * (q.sub[i] - t.cent[i]))) AS qd2
+      FROM subs q JOIN cent t ON q.m = t.m
+      WHERE q.vec_id < 10
+    ),
+    adc AS (
+      SELECT qd2.query_id, codes.vid,
+             CAST(SUM(qd2.qd2) AS BIGINT) AS adc_dist
+      FROM codes JOIN qd2 ON codes.m = qd2.m AND codes.code = qd2.c
+      WHERE qd2.query_id <> codes.vid
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vid AS neighbor_id, CAST(rnk AS INT) AS rank, adc_dist
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vid) AS rnk
+      FROM adc
+    )
+    WHERE rnk <= 5
+    """,
+)
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 for 10 query vectors
+    (operators/similarity.py:pq_index/pq_topk): 64-dim vectors split
+    into M=4 sub-spaces, each sub-vector quantized to one of K=16
+    centroids, queries scored against the corpus via M table lookups
+    over the broadcast per-query distance tables — the memory-compressed
+    ANN path that complements IVF's list pruning (a production system
+    composes both: IVF prunes lists, PQ compresses the residual scan).
+
+    Hash-checked oracle: the whole pipeline — micro-unit scaling,
+    seed-cluster Lloyd update, argmin encoding, ADC sums — is pure
+    INTEGER arithmetic, so codebooks, codes, distances, and ranks all
+    reproduce exactly in DuckDB; the full APPROXIMATE result is
+    differentially tested, not just its mechanism. Recall vs brute
+    force and the exact-duplicate rank-1 property are additionally
+    pytest-verified (tests/test_similarity.py)."""
+    from world_cup_duckdb_spark.operators.similarity import pq_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return pq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k_neighbors=5, m=4, k=16, dims=64
+    )
+
+
+@register(
+    "ext_semantic_dedup",
+    oracle="""
+    WITH v0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id < 300
+    ),
+    e AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                                          i -> v[i] * v[i]))) AS nrm
+      FROM v0
+    ),
+    picked AS (
+      SELECT vec_id AS cid FROM v0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    centroids AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) AS INT) AS list_id,
+             e.v AS centroid, e.nrm AS cnrm
+      FROM picked JOIN e ON e.vec_id = picked.cid
+    ),
+    assign_scored AS (
+      SELECT e.vec_id AS vid, e.v, e.nrm, c.list_id,
+             list_sum(list_transform(range(1, len(c.centroid) + 1),
+                                     i -> c.centroid[i] * e.v[i]))
+               / (c.cnrm * e.nrm) AS c_sim
+      FROM e CROSS JOIN centroids c
+    ),
+    assigned AS (
+      SELECT vid, v, nrm, list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vid ORDER BY c_sim DESC, list_id) AS rn
+        FROM assign_scored
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vid AS drop_id
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vid < b.vid
+      WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                                    i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm) >= 0.95
+    )
+    SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(d.drop_id) AS BIGINT) AS n_dropped
+    FROM assigned LEFT JOIN dropped d ON assigned.vid = d.drop_id
+    GROUP BY list_id
+    """,
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-pruned embedding dedup
+    (operators/similarity.py:semantic_dedup_census) over a corpus ∪ an
+    id-shifted copy (every vector has an exact duplicate, so the drop
+    path is exercised end-to-end): coarse-cluster with the IVF
+    assignment, run the quadratic cosine scan ONLY within clusters
+    (self-equi-join on list_id — the candidate-bounding move that makes
+    embedding dedup feasible at 100 TB, where all-pairs is not), drop
+    min-id-canonically, report the per-cluster census.
+
+    Hash-checked oracle: assignment, within-cluster cosines, and the
+    drop rule are all deterministic (md5 centroid pick, sequential
+    double folds), so DuckDB reproduces the census exactly. The
+    duplicates-all-dropped invariant is additionally pytest-verified."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        semantic_dedup_census,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 300)
+    copy = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    return semantic_dedup_census(
+        emb.unionByName(copy), threshold=0.95, n_clusters=16
+    )
