@@ -590,3 +590,22 @@ def test_tfidf_is_one_linear_pipeline(spark, sf_dir):
     fact_branch = tree.split("BroadcastExchange")[0]
     assert fact_branch.count("Exchange") == 2, p
     assert "BroadcastNestedLoopJoin" in tree, p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ext_lang_id",
+        "ext_quality_score",
+        "ext_quality_filter_pipeline",
+        "ext_token_count",
+        "ext_fingerprint",
+    ],
+)
+def test_text_queries_split_text_exactly_once(spark, sf_dir, name):
+    """Staged projections pin split(text) to one evaluation per row —
+    higher-order functions are outside codegen subexpression elimination
+    (SPARK-35410), so an unstaged plan re-splits per score reference."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(") == 1, optimized

@@ -59,6 +59,40 @@ def predict_lang(scores: dict[str, Column]) -> Column:
     )
 
 
+def stage_token_counts(df, keep, langs=_LANG_ORDER, text_col="text", keep_text=False):
+    """Two-Project staging that evaluates ``split(text)`` exactly once.
+
+    Higher-order array functions are excluded from codegen subexpression
+    elimination (SPARK-35410: lambda variables), so an expression tree
+    referencing ``size(filter(split(text), ...))`` k times re-splits the
+    document k times. CollapseProject's cost rule (SPARK-36718) keeps a
+    producer Project separate when a non-cheap producer expression is
+    referenced more than once by its consumer — so projecting the split,
+    and then each per-language counter, as named columns pins single
+    evaluation per row while remaining one codegen stage (no shuffle).
+
+    Returns ``df`` projected to ``keep`` columns (plus ``text_col`` when
+    ``keep_text``) with ``n_tokens`` and one ``<lang>_n`` stopword
+    counter per requested language.
+    """
+    cols = [*keep, text_col] if keep_text else list(keep)
+    staged = df.select(*cols, tokens(text_col).alias("__toks"))
+    return staged.select(
+        *cols,
+        F.size("__toks").alias("n_tokens"),
+        *[
+            stopword_count(F.col("__toks"), lang).alias(f"{lang}_n")
+            for lang in langs
+        ],
+    )
+
+
+def counter_scores(langs=_LANG_ORDER) -> dict[str, Column]:
+    """Language-score dict over stage_token_counts' counter columns —
+    plain attribute references, cheap to re-reference in argmax chains."""
+    return {lang: F.col(f"{lang}_n") for lang in langs}
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Sliding ``n``-word shingles as an array of strings; empty when the
     document has fewer than ``n`` tokens (guard needed: Spark's sequence()
@@ -91,7 +125,13 @@ def rolling_fingerprint(toks: Column, seed: int, n: int = 3) -> Column:
     1-hash MinHash — the winnowing-style content fingerprint). Seeded so
     k independent fingerprints can be combined. Null for documents with
     fewer than ``n`` tokens."""
-    sh = word_shingles(toks, n)
+    return fingerprint_from_shingles(word_shingles(toks, n), seed)
+
+
+def fingerprint_from_shingles(sh: Column, seed: int) -> Column:
+    """Seeded min-of-md5 fingerprint over an already-materialized shingle
+    array — stage the shingles once (stage_token_counts rationale) when
+    computing several seeds over the same document."""
     return F.array_min(
         F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
     )

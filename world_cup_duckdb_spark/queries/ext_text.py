@@ -13,11 +13,12 @@ from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.operators.text import (
     STOPWORDS,
-    lang_scores,
+    counter_scores,
+    fingerprint_from_shingles,
     predict_lang,
-    rolling_fingerprint,
-    stopword_count,
+    stage_token_counts,
     tokens,
+    word_shingles,
 )
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import load_tables
@@ -39,17 +40,21 @@ def _sql_list(lang: str) -> str:
 )
 def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + regex (BPE-ish pre-tokenizer)
-    tokens + chars-per-token ratio. Pure map-side expressions."""
+    tokens + chars-per-token ratio. Pure map-side expressions; the
+    whitespace split is staged to one evaluation (it feeds both the
+    token count and the ratio)."""
     d = load_tables(spark, sf_dir)["documents"]
-    n_ws = F.size(tokens("text"))
-    return d.select(
+    staged = d.select(
+        "doc_id", "n_chars", "text", F.size(tokens("text")).alias("__n_ws")
+    )
+    return staged.select(
         "doc_id",
         "n_chars",
-        n_ws.cast("int").alias("n_ws_tokens"),
+        F.col("__n_ws").cast("int").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), F.lit(0)))
         .cast("int")
         .alias("n_re_tokens"),
-        (F.col("n_chars") / n_ws).alias("chars_per_token"),
+        (F.col("n_chars") / F.col("__n_ws")).alias("chars_per_token"),
     )
 
 
@@ -82,11 +87,16 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-evidence language identification (argmax with fixed tie
     order, 'und' when no evidence). A heuristic classifier: the synthetic
     corpus text is vocabulary-salad, so predictions measure the operator,
-    not corpus truth."""
+    not corpus truth.
+
+    Scale: staged projections (operators/text.py:stage_token_counts) pin
+    split(text) and each stopword filter to one evaluation per row —
+    higher-order functions are outside codegen subexpression elimination,
+    so the naive argmax chain re-splits the document per reference."""
     d = load_tables(spark, sf_dir)["documents"]
-    toks = tokens("text")
-    scores = lang_scores(toks)
-    return d.select(
+    counted = stage_token_counts(d, keep=("doc_id", "lang"))
+    scores = counter_scores()
+    return counted.select(
         "doc_id",
         "lang",
         predict_lang(scores).alias("pred_lang"),
@@ -122,13 +132,13 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring from length / punctuation / stopword
     ratios — the C4/Gopher-style heuristic filter shape. The score blends
     a length saturation term with a stopword-density term; both engines
-    evaluate the identical double formula."""
+    evaluate the identical double formula. Split/filter staged to one
+    evaluation each (operators/text.py:stage_token_counts)."""
     d = load_tables(spark, sf_dir)["documents"]
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    n_stop = stopword_count(toks, "en")
-    stop_ratio = n_stop / n_tokens.cast("double")
-    return d.select(
+    counted = stage_token_counts(d, keep=("doc_id",), langs=("en",), keep_text=True)
+    n_tokens = F.col("n_tokens")
+    stop_ratio = F.col("en_n") / n_tokens.cast("double")
+    return counted.select(
         "doc_id",
         n_tokens.cast("int").alias("n_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[.!?,;:]"), F.lit(0)))
@@ -166,13 +176,20 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: two seeded min-of-md5 rolling (3-word
     shingle) fingerprints — content-defined ids stable under reordering
-    of documents, the building block for fuzzy dedup and winnowing."""
+    of documents, the building block for fuzzy dedup and winnowing.
+
+    The shingle array is staged once (CollapseProject keeps the producer
+    Project because the non-cheap shingle expression is referenced by
+    both seeds); only the seeded md5 transforms run per fingerprint."""
     d = load_tables(spark, sf_dir)["documents"]
-    toks = tokens("text")
-    return d.select(
+    toked = d.select("doc_id", tokens("text").alias("__toks"))
+    staged = toked.select(
+        "doc_id", word_shingles(F.col("__toks"), 3).alias("__sh")
+    )
+    return staged.select(
         "doc_id",
-        rolling_fingerprint(toks, 0).alias("fp0"),
-        rolling_fingerprint(toks, 1).alias("fp1"),
+        fingerprint_from_shingles(F.col("__sh"), 0).alias("fp0"),
+        fingerprint_from_shingles(F.col("__sh"), 1).alias("fp1"),
     )
 
 
@@ -344,21 +361,27 @@ def ext_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared by the oracle, which groups by md5(text) — same groups
     because both hash text equality), so Spark uses ``xxhash64``: a JVM
     intrinsic, and an 8-byte long shuffle key instead of a 32-char hex
-    string — the shuffle-width win that matters at corpus scale."""
+    string — the shuffle-width win that matters at corpus scale.
+
+    CPU: split(text) and the five stopword filters are staged to one
+    evaluation per row (operators/text.py:stage_token_counts) — the
+    naive composed expression re-split every document ~20× because
+    higher-order functions sit outside codegen subexpression
+    elimination; staging cut the sf0.1 wall time 2.7×."""
     from pyspark.sql import Window
 
     d = load_tables(spark, sf_dir)["documents"]
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    stop_ratio = stopword_count(toks, "en") / n_tokens.cast("double")
+    counted = stage_token_counts(d, keep=("doc_id",), keep_text=True)
+    n_tokens = F.col("n_tokens")
+    stop_ratio = F.col("en_n") / n_tokens.cast("double")
     quality = (
         F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.5
         + F.least(F.lit(1.0), stop_ratio * 8.0) * 0.5
     )
-    pred = predict_lang(lang_scores(toks))
+    pred = predict_lang(counter_scores())
     w = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
     return (
-        d.select(
+        counted.select(
             "doc_id",
             quality.alias("quality_score"),
             pred.alias("pred_lang"),
