@@ -55,3 +55,42 @@ def test_mm_feature_vector_matches_registered_csv(spark, sf_dir):
     assert (
         vec.exceptAll(csv).count() == 0 and csv.exceptAll(vec).count() == 0
     )
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    """'aaaa' under rule (a,a) must become two 'aa' symbols — the wrapped
+    per-symbol representation makes replace() equal greedy BPE merge
+    application; shared-boundary encodings get this wrong ('aa','a','a')."""
+    from world_cup_duckdb_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_initial_repr,
+        bpe_symbols,
+    )
+
+    df = spark.createDataFrame(
+        [("aaaa", 1), ("aaa", 1), ("aba", 1)], ["word", "freq"]
+    ).withColumn("repr", bpe_initial_repr("word"))
+    out = {
+        r.word: r.syms
+        for r in bpe_apply_merge(df, "a", "a")
+        .select("word", bpe_symbols("repr").alias("syms"))
+        .collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aba"] == ["a", "b", "a"]
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from world_cup_duckdb_spark.operators.text import (
+        bpe_initial_repr,
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("ab", 3), ("abc", 2), ("x", 5)], ["word", "freq"]
+    ).withColumn("repr", bpe_initial_repr("word"))
+    counts = {(r.a, r.b): r.pf for r in bpe_pair_counts(df).collect()}
+    # 'ab' appears in both words: 3 + 2; 'bc' only in 'abc'; single-symbol
+    # words contribute nothing.
+    assert counts == {("a", "b"): 5, ("b", "c"): 2}

@@ -13,7 +13,7 @@ DuckDB oracles in queries/ext_text.py mirror these expressions exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword inventories for the n-gram/stopword
@@ -126,6 +126,59 @@ def rolling_fingerprint(toks: Column, seed: int, n: int = 3) -> Column:
     k independent fingerprints can be combined. Null for documents with
     fewer than ``n`` tokens."""
     return fingerprint_from_shingles(word_shingles(toks, n), seed)
+
+
+def bpe_initial_repr(word: Column | str) -> Column:
+    """Initial BPE symbol representation of a word: each character wrapped
+    in ``|`` delimiters (``'abc'`` → ``'|a||b||c|'``). Per-symbol wrapping
+    (not shared boundaries) is what makes one ``replace()`` pass apply a
+    merge rule greedily left-to-right with correct overlap semantics:
+    ``'|a||a||a||a|'`` replacing ``'|a||a|'`` → ``'|aa||aa|'`` — both Spark
+    and DuckDB ``replace`` scan left-to-right non-overlapping, so the
+    engines agree bit-for-bit."""
+    word = F.col(word) if isinstance(word, str) else word
+    return F.concat(F.lit("|"), F.array_join(F.split(word, ""), "||"), F.lit("|"))
+
+
+def bpe_symbols(repr_col: Column | str) -> Column:
+    """Symbol array of a wrapped representation (strip outer pipes, split
+    on the ``||`` inter-symbol boundary)."""
+    repr_col = F.col(repr_col) if isinstance(repr_col, str) else repr_col
+    return F.split(
+        F.substring(repr_col, 2, F.length(repr_col) - 2), "\\|\\|"
+    )
+
+
+def bpe_pair_counts(words: "DataFrame") -> "DataFrame":
+    """Adjacent-symbol pair frequencies over a (word, freq, repr) vocab
+    relation — one explode + one hash aggregation over the VOCABULARY
+    (not the corpus), which is the Sennrich BPE trainer's scale property:
+    corpus-sized work happens once (vocab build); every merge iteration
+    touches only distinct words weighted by frequency."""
+    return (
+        words.select("freq", bpe_symbols("repr").alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(l) - 2),"
+                    "          i -> struct(l[i] AS a, l[i+1] AS b))"
+                )
+            ).alias("pr"),
+        )
+        .groupBy("pr.a", "pr.b")
+        .agg(F.sum("freq").cast("long").alias("pf"))
+    )
+
+
+def bpe_apply_merge(words: "DataFrame", a: str, b: str) -> "DataFrame":
+    """Apply one merge rule (a, b) → ab to every word representation —
+    a map-only string replace, no shuffle."""
+    return words.withColumn(
+        "repr",
+        F.replace(F.col("repr"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")),
+    )
 
 
 def fingerprint_from_shingles(sh: Column, seed: int) -> Column:

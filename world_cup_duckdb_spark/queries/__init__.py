@@ -218,6 +218,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_analytics3,
     ext_analytics4,
     ext_analytics5,
+    ext_bpe,
     ext_dedup,
     ext_events,
     ext_graph,
