@@ -47,20 +47,24 @@ _MERGE_SCHEMA = T.StructType(
 )
 
 
-def _bpe_oracle(n: int) -> str:
-    """Unrolled n-iteration DuckDB twin: same vocab, same pair counts,
-    same (freq DESC, lhs, rhs) argmax tie-break, same wrapped-string
-    replace per iteration."""
+def _bpe_ctes(n: int, per_source: bool = False) -> str:
+    """Unrolled n-iteration DuckDB CTE chain: same vocab, same pair
+    counts, same (freq DESC, lhs, rhs) argmax tie-break, same
+    wrapped-string replace per iteration. With ``per_source`` the
+    vocabulary is keyed (source, word) — pair counts stay GLOBAL (per-
+    source frequencies sum to the global ones), so the learned rules are
+    identical; the source key only survives for downstream stats."""
+    src = "source, " if per_source else ""
     parts = [
-        """
+        f"""
     WITH vocab AS (
-      SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      SELECT {src}token AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT {src}unnest(string_split(text, ' ')) AS token FROM documents)
       WHERE token <> '' AND token NOT LIKE '%|%'
-      GROUP BY 1
+      GROUP BY {"1, 2" if per_source else "1"}
     ),
     w0 AS (
-      SELECT word, freq,
+      SELECT {src}word, freq,
              '|' || array_to_string(string_split(word, ''), '||') || '|' AS repr
       FROM vocab
     )"""
@@ -86,7 +90,7 @@ def _bpe_oracle(n: int) -> str:
       LIMIT 1
     ),
     w{k} AS (
-      SELECT word, freq,
+      SELECT {src}word, freq,
              replace(repr,
                      '|' || (SELECT a FROM t{k}) || '||'
                          || (SELECT b FROM t{k}) || '|',
@@ -95,13 +99,58 @@ def _bpe_oracle(n: int) -> str:
       FROM w{k - 1}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(n: int) -> str:
     unions = "\n      UNION ALL\n".join(
         f"""      SELECT {k} AS merge_rank, a AS lhs, b AS rhs,
              a || b AS merged, pf AS pair_freq FROM t{k}"""
         for k in range(1, n + 1)
     )
-    parts.append(f"\n    SELECT * FROM (\n{unions}\n    ) ORDER BY merge_rank")
-    return "".join(parts)
+    return (
+        _bpe_ctes(n)
+        + f"\n    SELECT * FROM (\n{unions}\n    ) ORDER BY merge_rank"
+    )
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    return (
+        _bpe_ctes(n, per_source=True)
+        + f"""
+    SELECT source,
+           CAST(SUM(freq * length(word)) AS BIGINT) AS symbols_before,
+           CAST(SUM(freq * len(string_split(substr(repr, 2, length(repr) - 2),
+                                            '||'))) AS BIGINT) AS symbols_after,
+           CAST(SUM(freq * len(string_split(substr(repr, 2, length(repr) - 2),
+                                            '||'))) AS DOUBLE)
+             / SUM(freq * length(word)) AS compression
+    FROM w{n}
+    GROUP BY source
+    """
+    )
+
+
+def _learn_merges(words: DataFrame, n: int) -> tuple[list, DataFrame]:
+    """Run n merge-discovery iterations; return the learned rules and the
+    vocabulary with all rules applied. Each iteration is one pair-count
+    aggregation reduced to a single argmax row, then a map-only replace."""
+    merges = []
+    for rank in range(1, n + 1):
+        top = (
+            bpe_pair_counts(words)
+            .orderBy(F.desc("pf"), "a", "b")
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            raise ValueError(
+                f"BPE merge {rank}: corpus vocabulary has no adjacent "
+                "symbol pairs left to merge"
+            )
+        merges.append((rank, top.a, top.b, top.a + top.b, top.pf))
+        words = bpe_apply_merge(words, top.a, top.b)
+    return merges, words
 
 
 @register("ext_bpe_merges", oracle=_bpe_oracle(N_MERGES))
@@ -125,19 +174,40 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = vocab.select(
         "word", "freq", bpe_initial_repr("word").alias("repr")
     ).persist()
-    merges = []
-    for rank in range(1, N_MERGES + 1):
-        top = (
-            bpe_pair_counts(words)
-            .orderBy(F.desc("pf"), "a", "b")
-            .limit(1)
-            .first()
-        )
-        if top is None:
-            raise ValueError(
-                f"BPE merge {rank}: corpus vocabulary has no adjacent "
-                "symbol pairs left to merge"
-            )
-        merges.append((rank, top.a, top.b, top.a + top.b, top.pf))
-        words = bpe_apply_merge(words, top.a, top.b)
+    merges, _ = _learn_merges(words, N_MERGES)
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+@register("ext_bpe_encode", oracle=_bpe_encode_oracle(N_MERGES))
+def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table and report per-source encoding
+    stats: total symbol count before (characters) and after the N merges,
+    plus the compression ratio — the metric a tokenizer-training pipeline
+    tracks per corpus slice.
+
+    The vocabulary is keyed (source, word); pair counts stay global
+    (per-source frequencies sum to the global counts), so the learned
+    rules are identical to ext_bpe_merges' — encoding is the map-only
+    replace chain over the vocab, and the stats are one small hash agg.
+    The ratio is a plain double division of two exact BIGINTs, so it is
+    bit-identical cross-engine without rounding."""
+    from world_cup_duckdb_spark.operators.text import bpe_symbols
+
+    d = load_tables(spark, sf_dir)["documents"]
+    vocab = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & (~F.col("word").contains("|")))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    words = vocab.select(
+        "source", "word", "freq", bpe_initial_repr("word").alias("repr")
+    ).persist()
+    _, encoded = _learn_merges(words, N_MERGES)
+    before = F.sum(F.col("freq") * F.length("word"))
+    after = F.sum(F.col("freq") * F.size(bpe_symbols("repr")))
+    return encoded.groupBy("source").agg(
+        before.cast("long").alias("symbols_before"),
+        after.cast("long").alias("symbols_after"),
+        (after.cast("double") / before).alias("compression"),
+    )
