@@ -585,3 +585,148 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+_BAND_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def _band_plan_oracle() -> str:
+    """Oracle twin of ext_lsh_band_plan: the same 8-sig relation banded
+    all four ways in one UNION, then bucket-size statistics. Thresholds
+    are python-computed literals injected into BOTH engines, so no
+    cross-engine pow() in the hashed output."""
+    entries = []
+    for b, r in _BAND_CONFIGS:
+        for i in range(b):
+            key = " || ".join(f"s{i * r + j}" for j in range(r))
+            entries.append(
+                f"      SELECT {b} AS bands, {i} AS band, {key} AS band_key FROM sigs8"
+            )
+    entries_sql = "\n      UNION ALL\n".join(entries)
+    values = ", ".join(
+        f"({b}, {r}, {round((1.0 / b) ** (1.0 / r), 6)})"
+        for b, r in _BAND_CONFIGS
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+      FROM tok
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed,
+             md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS seed) s
+    ),
+    persig AS (
+      SELECT doc_id, seed,
+             MIN(substr(h, 1, 8)) AS m0, MIN(substr(h, 9, 8)) AS m1,
+             MIN(substr(h, 17, 8)) AS m2, MIN(substr(h, 25, 8)) AS m3
+      FROM seeded GROUP BY doc_id, seed
+    ),
+    sigs8 AS (
+      SELECT doc_id,
+             MAX(CASE WHEN seed = 0 THEN m0 END) AS s0,
+             MAX(CASE WHEN seed = 0 THEN m1 END) AS s1,
+             MAX(CASE WHEN seed = 0 THEN m2 END) AS s2,
+             MAX(CASE WHEN seed = 0 THEN m3 END) AS s3,
+             MAX(CASE WHEN seed = 1 THEN m0 END) AS s4,
+             MAX(CASE WHEN seed = 1 THEN m1 END) AS s5,
+             MAX(CASE WHEN seed = 1 THEN m2 END) AS s6,
+             MAX(CASE WHEN seed = 1 THEN m3 END) AS s7
+      FROM persig GROUP BY doc_id
+    ),
+    entries AS (
+{entries_sql}
+    ),
+    counts AS (
+      SELECT bands, band, band_key, COUNT(*) AS cnt
+      FROM entries GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT bands,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM((cnt * (cnt - 1)) // 2) AS BIGINT) AS candidate_checks
+      FROM counts WHERE cnt >= 2 GROUP BY 1
+    )
+    SELECT c.bands, c.rows_per_band, c.threshold,
+           COALESCE(n_buckets, 0) AS n_buckets,
+           COALESCE(candidate_checks, 0) AS candidate_checks
+    FROM (VALUES {values}) c(bands, rows_per_band, threshold)
+    LEFT JOIN stats USING (bands)
+    ORDER BY c.bands
+    """
+
+
+@register("ext_lsh_band_plan", oracle=_band_plan_oracle())
+def ext_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter planning: the same 8-hash signature relation
+    banded every (b, r) way with b·r = 8, with the S-curve detection
+    threshold (1/b)^(1/r) next to the MEASURED verification cost on this
+    corpus — bucket count and Σ C(bucket, 2) candidate checks. This is
+    the table a dedup pipeline reads to pick banding before committing a
+    100 TB pass: more bands → lower threshold (catches fuzzier dups) but
+    more candidate pairs to verify.
+
+    Scale: signatures are computed once (the corpus-sized map work) and
+    localCheckpointed; all four bandings explode from that compact
+    relation (8 ints/doc) in ONE pass (15 (config, band, key) rows per
+    doc), then a uniform-key count and a 4-row reduction. No self-joins —
+    the cost metric needs bucket sizes, not materialized pairs.
+    Thresholds are python literals on both sides (no cross-engine pow)."""
+    from world_cup_duckdb_spark.operators.dedup import (
+        minhash_signatures,
+        with_recrawl,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    sigs = minhash_signatures(with_recrawl(d), num_hashes=8).localCheckpoint(
+        eager=True
+    )
+    entries = []
+    for b, r in _BAND_CONFIGS:
+        for i in range(b):
+            key = F.concat(*[F.col(f"sig{i * r + j}") for j in range(r)])
+            entries.append(
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(i).alias("band"),
+                    key.alias("band_key"),
+                )
+            )
+    exploded = sigs.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.bands", "e.band", "e.band_key"
+    )
+    counts = (
+        exploded.groupBy("bands", "band", "band_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    stats = counts.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.expr("(cnt * (cnt - 1)) div 2"))
+        .cast("long")
+        .alias("candidate_checks"),
+    )
+    cfg = spark.createDataFrame(
+        [
+            (b, r, round((1.0 / b) ** (1.0 / r), 6))
+            for b, r in _BAND_CONFIGS
+        ],
+        "bands int, rows_per_band int, threshold double",
+    )
+    return (
+        F.broadcast(cfg)
+        .join(stats, "bands", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            "threshold",
+            F.coalesce("n_buckets", F.lit(0)).cast("long").alias("n_buckets"),
+            F.coalesce("candidate_checks", F.lit(0))
+            .cast("long")
+            .alias("candidate_checks"),
+        )
+        .orderBy("bands")
+    )
