@@ -61,6 +61,12 @@ DEFAULT_QUERIES = [
     "ext_merge_upsert_fact",
     "ext_ivm_join",
     "ext_stream_tumbling",
+    # Round-5 additions: the staged text pipeline and the tokenizer
+    # trainer (vocab-sized iterations over a corpus-sized build), plus
+    # the banding planner (one pass over the signature relation).
+    "ext_quality_filter_pipeline",
+    "ext_bpe_merges",
+    "ext_lsh_band_plan",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica

@@ -370,25 +370,36 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is the 100 TB answer to top-frequency queries over
     unbounded cardinality — pass 1 is map-only with O(k) state per
-    partition and emits ≤ k·partitions candidate rows; pass 2 semi-joins
-    the corpus against the broadcast candidate set, so no shuffle ever
-    carries the full term cardinality (a plain groupBy would). The oracle
-    is the naive full GROUP BY ... HAVING, so the hash match proves the
-    pruning lossless. Determinism: integer counts, one exact divide for
-    the share."""
+    partition and emits ≤ k·partitions candidate rows; pass 2 makes ONE
+    further corpus pass: non-candidate terms collapse into a single null
+    group (split() never emits null, so null is a safe sentinel), which
+    yields both the exact candidate counts AND the corpus total from one
+    aggregation — no shuffle ever carries the full term cardinality (a
+    plain groupBy would, and a separate COUNT(*) pass would scan the
+    corpus a third time). The oracle is the naive full
+    GROUP BY ... HAVING, so the hash match proves the pruning lossless.
+    Determinism: integer counts, one exact divide for the share."""
     d = load_tables(spark, sf_dir)["documents"]
     terms = d.select(
         F.explode(F.split("text", " ")).alias("term")
     )
     cand = misra_gries_candidates(terms, "term", _MG_K).distinct()
-    counted = (
-        terms.join(F.broadcast(cand), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
+    marked = terms.join(
+        F.broadcast(cand.withColumn("_cand", F.lit(True))), "term", "left"
     )
-    tot = terms.agg(F.count(F.lit(1)).alias("tot"))
+    groups = (
+        marked.groupBy(
+            F.when(F.col("_cand"), F.col("term")).alias("term")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        # Tiny (≤ candidates + 1 rows) but its subplan is corpus-sized:
+        # persist so the total and the final filter both read the cache.
+        .persist()
+    )
+    tot = groups.agg(F.sum("n").alias("tot"))
     return (
-        counted.crossJoin(F.broadcast(tot))
+        groups.filter(F.col("term").isNotNull())
+        .crossJoin(F.broadcast(tot))
         .filter(F.col("n") * _MG_K > F.col("tot"))
         .select(
             "term",

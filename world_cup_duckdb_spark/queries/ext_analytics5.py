@@ -68,25 +68,36 @@ def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational plan; the ranking companion to `ext_phrase_search` and
     the lexical sibling of `ext_ann_bruteforce`.
 
-    Scale: the query terms filter the token stream BEFORE any join, so
-    tf/df state is bounded by |matching postings|, not corpus size;
-    document lengths and corpus totals are partial-combinable counts, and
-    the scalar corpus stats broadcast. Determinism: tf/df/dl/N are exact
-    integers; idf's ln and the tf-saturation factor are each quantized to
+    Scale: ONE corpus pass — per-document length and the per-query-term
+    frequencies fuse into a single hash aggregation (count_if per term),
+    persisted so the corpus stats, document-frequency, and scoring
+    consumers all read the cached per-doc relation (3 ints/doc) instead
+    of re-running the explode (the unfused tf/dl/join-back form executed
+    the corpus explode 4×). Determinism: tf/df/dl/N are exact integers;
+    idf's ln and the tf-saturation factor are each quantized to
     DECIMAL(20,12), so every contribution — and the tiny per-doc sum — is
     accumulation-order exact; the final score rounds to 9 with a doc_id
     tie-break on the top-20."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
+    perdoc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.count_if(F.col("term") == q).alias(f"tf{i}")
+                for i, q in enumerate(_Q)
+            ],
+        )
+        .persist()
+    )
+    corpus = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
-    tf = (
-        toks.filter(F.col("term").isin(*_Q))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    stack_args = ", ".join(f"'{q}', tf{i}" for i, q in enumerate(_Q))
+    tf = perdoc.selectExpr(
+        "doc_id", "dl", f"stack({len(_Q)}, {stack_args}) AS (term, tf)"
+    ).filter(F.col("tf") > 0)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
     idf = F.log(
@@ -100,14 +111,14 @@ def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _K1 * (1 - _B + _B * F.col("dl") / avgdl)
         )
     ).cast("decimal(20,12)")
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .select("doc_id", (idf * sat).cast("decimal(26,15)").alias("contrib"))
-    )
     return (
-        scored.join(dl, "doc_id")
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "dl",
+            (idf * sat).cast("decimal(26,15)").alias("contrib"),
+        )
         .groupBy("doc_id")
         .agg(
             F.round(F.sum("contrib").cast("double"), 9).alias("score"),

@@ -448,20 +448,36 @@ def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     length/stopword family (Rae et al. 2021 'Scaling Language Models'
     repetition rules, re-expressed relationally).
 
-    Scale: TTR is map-side array arithmetic (no shuffle). The two
-    frequency profiles shuffle (doc_id, gram) pairs with map-side
-    partial counts, then reduce to one row per doc_id; content-derived
-    keys are uniform, so no skew. The three doc_id-keyed sides then join
-    on an identically-distributed key — AQE plans these as local joins
-    after the first exchange. No Python, all codegen."""
+    Scale: TWO corpus passes, not three — the type-token ratio and the
+    top-token fraction both derive from the token-frequency profile
+    (n_tokens = Σn, distinct = COUNT(*), max_n = MAX(n)), so the wide
+    token-array projection never joins back and the corpus is scanned
+    once for tokens and once for trigrams. The two frequency profiles
+    shuffle (doc_id, gram) pairs with map-side partial counts, then
+    reduce to one row per doc_id; content-derived keys are uniform, so
+    no skew. The two doc_id-keyed sides then join on an identically-
+    distributed key — AQE plans these as local joins after the first
+    exchange. No Python, all codegen."""
     d = load_tables(spark, sf_dir)["documents"]
     base = d.select("doc_id", F.split("text", " ").alias("l"))
+    # Explode the split EXPRESSION here, not the staged `l` attribute:
+    # exploding an attribute lets InferFiltersFromGenerate add a
+    # size(l) > 0 prefilter that predicate pushdown re-expands to
+    # size(split(text)) > 0 at the scan — two extra split evaluations
+    # per corpus row. With the expression inline the rule skips it and
+    # the Generate's staging project evaluates split exactly once.
     tok_counts = (
-        base.select("doc_id", F.explode("l").alias("tok"))
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    top = tok_counts.groupBy("doc_id").agg(F.max("n").alias("max_n"))
+    top = tok_counts.groupBy("doc_id").agg(
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
     trigrams = base.select(
         "doc_id",
         F.explode(
@@ -480,13 +496,12 @@ def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").cast("double")
         ).alias("dup_trigram_frac")
     )
-    n_tokens = F.size("l")
-    ttr = F.size(F.array_distinct("l")) / n_tokens.cast("double")
+    n_tokens = F.col("n_toks")
+    ttr = F.col("n_distinct") / n_tokens.cast("double")
     top_frac = F.col("max_n") / n_tokens.cast("double")
     dup_frac = F.coalesce("dup_trigram_frac", F.lit(0.0))
     return (
-        base.join(top, "doc_id")
-        .join(tri_frac, "doc_id", "left")
+        top.join(tri_frac, "doc_id", "left")
         .select(
             "doc_id",
             n_tokens.cast("int").alias("n_tokens"),
@@ -589,9 +604,12 @@ def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters (ext_quality_score) and a real LM; the same two-pass shape
     trains on one corpus and scores another.
 
-    Scale: pass 1 reduces exploded tokens to (doc, token) tf partials,
-    then to a vocabulary-sized count table; pass 2 broadcasts the
-    vocabulary back over tf — the fact-sized data shuffles once.
+    Scale: pass 1 reduces exploded tokens to (doc, token) tf partials —
+    persisted, because it is the train-then-score materialization every
+    consumer reads (vocabulary counts, the corpus total, and the scoring
+    join; unpersisted, the corpus explode re-executed 3×) — then to a
+    vocabulary-sized count table; pass 2 broadcasts the vocabulary back
+    over tf — the fact-sized data shuffles once.
     Determinism: each log term is quantized to DECIMAL(20,12) BEFORE
     the tf-weighted sum (widths chosen so the product stays inside
     38-digit precision — Spark silently drops scale past it), making the
@@ -601,9 +619,15 @@ def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     ct = tf.groupBy("token").agg(F.sum("tf").alias("c"))
-    tot = ct.agg(F.sum("c").cast("double").alias("t"))
+    # Same exact integer total as summing ct; reads the cached tf instead
+    # of re-running the vocabulary aggregation.
+    tot = tf.agg(F.sum("tf").cast("double").alias("t"))
     scored = (
         tf.join(F.broadcast(ct), "token")
         .crossJoin(F.broadcast(tot))
