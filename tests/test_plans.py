@@ -609,3 +609,28 @@ def test_text_queries_split_text_exactly_once(spark, sf_dir, name):
     df = REGISTRY[name].fn(spark, sf_dir)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("split(") == 1, optimized
+
+
+def test_repetition_two_corpus_passes_no_inferred_split_filter(spark, sf_dir):
+    """Token and trigram profiles are the ONLY two corpus scans (per-doc
+    stats derive from the token profile), and no InferFiltersFromGenerate
+    artifact re-evaluates split(text) inside a pushed scan filter."""
+    df = REGISTRY["ext_repetition"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Generate explode") == 2, opt
+    assert "size(split" not in opt, opt
+
+
+@pytest.mark.parametrize(
+    "name,n_cache_reads",
+    [("ext_bm25", 3), ("ext_lm_score", 3), ("ext_heavy_hitters", 2)],
+)
+def test_text_aggregates_reuse_persisted_relation(
+    spark, sf_dir, name, n_cache_reads
+):
+    """The corpus-sized explode executes once; every other consumer reads
+    the persisted relation (perdoc stats / tf / candidate groups) — the
+    one-corpus-pass contract that holds the query linear at 100 TB."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("InMemoryTableScan") == n_cache_reads, phys
