@@ -730,3 +730,141 @@ def ext_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+def _best_copy_oracle() -> str:
+    from world_cup_duckdb_spark.operators.text import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+      FROM tok
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed,
+             md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS seed) s
+    ),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(substr(h, 1, 8)) AS m0, MIN(substr(h, 9, 8)) AS m1,
+             MIN(substr(h, 17, 8)) AS m2, MIN(substr(h, 25, 8)) AS m3
+      FROM seeded GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed * 2 AS INT) AS band, m0 || m1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, CAST(seed * 2 + 1 AS INT) AS band, m2 || m3 FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT doc_id,
+             least(1.0, n_tokens / 200.0) * 0.5
+               + least(1.0, (n_stop / CAST(n_tokens AS DOUBLE)) * 8.0) * 0.5
+               AS q
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ({en}))) AS INT) AS n_stop
+        FROM corpus
+      )
+    ),
+    members AS (
+      SELECT c.doc_id, COALESCE(r.cluster_id, c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN comp r ON c.doc_id = r.doc_id
+    ),
+    sel AS (
+      SELECT m.cluster_id, m.doc_id, s.q,
+             ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                ORDER BY s.q DESC, m.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members
+      FROM members m JOIN scored s ON m.doc_id = s.doc_id
+    )
+    SELECT cluster_id,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           q AS best_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM sel WHERE rn = 1
+    """
+
+
+@register("ext_cluster_best_copy", oracle=_best_copy_oracle())
+def ext_cluster_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: for every near-dup cluster
+    (LSH star edges → connected components; singletons are their own
+    cluster) keep the member with the HIGHEST quality score, ties to the
+    lowest doc_id — what a production corpus dedup actually does (keep
+    the best copy, not the lowest id; Penedo et al. FineWeb keep-policy).
+
+    Scale: cluster labels and quality scores are both doc_id-keyed
+    relations; the selection is a plain aggregate — max over a (quality,
+    -doc_id) struct gives the argmax with the tie-break, so no window
+    shuffle over member lists and giant boilerplate clusters reduce via
+    map-side partial max. The oracle selects with a ROW_NUMBER window —
+    different algorithm, equal rows, proving the struct-max argmax.
+    Quality doubles are the identical formula on identical ints on both
+    engines, so ordering is bit-stable."""
+    from world_cup_duckdb_spark.operators.dedup import (
+        connected_components,
+        lsh_star_edges,
+        minhash_bands,
+        with_recrawl,
+    )
+    from world_cup_duckdb_spark.operators.text import stage_token_counts
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    corpus = with_recrawl(d)
+    bands = minhash_bands(
+        corpus, num_hashes=8, band_size=2
+    ).localCheckpoint(eager=True)
+    clusters = connected_components(lsh_star_edges(bands))
+    counted = stage_token_counts(corpus, keep=("doc_id",), langs=("en",))
+    stop_ratio = F.col("en_n") / F.col("n_tokens").cast("double")
+    quality = (
+        F.least(F.lit(1.0), F.col("n_tokens") / F.lit(200.0)) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 8.0) * 0.5
+    )
+    scored = counted.select("doc_id", quality.alias("q"))
+    members = (
+        corpus.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+        .join(scored, "doc_id")
+    )
+    best = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(
+            F.struct(F.col("q"), (-F.col("doc_id")).alias("neg"))
+        ).alias("m"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("m.neg")).cast("long").alias("kept_doc_id"),
+        F.col("m.q").alias("best_quality"),
+        "n_members",
+    )
