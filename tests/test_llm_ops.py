@@ -94,3 +94,55 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     # 'ab' appears in both words: 3 + 2; 'bc' only in 'abc'; single-symbol
     # words contribute nothing.
     assert counts == {("a", "b"): 5, ("b", "c"): 2}
+
+
+def test_band_plan_candidate_cost_is_monotone_in_bands(spark, sf_dir):
+    """Every (b, r) banding refines the keys of the next-finer config's
+    bands, so verification cost must be monotone: more bands (shorter
+    keys) never costs less. threshold moves the opposite way."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = {
+        r.bands: r
+        for r in REGISTRY["ext_lsh_band_plan"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    assert (
+        rows[8].candidate_checks
+        >= rows[4].candidate_checks
+        >= rows[2].candidate_checks
+        >= rows[1].candidate_checks
+    )
+    assert rows[8].threshold < rows[4].threshold < rows[2].threshold
+    assert rows[1].threshold == 1.0
+
+
+def test_bpe_encode_compression_bounds(spark, sf_dir):
+    """Merges only ever shorten representations: symbols_after is
+    bounded by the character count, and at least one merge must have
+    fired corpus-wide (the top pair always has frequency >= 1)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = REGISTRY["ext_bpe_encode"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(0 < r.symbols_after <= r.symbols_before for r in rows)
+    assert all(0.0 < r.compression <= 1.0 for r in rows)
+    assert sum(r.symbols_after for r in rows) < sum(
+        r.symbols_before for r in rows
+    )
+
+
+def test_cluster_best_copy_covers_corpus_and_beats_members(spark, sf_dir):
+    """Every cluster keeps exactly one member; n_members sums to the
+    corpus size (singletons included); the recrawl twin corpus means
+    every original doc shares a cluster with its copy, so at least half
+    the clusters have >= 2 members."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.sources.catalog import load_tables
+
+    out = REGISTRY["ext_cluster_best_copy"].fn(spark, sf_dir)
+    rows = out.collect()
+    n_corpus = 2 * load_tables(spark, sf_dir)["documents"].count()
+    assert sum(r.n_members for r in rows) == n_corpus
+    assert len({r.cluster_id for r in rows}) == len(rows)
+    assert sum(1 for r in rows if r.n_members >= 2) >= len(rows) // 2
