@@ -134,13 +134,18 @@ DRIVER_VERIFIED: frozenset[str] = _VERIFIED_FLOOR | _green_correctness_rows()
 def _ordered_names() -> list[str]:
     """Driver-facing key order. The round driver evaluates queries in dict
     order and stops after a fixed budget (~50 keys per round), so the order
-    IS the coverage policy. Round-4 policy: lead with the three keys that
-    were sampled but never green (the two array-output canonicalizer
-    crashes and the decimal-bridge hash miss — all three reshaped this
-    round), then the round-3 additions that have never been sampled, then
-    the full sql_* SQL surface (the reference's stated purpose and the
-    largest block with no driver evidence), then the lakehouse fact paths,
-    sketches, and graph set; everything already driver-green goes last."""
+    IS the coverage policy. Policy (set round 4, still operative in round 5
+    because no new driver correctness file has landed since r3): lead with
+    the three keys that were sampled but never green (the two array-output
+    canonicalizer crashes and the decimal-bridge hash miss — all three
+    reshaped in r4), then the round-3 additions that have never been
+    sampled, then the full sql_* SQL surface (the reference's stated
+    purpose and the largest block with no driver evidence), then the
+    lakehouse fact paths, sketches, and graph set; everything already
+    driver-green goes last. Round-5 additions (BPE, band planner, cluster
+    best-copy, PQ, SemDeDup) queue automatically in the
+    never-driver-verified middle tier until a future window reaches them;
+    all have SIM_r05 green rows."""
     round4_head = [
         # Sampled in r1/r3 but never green — fixed this round, must re-run.
         "ext_ivm_join", "ext_feature_hash", "ext_mm_features",
