@@ -146,3 +146,39 @@ def test_cluster_best_copy_covers_corpus_and_beats_members(spark, sf_dir):
     assert sum(r.n_members for r in rows) == n_corpus
     assert len({r.cluster_id for r in rows}) == len(rows)
     assert sum(1 for r in rows if r.n_members >= 2) >= len(rows) // 2
+
+
+def test_bpe_learns_merges_of_already_merged_symbols(spark):
+    """Iteration 2+ must merge multi-char symbols: with every word 'abab',
+    merge 1 is (a,b) -> 'ab', and merge 2 must be ('ab','ab') — the
+    wrapped-representation replace has to match multi-char symbols
+    exactly, not substrings ('|ab||ab|' != any 1-char boundary)."""
+    from world_cup_duckdb_spark.operators.text import bpe_initial_repr
+    from world_cup_duckdb_spark.queries.ext_bpe import _learn_merges
+
+    words = spark.createDataFrame(
+        [("abab", 3), ("cd", 1)], ["word", "freq"]
+    ).select("word", "freq", bpe_initial_repr("word").alias("repr"))
+    merges, after = _learn_merges(words, 2)
+    assert [(m[1], m[2], m[3]) for m in merges] == [
+        ("a", "b", "ab"),
+        ("ab", "ab", "abab"),
+    ]
+    # pair freq of (a,b) = 2 per word * 3 words; ('ab','ab') = 1 * 3
+    assert [m[4] for m in merges] == [6, 3]
+    reprs = {r.word: r.repr for r in after.collect()}
+    assert reprs["abab"] == "|abab|"
+    assert reprs["cd"] == "|c||d|"
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    """Equal-frequency pairs resolve (lhs, rhs) ascending — 'xy' and 'ab'
+    both appear once; 'ab' must win."""
+    from world_cup_duckdb_spark.operators.text import bpe_initial_repr
+    from world_cup_duckdb_spark.queries.ext_bpe import _learn_merges
+
+    words = spark.createDataFrame(
+        [("xy", 1), ("ab", 1)], ["word", "freq"]
+    ).select("word", "freq", bpe_initial_repr("word").alias("repr"))
+    merges, _ = _learn_merges(words, 1)
+    assert (merges[0][1], merges[0][2]) == ("a", "b")
