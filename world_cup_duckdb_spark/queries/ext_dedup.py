@@ -443,9 +443,9 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ibands = minhash_bands(idx, num_hashes=8, band_size=2).select(
         F.col("doc_id").alias("_idx_doc"), "band", "band_key"
     ).localCheckpoint(eager=True)
-    nbands = minhash_bands(new, num_hashes=8, band_size=2).localCheckpoint(
-        eager=True
-    )
+    # nbands has exactly one consumer (the index join) — no cut needed;
+    # hashing the batch is the per-batch cost and runs once either way.
+    nbands = minhash_bands(new, num_hashes=8, band_size=2)
     m = (
         nbands.join(ibands, ["band", "band_key"])
         .groupBy("doc_id")
@@ -551,12 +551,12 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     corpus = with_recrawl(d)
-    sigs = minhash_signatures(corpus, num_hashes=8).localCheckpoint(eager=True)
+    sigs = minhash_signatures(corpus, num_hashes=8).persist()
     pairs = lsh_candidate_pairs(bands_from_signatures(sigs, num_hashes=8, band_size=2))
     shs = corpus.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens("text"), 3)).alias("sh"),
-    ).localCheckpoint(eager=True)
+    ).persist()
 
     agree = sum(
         F.when(F.col(f"a_sig{i}") == F.col(f"b_sig{i}"), 1).otherwise(0)
@@ -684,9 +684,8 @@ def ext_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    sigs = minhash_signatures(with_recrawl(d), num_hashes=8).localCheckpoint(
-        eager=True
-    )
+    # One consumer (the multi-config explode) — no cut needed.
+    sigs = minhash_signatures(with_recrawl(d), num_hashes=8)
     entries = []
     for b, r in _BAND_CONFIGS:
         for i in range(b):
