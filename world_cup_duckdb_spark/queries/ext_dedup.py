@@ -672,10 +672,11 @@ def ext_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB pass: more bands → lower threshold (catches fuzzier dups) but
     more candidate pairs to verify.
 
-    Scale: signatures are computed once (the corpus-sized map work) and
-    localCheckpointed; all four bandings explode from that compact
-    relation (8 ints/doc) in ONE pass (15 (config, band, key) rows per
-    doc), then a uniform-key count and a 4-row reduction. No self-joins —
+    Scale: signatures are computed once (the corpus-sized map work) —
+    the single explode consumer means no lineage cut is needed; all four
+    bandings explode from that compact relation (8 ints/doc) in ONE pass
+    (15 (config, band, key) rows per doc), then a uniform-key count and
+    a 4-row reduction. No self-joins —
     the cost metric needs bucket sizes, not materialized pairs.
     Thresholds are python literals on both sides (no cross-engine pow)."""
     from world_cup_duckdb_spark.operators.dedup import (
