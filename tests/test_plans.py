@@ -14,6 +14,17 @@ import pytest
 from world_cup_duckdb_spark.queries import REGISTRY
 
 
+@pytest.fixture(autouse=True)
+def _cold_plans(spark):
+    """Pin plan shapes against the COLD plan. Queries that persist()
+    shared relations (LSH bands, bm25 per-doc stats, lm_score tf) leave
+    session-cache entries that substitute InMemoryRelation into any later
+    query with a semantically identical subplan — same rows, different
+    plan text, so pinned shapes become suite-order-dependent without
+    this."""
+    spark.catalog.clearCache()
+
+
 def plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -562,14 +573,14 @@ def test_hdr_sketch_aggregates_map_side_before_exchange(spark, sf_dir):
 
 
 def test_minhash_accuracy_reuses_one_signature_stage(spark, sf_dir):
-    """The calibration query's cost claim: signatures are checkpointed
-    once and every consumer (bands, pairs, agreement) reads the
-    checkpoint — the md5-over-shingles stage must appear ZERO times in
-    the final plan (it ran eagerly at build), so no shingle hashing is
-    re-planned per join side."""
-    p = plan(REGISTRY["ext_minhash_accuracy"].fn(spark, sf_dir))
-    assert "md5" not in p, p
-    assert "ExistingRDD" in p or "Scan ExistingRDD" in p, p
+    """The calibration query's cost claim: signatures and shingle sets
+    are persisted once and every consumer (both band self-join sides,
+    both signature join sides, both shingle join sides) reads the cache
+    — six InMemoryTableScans, so no shingle md5 hashing is re-planned
+    per join side."""
+    df = REGISTRY["ext_minhash_accuracy"].fn(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("InMemoryTableScan") == 6, phys
 
 
 def test_tfidf_is_one_linear_pipeline(spark, sf_dir):
