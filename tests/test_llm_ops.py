@@ -182,3 +182,22 @@ def test_bpe_tie_break_is_lexicographic(spark):
     ).select("word", "freq", bpe_initial_repr("word").alias("repr"))
     merges, _ = _learn_merges(words, 1)
     assert (merges[0][1], merges[0][2]) == ("a", "b")
+
+
+def test_split_leakage_cluster_mode_is_leak_free(spark, sf_dir):
+    """Splitting on the cluster label is leak-free BY CONSTRUCTION
+    (n_leaky = 0); the naive per-doc hash split must leak on the
+    recrawl corpus (copies of one doc hash to different splits)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = {
+        r.mode: r
+        for r in REGISTRY["ext_split_leakage"].fn(spark, sf_dir).collect()
+    }
+    assert rows["by_cluster"].n_leaky == 0
+    assert rows["by_cluster"].leak_rate == 0.0
+    assert rows["by_doc_id"].n_leaky > 0
+    assert (
+        rows["by_doc_id"].n_clusters_multi
+        == rows["by_cluster"].n_clusters_multi
+    )

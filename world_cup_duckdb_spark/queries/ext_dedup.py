@@ -869,3 +869,156 @@ def ext_cluster_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.q").alias("best_quality"),
         "n_members",
     )
+
+
+_CLUSTER_CTES = f"""corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+      FROM tok
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed,
+             md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS seed) s
+    ),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(substr(h, 1, 8)) AS m0, MIN(substr(h, 9, 8)) AS m1,
+             MIN(substr(h, 17, 8)) AS m2, MIN(substr(h, 25, 8)) AS m3
+      FROM seeded GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed * 2 AS INT) AS band, m0 || m1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, CAST(seed * 2 + 1 AS INT) AS band, m2 || m3 FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    members AS (
+      SELECT c.doc_id, COALESCE(r.cluster_id, c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN comp r ON c.doc_id = r.doc_id
+    )"""
+
+
+def _split_sql(key: str) -> str:
+    """Portable 10-bucket split of md5('0:' || key): two leading hex
+    nibbles mod 10, then 8/1/1 train/val/test."""
+    h = f"md5('0:' || CAST({key} AS VARCHAR))"
+    nib1 = f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+    nib2 = f"(strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    b = f"(({nib1} * 16 + {nib2}) % 10)"
+    return (
+        f"CASE WHEN {b} < 8 THEN 'train' WHEN {b} = 8 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def _split_leakage_oracle() -> str:
+    def mode_sql(mode: str, key: str) -> str:
+        return f"""
+      SELECT '{mode}' AS mode,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters_multi,
+             CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaky,
+             CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS leak_rate
+      FROM (
+        SELECT cluster_id, COUNT(*) AS n,
+               COUNT(DISTINCT {_split_sql(key)}) AS n_splits
+        FROM members GROUP BY cluster_id
+      ) WHERE n >= 2"""
+
+    return f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT * FROM ({mode_sql("by_doc_id", "doc_id")}
+      UNION ALL
+      {mode_sql("by_cluster", "cluster_id")}
+    ) ORDER BY mode
+    """
+
+
+@register("ext_split_leakage", oracle=_split_leakage_oracle())
+def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split leakage audit: a naive per-document hash
+    split ('by_doc_id') scatters members of the same near-dup cluster
+    across splits — the eval-contamination mistake — while splitting on
+    the cluster label ('by_cluster') is leak-free BY CONSTRUCTION, and
+    this query proves both, reporting leaky-cluster counts and rates for
+    each mode over the recrawl-heavy corpus.
+
+    Scale: cluster labels are computed once (persisted members relation);
+    each mode is a map-side split assignment plus one cluster-keyed
+    count-distinct aggregation — uniform keys, two small reductions, no
+    joins beyond the label computation. The split hash is the portable
+    md5-nibble bucket (functions/strings.py:md5_bucket rationale), so
+    both engines assign identical splits."""
+    from world_cup_duckdb_spark.functions.strings import hex_nibble, md5_bucket
+    from world_cup_duckdb_spark.operators.dedup import (
+        connected_components,
+        lsh_star_edges,
+        minhash_bands,
+        with_recrawl,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    corpus = with_recrawl(d)
+    bands = minhash_bands(corpus, num_hashes=8, band_size=2).persist()
+    clusters = connected_components(lsh_star_edges(bands))
+    members = (
+        corpus.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+        .persist()
+    )
+
+    def split_of(key: str):
+        h = md5_bucket(F.col(key))
+        b = (hex_nibble(h, 1) * 16 + hex_nibble(h, 2)) % 10
+        return (
+            F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+        )
+
+    def mode_stats(mode: str, key: str) -> DataFrame:
+        per_cluster = (
+            members.select("cluster_id", split_of(key).alias("split"))
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("split").alias("n_splits"),
+            )
+            .filter(F.col("n") >= 2)
+        )
+        leaky = F.sum(
+            F.when(F.col("n_splits") > 1, 1).otherwise(0)
+        )
+        return per_cluster.agg(
+            F.lit(mode).alias("mode"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters_multi"),
+            leaky.cast("long").alias("n_leaky"),
+            (leaky.cast("double") / F.count(F.lit(1))).alias("leak_rate"),
+        )
+
+    return mode_stats("by_doc_id", "doc_id").unionByName(
+        mode_stats("by_cluster", "cluster_id")
+    )
