@@ -42,3 +42,33 @@ def test_stateful_query_is_reinvocation_stable(name, spark, sf_dir):
     fresh = _rows_to_canon(*spark_result(REGISTRY[name].fn(spark, sf_dir)))
     assert first == recollect, f"{name}: same DataFrame re-collect differs"
     assert first == fresh, f"{name}: fresh invocation differs"
+
+
+@pytest.mark.parametrize(
+    "s",
+    ["héllo wörld", "日本語 テスト", "emoji 🙂 test", "mixé", "a b"],
+)
+def test_text_primitives_are_unicode_portable(spark, s):
+    """The portability claims (md5 bucketing, whitespace/char splitting,
+    BPE wrapping) must hold beyond the ASCII fixtures: Spark splits on
+    code points (not UTF-16 surrogates — the emoji case) and hashes the
+    UTF-8 bytes, exactly like DuckDB."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.split(F.lit(s), " ").alias("t"),
+            F.split(F.lit(s), "").alias("c"),
+            F.md5(F.lit(s)).alias("h"),
+        )
+        .first()
+    )
+    con = duckdb.connect()
+    du = con.execute(
+        "SELECT string_split(?, ' '), string_split(?, ''), md5(?)",
+        [s, s, s],
+    ).fetchone()
+    assert row.t == du[0] and row.c == du[1] and row.h == du[2]
