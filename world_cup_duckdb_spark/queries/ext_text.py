@@ -833,3 +833,98 @@ def ext_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bad_host").isNotNull().alias("blocked"),
         F.col("bad_host").isNull().alias("keep"),
     )
+
+
+@register(
+    "ext_source_similarity",
+    oracle="""
+    WITH tc AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT source, CAST(SUM(n * n) AS BIGINT) AS n2 FROM tc GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_tokens
+      FROM tc a JOIN tc b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_shared_tokens,
+           p.dot / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+             AS cosine
+    FROM pairs p
+    JOIN norms x ON x.source = p.source_a
+    JOIN norms y ON y.source = p.source_b
+    """,
+)
+def ext_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix analysis: pairwise unigram cosine similarity between
+    sources — the domain-similarity matrix a pretraining mixing strategy
+    reads before setting corpus weights (near-identical sources are
+    redundant; distant ones add coverage).
+
+    Scale: ONE corpus pass reduces to the (source, token) count relation
+    (vocabulary × |sources| rows, persisted); the token self-join fans
+    out at most |sources|² rows per token — bounded by the handful of
+    sources regardless of corpus size — and every statistic is an exact
+    integer until the final IEEE division/sqrt, so the matrix is
+    bit-identical cross-engine with no rounding."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    norms = tc.groupBy("source").agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("n2")
+    )
+    a = tc.select(
+        F.col("source").alias("source_a"),
+        "token",
+        F.col("n").alias("na"),
+    )
+    b = tc.select(
+        F.col("source").alias("source_b"),
+        "token",
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_tokens"),
+        )
+    )
+    nx = norms.select(
+        F.col("source").alias("source_a"), F.col("n2").alias("x2")
+    )
+    ny = norms.select(
+        F.col("source").alias("source_b"), F.col("n2").alias("y2")
+    )
+    return (
+        pairs.join(F.broadcast(nx), "source_a")
+        .join(F.broadcast(ny), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_tokens",
+            (
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("x2").cast("double"))
+                    * F.sqrt(F.col("y2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
