@@ -67,6 +67,11 @@ DEFAULT_QUERIES = [
     "ext_quality_filter_pipeline",
     "ext_bpe_merges",
     "ext_lsh_band_plan",
+    # Late round-5 additions: cluster policy ops (components + aggregate
+    # selection) and the corpus-mix similarity matrix.
+    "ext_cluster_best_copy",
+    "ext_split_leakage",
+    "ext_source_similarity",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica
