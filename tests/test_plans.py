@@ -645,3 +645,39 @@ def test_text_aggregates_reuse_persisted_relation(
     df = REGISTRY[name].fn(spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert phys.count("InMemoryTableScan") == n_cache_reads, phys
+
+
+def test_temperature_mix_corpus_side_is_map_only(spark, sf_dir):
+    """ext_temperature_mix: the corpus-sized side must stay map-only —
+    the multiplier relation (O(#sources) rows) joins by BROADCAST, and
+    every hash Exchange in the plan belongs to the tiny stats sub-plan
+    (keyed on `source`), never on doc-level data. The stats pass must
+    also prune to the one column it needs."""
+    df = REGISTRY["ext_temperature_mix"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    # No doc-level exchange: every hashpartitioning is on `source`
+    # (the 20-row stats agg), and there's no exchange keyed on doc_id.
+    assert "hashpartitioning(doc_id" not in p
+    # Column pruning: the stats pass's documents scan reads ONLY the
+    # two columns the weights need (never `text`, the wide column).
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in p
+
+
+def test_epoch_shuffle_is_one_exchange_local_sort(spark, sf_dir):
+    """ext_epoch_shuffle: the whole point is replacing a global
+    range-sort with shard-local sorts — exactly ONE shuffle Exchange
+    (hash on epoch+shard), a LOCAL (non-global) Sort feeding the
+    row_number window, and no RangePartitioning / global Sort
+    anywhere."""
+    df = REGISTRY["ext_epoch_shuffle"].fn(spark, sf_dir)
+    p = plan(df)
+    assert p.count("hashpartitioning(") == 1
+    assert "rangepartitioning" not in p
+    # The Sort's second argument is `false` -> shard-local, not global.
+    import re
+
+    sorts = re.findall(r"\(5\) Sort\n.*\nArguments: \[.*\], (\w+),", p)
+    assert sorts == ["false"]
+    # The expanded corpus scan prunes to doc_id only.
+    assert "ReadSchema: struct<doc_id:bigint>" in p

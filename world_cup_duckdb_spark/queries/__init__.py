@@ -238,6 +238,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_text,
     ext_training,
     ext_training2,
+    ext_training3,
     joins,
     lifecycle,
     reshape,

@@ -1,0 +1,195 @@
+"""Training-data preparation extensions, part 3: temperature-based
+mixture sampling and deterministic epoch shuffling — the two transforms
+between "weighted corpus" and "the byte stream the trainer actually
+reads" in an LLM data pipeline.
+
+Reference scope: beyond the reference surface (its corpus is relational);
+these extend the engine the way ext_training/ext_training2 do, over the
+same `documents` fixture. Both are pure DataFrame compositions (no Python
+in the row path) and carry full DuckDB value-hash oracles.
+
+Bit-portability: every cross-engine double here is built only from
+correctly-rounded IEEE-754 ops (integer->double cast, one division, one
+sqrt, one multiply, floor) — no cross-row summation whose accumulation
+order could differ between engines — so the hashed outputs are
+bit-identical by construction, not by tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import table
+
+#: 2^32 — the md5-prefix coin space (first 8 hex digits).
+_COIN_SPACE = 4294967296.0
+
+#: Epochs materialized by the shuffle plan (trainers consume 1..N).
+_N_EPOCHS = 2
+
+#: Output shards per epoch: one writer task / output file per shard.
+_N_SHARDS = 8
+
+
+@register(
+    "ext_temperature_mix",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, SUM(n_chars) AS c FROM documents GROUP BY source
+    ),
+    mult AS (
+      SELECT source,
+             sqrt(CAST((SELECT MAX(c) FROM stats) AS DOUBLE)
+                  / CAST(c AS DOUBLE)) AS m
+      FROM stats
+    ),
+    planned AS (
+      SELECT d.source, d.doc_id,
+             CAST(FLOOR(mult.m) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substring(
+                        md5('tmix-' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT)
+                     < CAST(FLOOR((mult.m - FLOOR(mult.m)) * {_COIN_SPACE})
+                            AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN mult USING (source)
+    )
+    SELECT source, doc_id,
+           CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_nr
+    FROM planned WHERE n_copies > 0
+    """,
+)
+def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (alpha = 0.5): upsample every
+    source toward the largest one by m_s = (c_max / c_s)^0.5, where c_s
+    is the source's total CHARACTER budget (LLM mixes are weighed in
+    tokens, not document counts — and the doc-count fixture is perfectly
+    balanced, which would degenerate the op to the identity) — the
+    multinomial temperature-smoothing recipe multilingual/multi-source
+    LLM corpora use to keep rare sources represented without letting the
+    head dominate. Unlike ext_corpus_mix (fixed hand-set weights), the
+    multipliers here are COMPUTED FROM THE CORPUS, so the op needs an
+    aggregate -> broadcast -> per-row realization plan, not just a CASE.
+    The fractional part of m_s is realized per-document by a
+    deterministic md5 coin, so the mix is reproducible across engines,
+    runs, and cluster sizes.
+
+    Scale: source stats are O(#sources) rows from one map-side-combined
+    aggregate; the multiplier relation broadcasts; the corpus side is
+    then map-only (hash coin + explode) with no second shuffle.
+    Membership never depends on partitioning (unlike df.sample).
+    Bit-portability: m_s = sqrt(cast / cast) is two correctly-rounded
+    IEEE ops on exact integers — no cross-row float summation — so the
+    coin threshold floor(frac * 2^32) is bit-identical in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("c"))
+    cmax = stats.agg(F.max("c").alias("cmax"))
+    mult = stats.crossJoin(F.broadcast(cmax)).select(
+        "source",
+        F.sqrt(F.col("cmax").cast("double") / F.col("c").cast("double")).alias(
+            "m"
+        ),
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("tmix-"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    threshold = F.floor(
+        (F.col("m") - F.floor("m")) * F.lit(_COIN_SPACE)
+    ).cast("bigint")
+    planned = d.join(F.broadcast(mult), "source").select(
+        "source",
+        "doc_id",
+        (F.floor("m").cast("bigint") + (coin < threshold).cast("bigint")).alias(
+            "n_copies"
+        ),
+    )
+    return (
+        planned.filter(F.col("n_copies") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies").cast("int"))
+            ).alias("copy_nr"),
+        )
+        .withColumn("copy_nr", F.col("copy_nr").cast("int"))
+    )
+
+
+@register(
+    "ext_epoch_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT d.doc_id, e.epoch,
+             md5(CAST(e.epoch AS VARCHAR) || '-'
+                 || CAST(d.doc_id AS VARCHAR)) AS hx
+      FROM documents d,
+           (SELECT unnest(range(0, {_N_EPOCHS})) AS epoch) e
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(CAST(('0x' || substring(hx, 1, 8)) AS BIGINT)
+                % {_N_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY epoch,
+                          CAST(('0x' || substring(hx, 1, 8)) AS BIGINT)
+                          % {_N_SHARDS}
+             ORDER BY substring(hx, 9, 16), doc_id
+           ) AS BIGINT) AS pos,
+           doc_id
+    FROM h
+    """,
+)
+def ext_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: give every document, for each of
+    {_N_EPOCHS} training epochs, a (shard, position) under an
+    epoch-salted md5 permutation — shard from the hash prefix, position
+    by ranking the hash suffix within the shard. Trainers read shards
+    in any order and stream each shard sequentially; every epoch sees
+    the corpus in a different but fully reproducible order, with no
+    RNG state to checkpoint.
+
+    Scale: this is the pattern that replaces a 100 TB GLOBAL sort
+    (TeraSort-style range partitioning) with {_N_SHARDS} independent
+    shard-local sorts: one hash-partition shuffle on (epoch, shard),
+    then a local order-by inside each shard — no sampling pass, no
+    range boundaries, no skew (md5 prefixes are uniform). Each shard is
+    one writer task / one output file; raising _N_SHARDS to O(cluster
+    cores) keeps every local sort in memory at any corpus size. The
+    tie-break on doc_id makes ranks total even under md5 collisions.
+    """
+    d = table(spark, sf_dir, "documents")
+    epochs = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))).alias("epoch"),
+    )
+    hx = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit("-"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % _N_SHARDS
+    ).cast("int")
+    keyed = epochs.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        shard.alias("shard"),
+        F.substring(hx, 9, 16).alias("hkey"),
+        "doc_id",
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("hkey", "doc_id")
+    return keyed.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )
