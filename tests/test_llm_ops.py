@@ -201,3 +201,96 @@ def test_split_leakage_cluster_mode_is_leak_free(spark, sf_dir):
         rows["by_doc_id"].n_clusters_multi
         == rows["by_cluster"].n_clusters_multi
     )
+
+
+def test_epoch_shuffle_is_a_per_epoch_permutation(spark, sf_dir):
+    """The shuffle must be a PERMUTATION of the corpus per epoch (every
+    doc exactly once), positions within each (epoch, shard) must be
+    contiguous 1..n, and the two epochs must order the corpus
+    DIFFERENTLY (the salt works) while being identical across runs."""
+    from world_cup_duckdb_spark.queries.ext_training3 import (
+        _N_EPOCHS,
+        ext_epoch_shuffle,
+    )
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    out = ext_epoch_shuffle(spark, sf_dir)
+    n_docs = table(spark, sf_dir, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs * _N_EPOCHS
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    for epoch, er in by_epoch.items():
+        # permutation: every doc exactly once per epoch
+        assert len({r["doc_id"] for r in er}) == n_docs
+        # contiguous ranks within each shard
+        shards: dict[int, list] = {}
+        for r in er:
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    # epochs produce different orders (salted hash actually varies)
+    order0 = [
+        r["doc_id"]
+        for r in sorted(by_epoch[0], key=lambda r: (r["shard"], r["pos"]))
+    ]
+    order1 = [
+        r["doc_id"]
+        for r in sorted(by_epoch[1], key=lambda r: (r["shard"], r["pos"]))
+    ]
+    assert order0 != order1
+    # determinism: a second evaluation reproduces the same assignment
+    again = {
+        (r["epoch"], r["doc_id"]): (r["shard"], r["pos"])
+        for r in ext_epoch_shuffle(spark, sf_dir).collect()
+    }
+    assert all(
+        again[(r["epoch"], r["doc_id"])] == (r["shard"], r["pos"])
+        for r in rows
+    )
+
+
+def test_temperature_mix_balances_toward_largest_source(spark, sf_dir):
+    """Defining invariants of alpha=0.5 temperature mixing: every doc
+    keeps at least one copy; per-source realized copies land within 1
+    doc-count of the planned sqrt multiplier; and the mix COMPRESSES
+    imbalance — post-mix char shares are strictly more balanced than
+    pre-mix (max/min share ratio shrinks ~ sqrt) without inverting the
+    source order."""
+    from world_cup_duckdb_spark.queries.ext_training3 import (
+        ext_temperature_mix,
+    )
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    pre = {
+        r["source"]: (r["chars"], r["docs"])
+        for r in d.groupBy("source")
+        .agg(
+            F.sum("n_chars").alias("chars"), F.count(F.lit(1)).alias("docs")
+        )
+        .collect()
+    }
+    out = ext_temperature_mix(spark, sf_dir)
+    copies = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every doc keeps >= 1 copy (m_s >= 1 by construction)
+    kept = out.select("doc_id").distinct().count()
+    assert kept == d.count()
+    cmax = max(c for c, _ in pre.values())
+    for s, (c, n_docs) in pre.items():
+        m = (cmax / c) ** 0.5
+        # realized copies within the coin's +/- n_docs envelope of n*m
+        assert n_docs * int(m) <= copies[s] <= n_docs * (int(m) + 1)
+        assert abs(copies[s] - n_docs * m) <= n_docs
+    # imbalance compresses: expected post-mix char budget per source is
+    # c * m = sqrt(c * cmax), so the max/min ratio should shrink from
+    # (cmax/cmin) toward sqrt(cmax/cmin).
+    post = {s: c * (cmax / c) ** 0.5 for s, (c, _) in pre.items()}
+    pre_ratio = cmax / min(c for c, _ in pre.values())
+    post_ratio = max(post.values()) / min(post.values())
+    assert post_ratio < pre_ratio
+    assert abs(post_ratio - pre_ratio**0.5) < 1e-9
