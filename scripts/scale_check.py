@@ -72,6 +72,12 @@ DEFAULT_QUERIES = [
     "ext_cluster_best_copy",
     "ext_split_leakage",
     "ext_source_similarity",
+    # Session-continuation additions: corpus-derived temperature mixing
+    # (stats broadcast + map-only realization) and the epoch shuffle
+    # (one exchange + shard-local sorts — growth must track data, never
+    # the global-sort blowup the op exists to avoid).
+    "ext_temperature_mix",
+    "ext_epoch_shuffle",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica
