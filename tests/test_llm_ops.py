@@ -280,17 +280,23 @@ def test_temperature_mix_balances_toward_largest_source(spark, sf_dir):
     # every doc keeps >= 1 copy (m_s >= 1 by construction)
     kept = out.select("doc_id").distinct().count()
     assert kept == d.count()
+    from world_cup_duckdb_spark.queries.ext_training3 import _MAX_UPSAMPLE
+
     cmax = max(c for c, _ in pre.values())
     for s, (c, n_docs) in pre.items():
-        m = (cmax / c) ** 0.5
+        m = min(_MAX_UPSAMPLE, (cmax / c) ** 0.5)
         # realized copies within the coin's +/- n_docs envelope of n*m
         assert n_docs * int(m) <= copies[s] <= n_docs * (int(m) + 1)
         assert abs(copies[s] - n_docs * m) <= n_docs
     # imbalance compresses: expected post-mix char budget per source is
     # c * m = sqrt(c * cmax), so the max/min ratio should shrink from
     # (cmax/cmin) toward sqrt(cmax/cmin).
-    post = {s: c * (cmax / c) ** 0.5 for s, (c, _) in pre.items()}
+    post = {
+        s: c * min(_MAX_UPSAMPLE, (cmax / c) ** 0.5)
+        for s, (c, _) in pre.items()
+    }
     pre_ratio = cmax / min(c for c, _ in pre.values())
     post_ratio = max(post.values()) / min(post.values())
     assert post_ratio < pre_ratio
-    assert abs(post_ratio - pre_ratio**0.5) < 1e-9
+    if pre_ratio < _MAX_UPSAMPLE**2:  # cap not binding -> exact sqrt law
+        assert abs(post_ratio - pre_ratio**0.5) < 1e-9

@@ -26,6 +26,14 @@ from world_cup_duckdb_spark.sources.catalog import table
 #: 2^32 — the md5-prefix coin space (first 8 hex digits).
 _COIN_SPACE = 4294967296.0
 
+#: Upsampling cap: no source repeats more than this many times however
+#: small its share — the standard guard against a tiny source being
+#: recited hundreds of times (overfitting risk), and the bound that
+#: keeps output size ≤ cap × input at any corpus composition (it also
+#: absorbs the c→0 division blowup: LEAST() is exact, so the cap stays
+#: bit-portable).
+_MAX_UPSAMPLE = 8.0
+
 #: Epochs materialized by the shuffle plan (trainers consume 1..N).
 _N_EPOCHS = 2
 
@@ -41,8 +49,9 @@ _N_SHARDS = 8
     ),
     mult AS (
       SELECT source,
-             sqrt(CAST((SELECT MAX(c) FROM stats) AS DOUBLE)
-                  / CAST(c AS DOUBLE)) AS m
+             LEAST({_MAX_UPSAMPLE},
+                   sqrt(CAST((SELECT MAX(c) FROM stats) AS DOUBLE)
+                        / CAST(c AS DOUBLE))) AS m
       FROM stats
     ),
     planned AS (
@@ -63,7 +72,9 @@ _N_SHARDS = 8
 )
 def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture sampling (alpha = 0.5): upsample every
-    source toward the largest one by m_s = (c_max / c_s)^0.5, where c_s
+    source toward the largest one by m_s = min({_MAX_UPSAMPLE},
+    (c_max / c_s)^0.5) — capped so no source repeats more than
+    {_MAX_UPSAMPLE}x however small its share — where c_s
     is the source's total CHARACTER budget (LLM mixes are weighed in
     tokens, not document counts — and the doc-count fixture is perfectly
     balanced, which would degenerate the op to the identity) — the
@@ -89,9 +100,10 @@ def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmax = stats.agg(F.max("c").alias("cmax"))
     mult = stats.crossJoin(F.broadcast(cmax)).select(
         "source",
-        F.sqrt(F.col("cmax").cast("double") / F.col("c").cast("double")).alias(
-            "m"
-        ),
+        F.least(
+            F.lit(_MAX_UPSAMPLE),
+            F.sqrt(F.col("cmax").cast("double") / F.col("c").cast("double")),
+        ).alias("m"),
     )
     coin = F.conv(
         F.substring(
