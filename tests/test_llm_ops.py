@@ -300,3 +300,65 @@ def test_temperature_mix_balances_toward_largest_source(spark, sf_dir):
     assert post_ratio < pre_ratio
     if pre_ratio < _MAX_UPSAMPLE**2:  # cap not binding -> exact sqrt law
         assert abs(post_ratio - pre_ratio**0.5) < 1e-9
+
+
+def test_epoch_shuffle_parametrized_shards_and_epochs(spark, sf_dir):
+    """The library form must stay a per-epoch permutation with
+    contiguous shard ranks under non-default knobs (5 shards, 3
+    epochs) — the 100 TB contract is 'set n_shards ~ cluster cores',
+    so the invariants can't be artifacts of the 8/2 defaults."""
+    from world_cup_duckdb_spark.operators.training import epoch_shuffle
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    rows = epoch_shuffle(d, n_epochs=3, n_shards=5, salt="v2:").collect()
+    assert len(rows) == n_docs * 3
+    assert {r["epoch"] for r in rows} == {0, 1, 2}
+    assert {r["shard"] for r in rows} <= set(range(5))
+    per_es: dict[tuple, list] = {}
+    for r in rows:
+        per_es.setdefault((r["epoch"], r["shard"]), []).append(r["pos"])
+    for poss in per_es.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different salt yields a different permutation of epoch 0
+    other = epoch_shuffle(d, n_epochs=1, n_shards=5, salt="v3:").collect()
+    key_v2 = {
+        r["doc_id"]: (r["shard"], r["pos"]) for r in rows if r["epoch"] == 0
+    }
+    key_v3 = {r["doc_id"]: (r["shard"], r["pos"]) for r in other}
+    assert key_v2 != key_v3
+
+
+def test_temperature_mix_alpha_one_fully_balances(spark, sf_dir):
+    """alpha=1.0 is full balancing: expected post-mix char budget per
+    source is c * (cmax/c) = cmax — every source's realized char budget
+    must land within one max-document of cmax (coin granularity), and
+    the input columns must pass through (the library form returns rows,
+    not a projection)."""
+    from world_cup_duckdb_spark.operators.training import temperature_mix
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    out = temperature_mix(d, weight_col="n_chars", max_upsample=64.0, alpha=1.0)
+    assert set(out.columns) == set(d.columns) | {"copy_nr"}
+    post = {
+        r["source"]: r["chars"]
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("chars")).collect()
+    }
+    pre = {
+        r["source"]: (r["c"], r["mx"], r["n"])
+        for r in d.groupBy("source")
+        .agg(
+            F.sum("n_chars").alias("c"),
+            F.max("n_chars").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    cmax = max(c for c, _, _ in pre.values())
+    for s, (c, mx, n) in pre.items():
+        # realized budget ≈ cmax; the md5 coin rounds per-document, so
+        # the worst-case deviation is n docs x max doc chars -
+        # bound loosely by n * mx coin slack on the fractional copy.
+        assert abs(post[s] - cmax) <= n * mx

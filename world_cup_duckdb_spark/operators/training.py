@@ -1,0 +1,135 @@
+"""Training-data mixing and ordering operators (parametrized library
+forms of queries/ext_training3.py — that module pins the alpha=0.5 /
+8-shard instances to DuckDB oracles; these are the knobs a user turns).
+
+Extension surface (not reference-derived — SURVEY.md Phase 5): the two
+transforms between "weighted corpus" and "the byte stream the trainer
+reads": temperature-smoothed source mixing and deterministic epoch
+shuffling. Both are pure built-in expressions — JVM-side, codegen-able,
+no Python in the row path.
+
+Scale contracts:
+- `temperature_mix`: one map-side-combined aggregate produces an
+  O(#groups) multiplier relation that BROADCASTS; the corpus side stays
+  map-only (hash coin + explode). No doc-level shuffle, ever.
+- `epoch_shuffle`: one hash-partition exchange on (epoch, shard) plus a
+  shard-LOCAL sort — the TeraSort-free global permutation. Set
+  `n_shards` ~ cluster cores so every local sort fits in memory at any
+  corpus size; each (epoch, shard) is one writer task / output file.
+
+Determinism: membership/order derive only from md5 of stable ids (never
+from partitioning, sampling RNG, or float accumulation order), so both
+ops are reproducible across engines, runs, and cluster sizes. With
+alpha=0.5 the multiplier is sqrt(cast/cast) — correctly-rounded IEEE
+ops only, hence bit-portable; other alphas go through pow(), which is
+deterministic within an engine but not IEEE-pinned across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^32 — the md5-prefix coin space (first 8 hex digits).
+COIN_SPACE = 4294967296.0
+
+
+def temperature_mix(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    max_upsample: float = 8.0,
+    salt: str = "tmix-",
+) -> DataFrame:
+    """Temperature-based mixture sampling: upsample every group toward
+    the largest one by m_g = min(max_upsample, (c_max / c_g)^alpha),
+    where c_g = sum(weight_col) per group (character/token budgets —
+    LLM mixes weigh by tokens, not document counts). The fractional
+    part of m_g is realized per-row by a deterministic md5 coin on
+    (salt, id), so the realized mix never depends on partitioning.
+
+    Returns the input rows with an extra int `copy_nr` (1..n), one row
+    per realized copy; rows whose group multiplier rounds to zero
+    copies are dropped (only possible when alpha or the weights invert
+    the smoothing — with upsampling semantics m_g >= 1 always).
+    """
+    stats = df.groupBy(group_col).agg(
+        F.sum(weight_col).cast("bigint").alias("_c")
+    )
+    cmax = stats.agg(F.max("_c").alias("_cmax"))
+    ratio = F.col("_cmax").cast("double") / F.col("_c").cast("double")
+    m = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(alpha))
+    mult = stats.crossJoin(F.broadcast(cmax)).select(
+        group_col, F.least(F.lit(max_upsample), m).alias("_m")
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    threshold = F.floor(
+        (F.col("_m") - F.floor("_m")) * F.lit(COIN_SPACE)
+    ).cast("bigint")
+    planned = df.join(F.broadcast(mult), group_col).withColumn(
+        "_n_copies",
+        F.floor("_m").cast("bigint") + (coin < threshold).cast("bigint"),
+    )
+    return (
+        planned.filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "copy_nr",
+            F.explode(F.sequence(F.lit(1), F.col("_n_copies").cast("int"))),
+        )
+        .withColumn("copy_nr", F.col("copy_nr").cast("int"))
+        .drop("_m", "_n_copies")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_epochs: int = 2,
+    n_shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic epoch shuffle: for each of `n_epochs` epochs, give
+    every row a (shard, pos) under an epoch-salted md5 permutation —
+    shard from the hash prefix, position by ranking the hash suffix
+    within the shard (tie-broken on the id, so ranks are total even
+    under md5 collisions). Every epoch sees a different but fully
+    reproducible order with no RNG state to checkpoint.
+
+    Returns (epoch int, shard int, pos bigint, <id_col>).
+    """
+    epochs = df.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    )
+    hx = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("epoch").cast("string"),
+            F.lit("-"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    keyed = epochs.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        shard.alias("shard"),
+        F.substring(hx, 9, 16).alias("_hkey"),
+        id_col,
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("_hkey", id_col)
+    return keyed.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        id_col,
+    )

@@ -17,14 +17,17 @@ bit-identical by construction, not by tolerance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
+from world_cup_duckdb_spark.operators.training import (
+    COIN_SPACE as _COIN_SPACE,
+)
+from world_cup_duckdb_spark.operators.training import (
+    epoch_shuffle,
+    temperature_mix,
+)
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import table
-
-#: 2^32 — the md5-prefix coin space (first 8 hex digits).
-_COIN_SPACE = 4294967296.0
 
 #: Upsampling cap: no source repeats more than this many times however
 #: small its share — the standard guard against a tiny source being
@@ -96,45 +99,16 @@ def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     coin threshold floor(frac * 2^32) is bit-identical in both engines.
     """
     d = table(spark, sf_dir, "documents")
-    stats = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("c"))
-    cmax = stats.agg(F.max("c").alias("cmax"))
-    mult = stats.crossJoin(F.broadcast(cmax)).select(
-        "source",
-        F.least(
-            F.lit(_MAX_UPSAMPLE),
-            F.sqrt(F.col("cmax").cast("double") / F.col("c").cast("double")),
-        ).alias("m"),
+    mixed = temperature_mix(
+        d,
+        weight_col="n_chars",
+        group_col="source",
+        id_col="doc_id",
+        alpha=0.5,
+        max_upsample=_MAX_UPSAMPLE,
+        salt="tmix-",
     )
-    coin = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("tmix-"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    threshold = F.floor(
-        (F.col("m") - F.floor("m")) * F.lit(_COIN_SPACE)
-    ).cast("bigint")
-    planned = d.join(F.broadcast(mult), "source").select(
-        "source",
-        "doc_id",
-        (F.floor("m").cast("bigint") + (coin < threshold).cast("bigint")).alias(
-            "n_copies"
-        ),
-    )
-    return (
-        planned.filter(F.col("n_copies") > 0)
-        .select(
-            "source",
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_copies").cast("int"))
-            ).alias("copy_nr"),
-        )
-        .withColumn("copy_nr", F.col("copy_nr").cast("int"))
-    )
+    return mixed.select("source", "doc_id", "copy_nr")
 
 
 @register(
@@ -179,29 +153,6 @@ def ext_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break on doc_id makes ranks total even under md5 collisions.
     """
     d = table(spark, sf_dir, "documents")
-    epochs = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))).alias("epoch"),
-    )
-    hx = F.md5(
-        F.concat(
-            F.col("epoch").cast("string"), F.lit("-"),
-            F.col("doc_id").cast("string"),
-        )
-    )
-    shard = (
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % _N_SHARDS
-    ).cast("int")
-    keyed = epochs.select(
-        F.col("epoch").cast("int").alias("epoch"),
-        shard.alias("shard"),
-        F.substring(hx, 9, 16).alias("hkey"),
-        "doc_id",
-    )
-    w = Window.partitionBy("epoch", "shard").orderBy("hkey", "doc_id")
-    return keyed.select(
-        "epoch",
-        "shard",
-        F.row_number().over(w).cast("bigint").alias("pos"),
-        "doc_id",
+    return epoch_shuffle(
+        d, id_col="doc_id", n_epochs=_N_EPOCHS, n_shards=_N_SHARDS
     )
