@@ -362,3 +362,26 @@ def test_temperature_mix_alpha_one_fully_balances(spark, sf_dir):
         # the worst-case deviation is n docs x max doc chars -
         # bound loosely by n * mx coin slack on the fractional copy.
         assert abs(post[s] - cmax) <= n * mx
+
+
+def test_training_operator_contract_guards(spark):
+    """Out-of-contract knobs fail loudly, not with silent wrong output
+    (sequence(0, -1) is a DESCENDING range in Spark)."""
+    import pytest
+
+    from world_cup_duckdb_spark.operators.training import (
+        epoch_shuffle,
+        temperature_mix,
+    )
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id").withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.lit(10))
+    with pytest.raises(ValueError, match="n_epochs"):
+        epoch_shuffle(df, n_epochs=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(df, n_shards=0)
+    with pytest.raises(ValueError, match="max_upsample"):
+        temperature_mix(df, "n_chars", max_upsample=0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "n_chars", alpha=-1.0)

@@ -53,8 +53,16 @@ def temperature_mix(
     Returns the input rows with an extra int `copy_nr` (1..n), one row
     per realized copy; rows whose group multiplier rounds to zero
     copies are dropped (only possible when alpha or the weights invert
-    the smoothing — with upsampling semantics m_g >= 1 always).
+    the smoothing — with upsampling semantics m_g >= 1 always). Rows
+    with a NULL group are dropped by the inner multiplier join (a null
+    source has no budget to smooth toward); filter or fill upstream if
+    they must survive.
     """
+    if max_upsample < 1.0 or alpha < 0.0:
+        raise ValueError(
+            f"temperature_mix needs max_upsample >= 1 and alpha >= 0, "
+            f"got max_upsample={max_upsample}, alpha={alpha}"
+        )
     stats = df.groupBy(group_col).agg(
         F.sum(weight_col).cast("bigint").alias("_c")
     )
@@ -105,6 +113,13 @@ def epoch_shuffle(
 
     Returns (epoch int, shard int, pos bigint, <id_col>).
     """
+    if n_epochs < 1 or n_shards < 1:
+        # sequence(0, n_epochs-1) silently flips to a DESCENDING range
+        # for n_epochs=0 ([0, -1]) — fail loudly instead.
+        raise ValueError(
+            f"epoch_shuffle needs n_epochs >= 1 and n_shards >= 1, "
+            f"got n_epochs={n_epochs}, n_shards={n_shards}"
+        )
     epochs = df.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
