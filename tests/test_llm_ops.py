@@ -385,3 +385,74 @@ def test_training_operator_contract_guards(spark):
         temperature_mix(df, "n_chars", max_upsample=0.5)
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(df, "n_chars", alpha=-1.0)
+
+
+def test_temperature_mix_zero_weight_group_passes_through(spark):
+    """A group whose weights sum to zero must pass through once per row
+    (multiplier pinned to 1.0), not raise DIVIDE_BY_ZERO under the
+    engine's ANSI session and not get capped-upsampled like the DuckDB
+    inf->LEAST path would."""
+    from world_cup_duckdb_spark.operators.training import temperature_mix
+
+    df = spark.createDataFrame(
+        [("big", 1, 100), ("big", 2, 300), ("empty", 3, 0), ("empty", 4, 0)],
+        ["source", "doc_id", "n_chars"],
+    )
+    out = temperature_mix(df, "n_chars").collect()
+    empties = [r for r in out if r["source"] == "empty"]
+    assert sorted((r["doc_id"], r["copy_nr"]) for r in empties) == [
+        (3, 1),
+        (4, 1),
+    ]
+    # the big source is its own max: multiplier exactly 1.0
+    bigs = [r for r in out if r["source"] == "big"]
+    assert sorted((r["doc_id"], r["copy_nr"]) for r in bigs) == [(1, 1), (2, 1)]
+
+
+def test_temperature_mix_rejects_nan_knobs(spark):
+    """NaN compares False to everything, so a `x < bound` guard would
+    silently admit it and least(cap, NaN) would cap-upsample EVERY
+    source; the guard must reject NaN explicitly."""
+    import pytest
+
+    from world_cup_duckdb_spark.operators.training import temperature_mix
+
+    df = spark.createDataFrame(
+        [("s", 1, 10)], ["source", "doc_id", "n_chars"]
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "n_chars", alpha=float("nan"))
+    with pytest.raises(ValueError, match="max_upsample"):
+        temperature_mix(df, "n_chars", max_upsample=float("nan"))
+
+
+def test_epoch_shuffle_composite_id_decorrelates_copies(spark, sf_dir):
+    """Shuffling temperature_mix output with the composite
+    (doc_id, copy_nr) key must (a) keep the permutation property over
+    copies and (b) actually separate copies — with a single-id hash all
+    copies of a doc would land adjacent in one shard every epoch."""
+    from world_cup_duckdb_spark.operators.training import (
+        epoch_shuffle,
+        temperature_mix,
+    )
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    mixed = temperature_mix(d, "n_chars")
+    n_rows = mixed.count()
+    out = epoch_shuffle(
+        mixed, id_col=["doc_id", "copy_nr"], n_epochs=1
+    ).collect()
+    assert len(out) == n_rows
+    per_shard: dict[int, list] = {}
+    for r in out:
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # copies of the same doc spread: at least one doc with >= 2 copies
+    # has its copies in different shards (md5 over the composite key).
+    shards_by_doc: dict[int, set] = {}
+    for r in out:
+        shards_by_doc.setdefault(r["doc_id"], set()).add(r["shard"])
+    multi = [s for s in shards_by_doc.values() if len(s) >= 2]
+    assert multi, "no upsampled doc had copies in distinct shards"

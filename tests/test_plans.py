@@ -662,6 +662,11 @@ def test_temperature_mix_corpus_side_is_map_only(spark, sf_dir):
     # Column pruning: the stats pass's documents scan reads ONLY the
     # two columns the weights need (never `text`, the wide column).
     assert "ReadSchema: struct<source:string,n_chars:bigint>" in p
+    # Exactly TWO corpus scans: one stats pass + one realization pass.
+    # (A naive stats.agg(max) cmax sub-plan would re-scan the corpus a
+    # third time — the window-over-stats form keeps cmax corpus-free.)
+    # Count ReadSchema lines: one per physical scan node.
+    assert p.count("ReadSchema:") == 2
 
 
 def test_epoch_shuffle_is_one_exchange_local_sort(spark, sf_dir):
@@ -677,7 +682,7 @@ def test_epoch_shuffle_is_one_exchange_local_sort(spark, sf_dir):
     # The Sort's second argument is `false` -> shard-local, not global.
     import re
 
-    sorts = re.findall(r"\(5\) Sort\n.*\nArguments: \[.*\], (\w+),", p)
+    sorts = re.findall(r"\(\d+\) Sort\n.*\nArguments: \[.*\], (\w+),", p)
     assert sorts == ["false"]
     # The expanded corpus scan prunes to doc_id only.
     assert "ReadSchema: struct<doc_id:bigint>" in p

@@ -56,21 +56,41 @@ def temperature_mix(
     the smoothing — with upsampling semantics m_g >= 1 always). Rows
     with a NULL group are dropped by the inner multiplier join (a null
     source has no budget to smooth toward); filter or fill upstream if
-    they must survive.
+    they must survive. A group whose weights sum to zero has no budget
+    to scale, so its multiplier is pinned to 1.0 (rows pass through
+    once) — never a division blowup (the engine session runs ANSI
+    mode, where a bare c=0 division would raise, not yield inf).
     """
-    if max_upsample < 1.0 or alpha < 0.0:
+    import math
+
+    if not (math.isfinite(max_upsample) and max_upsample >= 1.0) or not (
+        math.isfinite(alpha) and alpha >= 0.0
+    ):
+        # `not (x >= bound)` (rather than `x < bound`) so NaN — for
+        # which every comparison is False — cannot slip past the guard
+        # and silently cap every group at max_upsample.
         raise ValueError(
-            f"temperature_mix needs max_upsample >= 1 and alpha >= 0, "
-            f"got max_upsample={max_upsample}, alpha={alpha}"
+            f"temperature_mix needs finite max_upsample >= 1 and finite "
+            f"alpha >= 0, got max_upsample={max_upsample}, alpha={alpha}"
         )
     stats = df.groupBy(group_col).agg(
         F.sum(weight_col).cast("bigint").alias("_c")
     )
-    cmax = stats.agg(F.max("_c").alias("_cmax"))
-    ratio = F.col("_cmax").cast("double") / F.col("_c").cast("double")
+    # cmax via an unpartitioned window over the O(#groups) stats
+    # relation — NOT a second aggregate over the corpus: a separate
+    # stats.agg(max) sub-plan re-scans and re-shuffles the full input
+    # (the two subtrees pick up different pushed filters, so Spark
+    # cannot reuse the exchange), doubling the stats pass at scale.
+    w_all = Window.partitionBy()
+    ratio = F.max("_c").over(w_all).cast("double") / F.col("_c").cast(
+        "double"
+    )
     m = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(alpha))
-    mult = stats.crossJoin(F.broadcast(cmax)).select(
-        group_col, F.least(F.lit(max_upsample), m).alias("_m")
+    mult = stats.select(
+        group_col,
+        F.when(F.col("_c") > 0, F.least(F.lit(max_upsample), m))
+        .otherwise(F.lit(1.0))
+        .alias("_m"),
     )
     coin = F.conv(
         F.substring(
@@ -99,7 +119,7 @@ def temperature_mix(
 
 def epoch_shuffle(
     df: DataFrame,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     n_epochs: int = 2,
     n_shards: int = 8,
     salt: str = "",
@@ -111,7 +131,15 @@ def epoch_shuffle(
     under md5 collisions). Every epoch sees a different but fully
     reproducible order with no RNG state to checkpoint.
 
-    Returns (epoch int, shard int, pos bigint, <id_col>).
+    `id_col` must UNIQUELY key the rows — duplicate ids hash
+    identically, so the copies would land adjacent in the same shard
+    every epoch (the exact correlation shuffling exists to remove) and
+    their rank assignment would be partition-order dependent. When
+    shuffling `temperature_mix` output (duplicate doc_ids by design,
+    one per copy), pass the composite key: id_col=["doc_id",
+    "copy_nr"] — each copy then shuffles independently.
+
+    Returns (epoch int, shard int, pos bigint, <id cols>).
     """
     if n_epochs < 1 or n_shards < 1:
         # sequence(0, n_epochs-1) silently flips to a DESCENDING range
@@ -120,18 +148,15 @@ def epoch_shuffle(
             f"epoch_shuffle needs n_epochs >= 1 and n_shards >= 1, "
             f"got n_epochs={n_epochs}, n_shards={n_shards}"
         )
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     epochs = df.select(
-        id_col,
+        *id_cols,
         F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
     )
-    hx = F.md5(
-        F.concat(
-            F.lit(salt),
-            F.col("epoch").cast("string"),
-            F.lit("-"),
-            F.col(id_col).cast("string"),
-        )
-    )
+    hash_parts = [F.lit(salt), F.col("epoch").cast("string")]
+    for c in id_cols:
+        hash_parts += [F.lit("-"), F.col(c).cast("string")]
+    hx = F.md5(F.concat(*hash_parts))
     shard = (
         F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % n_shards
     ).cast("int")
@@ -139,12 +164,12 @@ def epoch_shuffle(
         F.col("epoch").cast("int").alias("epoch"),
         shard.alias("shard"),
         F.substring(hx, 9, 16).alias("_hkey"),
-        id_col,
+        *id_cols,
     )
-    w = Window.partitionBy("epoch", "shard").orderBy("_hkey", id_col)
+    w = Window.partitionBy("epoch", "shard").orderBy("_hkey", *id_cols)
     return keyed.select(
         "epoch",
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
-        id_col,
+        *id_cols,
     )

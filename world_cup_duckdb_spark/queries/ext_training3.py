@@ -32,9 +32,11 @@ from world_cup_duckdb_spark.sources.catalog import table
 #: Upsampling cap: no source repeats more than this many times however
 #: small its share — the standard guard against a tiny source being
 #: recited hundreds of times (overfitting risk), and the bound that
-#: keeps output size ≤ cap × input at any corpus composition (it also
-#: absorbs the c→0 division blowup: LEAST() is exact, so the cap stays
-#: bit-portable).
+#: keeps output size ≤ cap × input at any corpus composition. LEAST()
+#: is exact, so the cap stays bit-portable. (Zero-weight groups are
+#: handled separately: the operator pins their multiplier to 1.0,
+#: because under the engine's ANSI session a c=0 division would raise,
+#: not produce an inf for the cap to absorb.)
 _MAX_UPSAMPLE = 8.0
 
 #: Epochs materialized by the shuffle plan (trainers consume 1..N).
@@ -52,9 +54,11 @@ _N_SHARDS = 8
     ),
     mult AS (
       SELECT source,
-             LEAST({_MAX_UPSAMPLE},
-                   sqrt(CAST((SELECT MAX(c) FROM stats) AS DOUBLE)
-                        / CAST(c AS DOUBLE))) AS m
+             CASE WHEN c > 0 THEN
+               LEAST({_MAX_UPSAMPLE},
+                     sqrt(CAST((SELECT MAX(c) FROM stats) AS DOUBLE)
+                          / CAST(c AS DOUBLE)))
+             ELSE 1.0 END AS m
       FROM stats
     ),
     planned AS (
@@ -75,9 +79,9 @@ _N_SHARDS = 8
 )
 def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture sampling (alpha = 0.5): upsample every
-    source toward the largest one by m_s = min({_MAX_UPSAMPLE},
-    (c_max / c_s)^0.5) — capped so no source repeats more than
-    {_MAX_UPSAMPLE}x however small its share — where c_s
+    source toward the largest one by m_s = min(8.0, (c_max / c_s)^0.5)
+    — capped so no source repeats more than 8x (_MAX_UPSAMPLE) however
+    small its share — where c_s
     is the source's total CHARACTER budget (LLM mixes are weighed in
     tokens, not document counts — and the doc-count fixture is perfectly
     balanced, which would degenerate the op to the identity) — the
@@ -136,7 +140,7 @@ def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: give every document, for each of
-    {_N_EPOCHS} training epochs, a (shard, position) under an
+    2 training epochs (_N_EPOCHS), a (shard, position) under an
     epoch-salted md5 permutation — shard from the hash prefix, position
     by ranking the hash suffix within the shard. Trainers read shards
     in any order and stream each shard sequentially; every epoch sees
@@ -144,7 +148,7 @@ def ext_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG state to checkpoint.
 
     Scale: this is the pattern that replaces a 100 TB GLOBAL sort
-    (TeraSort-style range partitioning) with {_N_SHARDS} independent
+    (TeraSort-style range partitioning) with 8 (_N_SHARDS) independent
     shard-local sorts: one hash-partition shuffle on (epoch, shard),
     then a local order-by inside each shard — no sampling pass, no
     range boundaries, no skew (md5 prefixes are uniform). Each shard is
