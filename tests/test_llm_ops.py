@@ -456,3 +456,56 @@ def test_epoch_shuffle_composite_id_decorrelates_copies(spark, sf_dir):
         shards_by_doc.setdefault(r["doc_id"], set()).add(r["shard"])
     multi = [s for s in shards_by_doc.values() if len(s) >= 2]
     assert multi, "no upsampled doc had copies in distinct shards"
+
+
+def test_training_pipeline_composes_mix_shuffle_pack(spark, sf_dir):
+    """End-to-end composition of the trainer-feed stages: temperature
+    mix -> composite-key epoch shuffle -> fixed-budget packing by shard
+    position. Invariants across the composed pipeline: total char mass
+    equals the sum over realized copies; every (epoch, shard) packs its
+    rows into contiguous budget bins with no pack over budget + one doc
+    (contiguous fill places each row where its running offset starts);
+    and the whole composition is deterministic across evaluations."""
+    from pyspark.sql import Window
+
+    from world_cup_duckdb_spark.operators.training import (
+        epoch_shuffle,
+        temperature_mix,
+    )
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    budget = 4096
+    d = table(spark, sf_dir, "documents")
+    mixed = temperature_mix(d, "n_chars")
+    shuffled = epoch_shuffle(mixed, id_col=["doc_id", "copy_nr"], n_epochs=1)
+    placed = (
+        shuffled.join(
+            mixed.select("doc_id", "copy_nr", "n_chars"),
+            ["doc_id", "copy_nr"],
+        )
+        .withColumn(
+            "start",
+            F.sum("n_chars").over(
+                Window.partitionBy("shard").orderBy("pos")
+            )
+            - F.col("n_chars"),
+        )
+        .withColumn("pack_id", F.floor(F.col("start") / budget))
+    )
+    packs = (
+        placed.groupBy("shard", "pack_id")
+        .agg(F.sum("n_chars").alias("chars"), F.max("n_chars").alias("mx"))
+        .collect()
+    )
+    total_mix = mixed.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r["chars"] for r in packs) == total_mix
+    # contiguous fill: a pack never exceeds budget + (its largest doc - 1)
+    assert all(r["chars"] < budget + r["mx"] for r in packs)
+    # determinism of the whole composition
+    again = sorted(
+        tuple(r) for r in placed.select("doc_id", "shard", "pos").collect()
+    )
+    first = sorted(
+        tuple(r) for r in placed.select("doc_id", "shard", "pos").collect()
+    )
+    assert again == first
