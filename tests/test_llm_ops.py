@@ -509,3 +509,63 @@ def test_training_pipeline_composes_mix_shuffle_pack(spark, sf_dir):
         tuple(r) for r in placed.select("doc_id", "shard", "pos").collect()
     )
     assert again == first
+
+
+def test_compression_ratio_separates_repetition_noise_and_prose(spark):
+    """The deflate signal must order the three text classes:
+    repetitive boilerplate << natural prose < random-ish noise; empty
+    text scores 1.0; and the band filter keeps exactly the prose."""
+    from world_cup_duckdb_spark.operators.text import (
+        compression_quality_filter,
+        compression_ratio,
+    )
+
+    rep = "buy now click here " * 200
+    prose = (
+        "The tournament opened with a close match between the hosts and "
+        "the defending champions, decided late by a penalty after a long "
+        "review. Crowds filled the plaza despite the rain, and the "
+        "broadcast reached a record audience across four continents. "
+    )
+    noise = "".join(
+        chr(33 + ((i * 73 + (i * i) % 251) % 90)) for i in range(3000)
+    )
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, noise), (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["compress_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    assert rows[1] < rows[2] < rows[3]
+    assert rows[1] < 0.1 and rows[3] > 0.8
+    assert rows[4] == 1.0
+    kept = [
+        r["doc_id"] for r in compression_quality_filter(df).collect()
+    ]
+    assert kept == [2]
+    # determinism: zlib at a fixed level is bit-stable
+    again = {
+        r["doc_id"]: r["compress_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    assert again == rows
+
+
+def test_compression_ratio_on_fixture_is_map_only(spark, sf_dir):
+    """Over the real corpus: every doc scored, scores in (0, 1.5]
+    (tiny docs can exceed 1 — zlib header overhead), and the plan has
+    no shuffle exchange (map-only contract)."""
+    from world_cup_duckdb_spark.operators.text import compression_ratio
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    scored = compression_ratio(d)
+    p = scored._sc._jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p
+    rows = scored.select("doc_id", "compress_ratio").collect()
+    assert len(rows) == d.count()
+    assert all(0.0 < r["compress_ratio"] <= 1.5 for r in rows)

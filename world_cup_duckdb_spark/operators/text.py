@@ -188,3 +188,71 @@ def fingerprint_from_shingles(sh: Column, seed: int) -> Column:
     return F.array_min(
         F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
     )
+
+
+# -- Compression-ratio quality signal (Python path; pytest-evidenced) ----
+#
+# deflate(text)/len(text) is the classic corpus-filter proxy the pure-SQL
+# signals can't express: near-duplicate boilerplate and keyboard-mash both
+# hide from stopword/length ratios but sit at the two ends of the
+# compression spectrum (repetition compresses too well, noise not at all).
+# zlib is deterministic for a fixed (level, strategy) across platforms, so
+# the score is reproducible — but it is NOT SQL-expressible, so this
+# operator carries pytest invariants instead of a DuckDB oracle (the same
+# evidence class as the stateful streaming twins).
+
+#: Band accepted by compression_quality_filter: below LO the text is
+#: repetitive boilerplate, above HI it is noise. HI is calibrated for
+#: PRINTABLE text: ~90 distinct symbols carry at most ~6.5 bits per
+#: 8-bit byte, so even perfectly random printable text deflates to
+#: ~0.82 — 0.80 is the practical "no linguistic structure" line
+#: (the sf0.01 fixture corpus spans 0.40-1.02, median 0.51).
+COMPRESSION_LO = 0.25
+COMPRESSION_HI = 0.80
+
+
+def compression_ratio(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Per-document deflate ratio via Arrow-batched mapInPandas (zlib
+    level 6): adds double `compress_ratio` = len(zlib(text))/len(text)
+    (1.0 for empty text — nothing to compress, nothing repetitive).
+
+    Scale: map-only — no shuffle, no state; the Python cost is one
+    C-implemented deflate per document over Arrow batches, the same
+    batch shape as the multimodal codecs. Partition count follows the
+    input splits."""
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        docs.schema.fields + [StructField("compress_ratio", DoubleType())]
+    )
+
+    def batches(it):
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            pdf = pdf.copy()
+            pdf["compress_ratio"] = [
+                (len(zlib.compress(t.encode("utf-8"), 6)) / n)
+                if (n := len(t.encode("utf-8"))) > 0
+                else 1.0
+                for t in texts
+            ]
+            yield pdf
+
+    return docs.mapInPandas(batches, out_schema)
+
+
+def compression_quality_filter(
+    docs: "DataFrame",
+    text_col: str = "text",
+    lo: float = COMPRESSION_LO,
+    hi: float = COMPRESSION_HI,
+) -> "DataFrame":
+    """Keep documents whose deflate ratio sits in the [lo, hi] band —
+    drops near-duplicate boilerplate (over-compressible) and
+    noise/binary-garbage (incompressible) in one map-only pass."""
+    scored = compression_ratio(docs, text_col)
+    return scored.filter(
+        (F.col("compress_ratio") >= lo) & (F.col("compress_ratio") <= hi)
+    )
