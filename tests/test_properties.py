@@ -271,3 +271,42 @@ def test_token_budget_census_invariants(spark, docs, frac):
     for r in none_rows:
         # a 'none' bucket would not have fit even before its own tokens
         assert r["cum_tokens"] - r["bucket_tokens"] >= budget, rows
+
+
+@given(
+    sizes=st.lists(st.integers(0, 500), min_size=1, max_size=6),
+)
+@_slow
+def test_temperature_mix_envelope_on_random_corpora(spark, sizes):
+    """Over arbitrary per-source weight shapes (including zero-weight
+    sources): every row keeps >= 1 copy, realized copies stay inside
+    the md5-coin envelope [n*floor(m), n*ceil(m)] for the group's
+    capped multiplier, and the output never exceeds cap x input."""
+    from world_cup_duckdb_spark.operators.training import temperature_mix
+
+    cap = 8.0
+    rows = [
+        (f"s{i}", i * 1000 + j, w)
+        for i, size in enumerate(sizes)
+        for j, w in enumerate([size] * max(1, min(size, 4)))
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    out = temperature_mix(df, "w", max_upsample=cap).collect()
+    n_in = len(rows)
+    assert len(out) <= cap * n_in
+    # every input row keeps at least one copy
+    assert len({(r["source"], r["doc_id"]) for r in out}) == n_in
+    import math
+    from collections import Counter
+
+    per_group_w = {}
+    per_group_n = Counter()
+    for s, _, w in rows:
+        per_group_w[s] = per_group_w.get(s, 0) + w
+        per_group_n[s] += 1
+    cmax = max(per_group_w.values())
+    got = Counter(r["source"] for r in out)
+    for s, c in per_group_w.items():
+        m = min(cap, math.sqrt(cmax / c)) if c > 0 else 1.0
+        n = per_group_n[s]
+        assert n * math.floor(m) <= got[s] <= n * math.ceil(m), (s, m, got[s])
