@@ -1,0 +1,34 @@
+"""Persist lifecycle (queries/__init__.py:tracked_persist): per-query
+cached intermediates must not accumulate across registry invocations —
+a long-lived driver session evaluates hundreds of queries back to back,
+and a leaked InMemoryRelation per query churns executor storage memory.
+The contract: entering any registered query releases every persist the
+previous one tracked."""
+
+from __future__ import annotations
+
+from world_cup_duckdb_spark.queries import (
+    _TRACKED_PERSISTS,
+    REGISTRY,
+    release_tracked_persists,
+)
+
+
+def test_next_query_entry_releases_previous_persists(spark, sf_dir):
+    release_tracked_persists()
+    # ext_lm_score persists its per-doc token relation for two consumers.
+    df = REGISTRY["ext_lm_score"].fn(spark, sf_dir)
+    df.count()
+    assert _TRACKED_PERSISTS, "ext_lm_score no longer tracks a persist"
+    tracked = list(_TRACKED_PERSISTS)
+    assert all(t.storageLevel.useMemory for t in tracked)
+    # entering the NEXT registered query releases them
+    REGISTRY["op17_filter_eq"].fn(spark, sf_dir)
+    assert not _TRACKED_PERSISTS
+    assert all(not t.storageLevel.useMemory for t in tracked)
+
+
+def test_release_is_idempotent_and_safe(spark, sf_dir):
+    release_tracked_persists()
+    release_tracked_persists()
+    assert not _TRACKED_PERSISTS

@@ -569,3 +569,44 @@ def test_compression_ratio_on_fixture_is_map_only(spark, sf_dir):
     rows = scored.select("doc_id", "compress_ratio").collect()
     assert len(rows) == d.count()
     assert all(0.0 < r["compress_ratio"] <= 1.5 for r in rows)
+
+
+def test_temperature_mix_rejects_overflowing_upsample_cap(spark):
+    """floor(max_upsample)+1 copies must fit the INT the explode
+    sequence is built on; a huge cap (e.g. 1e12) must fail the
+    contract check instead of silently overflowing the cast."""
+    import pytest
+
+    from world_cup_duckdb_spark.operators.training import temperature_mix
+
+    df = spark.createDataFrame(
+        [("s", 1, 10)], ["source", "doc_id", "n_chars"]
+    )
+    with pytest.raises(ValueError, match="max_upsample"):
+        temperature_mix(df, "n_chars", max_upsample=1e12)
+    # the largest admissible cap still builds a plan
+    temperature_mix(df, "n_chars", max_upsample=float(2**31 - 2))
+
+
+def test_epoch_shuffle_composite_key_encoding_is_injective(spark):
+    """Ids containing the delimiter must not collide: with a bare '-'
+    join, ("a-1","2") and ("a","1-2") hash identically and the two rows
+    draw correlated shard/position EVERY epoch. The length-prefixed
+    encoding keeps distinct key tuples on independent md5 draws."""
+    from world_cup_duckdb_spark.operators.training import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [("a-1", "2"), ("a", "1-2")], ["k1", "k2"]
+    )
+    out = epoch_shuffle(
+        df, id_col=["k1", "k2"], n_epochs=4, n_shards=1 << 20
+    ).collect()
+    by_epoch: dict[int, list] = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r["shard"])
+    # 4 epochs x 2^20 shards: the chance all 4 draws collide by luck is
+    # ~2^-80; identical draws every epoch means the encoding collided.
+    assert any(len(set(shards)) == 2 for shards in by_epoch.values()), (
+        "delimiter-bearing composite keys hashed identically in every "
+        "epoch — the key encoding is not injective"
+    )

@@ -160,3 +160,15 @@ def test_semantic_dedup_drops_every_exact_copy(spark, emb):
     assert sum(r["n_vecs"] for r in rows) == 2 * n
     assert sum(r["n_dropped"] for r in rows) == n
     assert all(r["n_dropped"] <= r["n_vecs"] for r in rows)
+
+
+def test_pq_seed_clusters_survive_stride_aligned_ids(spark, emb):
+    """Seeding must hash the id, not take id % k directly: an all-even
+    id space with k=16 would otherwise leave every odd seed cluster
+    empty (degenerate codebooks). With md5-prefix seeding the 4x16
+    codebook stays fully populated regardless of id layout."""
+    from world_cup_duckdb_spark.operators.similarity import pq_index
+
+    evens = emb.withColumn("vec_id", F.col("vec_id") * 2)
+    codebook, _ = pq_index(evens, m=4, k=16, dims=64)
+    assert codebook.count() == 4 * 16

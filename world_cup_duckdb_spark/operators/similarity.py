@@ -524,9 +524,13 @@ def pq_index(
     codes: (vid, m, code) — the compressed corpus representation.
 
     Codebook training is one deterministic Lloyd update: sub-vectors are
-    seed-assigned by ``id % k`` (a reproducible stand-in for k-means++
-    init — a full iterated fit slots in here unchanged, exactly like
-    ivf_index's md5 pick) and each (sub-space, seed-cluster) centroid is
+    seed-assigned by ``md5(id)-prefix % k`` (a reproducible stand-in for
+    k-means++ init — a full iterated fit slots in here unchanged,
+    exactly like ivf_index's md5 pick; hashing rather than ``id % k``
+    keeps seeding independent of the id distribution — a stride-aligned
+    id space, e.g. all-even ids with k=16, would leave half the seed
+    clusters empty — and works for string ids) and each
+    (sub-space, seed-cluster) centroid is
     the elementwise mean in micro-units. The build explodes dimensions
     ONLY inside a partial-combinable aggregate keyed by (m, c, j) — the
     shuffle moves M·K·d_sub pre-reduced rows, never corpus rows.
@@ -541,7 +545,17 @@ def pq_index(
     d_sub = dims // m
     subs = _pq_subvectors(corpus, id_col, "vid", vec_col, m, d_sub)
     codebook = (
-        subs.withColumn("c", (F.col("vid") % k).cast("int"))
+        subs.withColumn(
+            "c",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("vid").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % k
+            ).cast("int"),
+        )
         .select("m", "c", F.posexplode("sub").alias("j", "x"))
         .groupBy("m", "c", "j")
         .agg(

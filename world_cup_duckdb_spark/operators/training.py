@@ -56,22 +56,29 @@ def temperature_mix(
     the smoothing — with upsampling semantics m_g >= 1 always). Rows
     with a NULL group are dropped by the inner multiplier join (a null
     source has no budget to smooth toward); filter or fill upstream if
-    they must survive. A group whose weights sum to zero has no budget
-    to scale, so its multiplier is pinned to 1.0 (rows pass through
-    once) — never a division blowup (the engine session runs ANSI
-    mode, where a bare c=0 division would raise, not yield inf).
+    they must survive. A group whose weights sum to zero is pinned to
+    multiplier 1.0 (rows pass through once) — the when(_c > 0) guard
+    exists to define that zero-budget semantics, not to dodge an
+    error: double/0 is IEEE Infinity in both engines, ANSI or not,
+    and Infinity would otherwise silently cap at max_upsample.
     """
     import math
 
-    if not (math.isfinite(max_upsample) and max_upsample >= 1.0) or not (
-        math.isfinite(alpha) and alpha >= 0.0
-    ):
+    #: floor(max_upsample) + 1 copies must fit an INT for the explode
+    #: sequence — and any larger multiplier is a config error, not a
+    #: mix (2^31 copies of one row is a 2-billion-x blowup).
+    _MAX_COPIES = 2**31 - 2
+
+    if not (
+        math.isfinite(max_upsample) and 1.0 <= max_upsample <= _MAX_COPIES
+    ) or not (math.isfinite(alpha) and alpha >= 0.0):
         # `not (x >= bound)` (rather than `x < bound`) so NaN — for
         # which every comparison is False — cannot slip past the guard
         # and silently cap every group at max_upsample.
         raise ValueError(
-            f"temperature_mix needs finite max_upsample >= 1 and finite "
-            f"alpha >= 0, got max_upsample={max_upsample}, alpha={alpha}"
+            f"temperature_mix needs finite 1 <= max_upsample <= "
+            f"{_MAX_COPIES} and finite alpha >= 0, got "
+            f"max_upsample={max_upsample}, alpha={alpha}"
         )
     stats = df.groupBy(group_col).agg(
         F.sum(weight_col).cast("bigint").alias("_c")
@@ -137,7 +144,9 @@ def epoch_shuffle(
     their rank assignment would be partition-order dependent. When
     shuffling `temperature_mix` output (duplicate doc_ids by design,
     one per copy), pass the composite key: id_col=["doc_id",
-    "copy_nr"] — each copy then shuffles independently.
+    "copy_nr"] — each copy then shuffles independently. Components are
+    length-prefix encoded into the hash input, so distinct key TUPLES
+    never hash identically even when values contain the delimiter.
 
     Returns (epoch int, shard int, pos bigint, <id cols>).
     """
@@ -153,9 +162,19 @@ def epoch_shuffle(
         *id_cols,
         F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
     )
+    # Length-prefixed component encoding ("-<len>:<value>") so the
+    # composite key is INJECTIVE: with a bare "-" join, ids containing
+    # "-" can collide (("a-1","2") vs ("a","1-2")) and the colliding
+    # rows would draw correlated shard/position every epoch.
     hash_parts = [F.lit(salt), F.col("epoch").cast("string")]
     for c in id_cols:
-        hash_parts += [F.lit("-"), F.col(c).cast("string")]
+        s = F.col(c).cast("string")
+        hash_parts += [
+            F.lit("-"),
+            F.length(s).cast("string"),
+            F.lit(":"),
+            s,
+        ]
     hx = F.md5(F.concat(*hash_parts))
     shard = (
         F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % n_shards

@@ -17,6 +17,7 @@ Determinism rules every query follows:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -33,14 +34,52 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+#: Per-query persisted intermediates awaiting release. A long-lived
+#: session (the round driver evaluates hundreds of registry queries
+#: back to back) would otherwise accumulate every query's cached
+#: relations in executor storage memory. Entries are released when the
+#: NEXT registered query starts building — by which point the previous
+#: query's result has been materialized by the caller. (Unpersisting a
+#: relation that still backs an uncollected plan is always safe in
+#: Spark — it recomputes — so an unusual build-two-then-collect-both
+#: caller loses cache hits, never correctness.)
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` whose lifetime is scoped to the current registry
+    query: the cache entry is dropped when the next registered query
+    begins, instead of living for the whole session."""
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_tracked_persists() -> None:
+    """Unpersist every intermediate cached via :func:`tracked_persist`."""
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            # Session already stopped — nothing left to release.
+            pass
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the
-    registry, optionally with its DuckDB oracle SQL."""
+    registry, optionally with its DuckDB oracle SQL. Entry into any
+    registered query releases the PREVIOUS query's tracked persists,
+    bounding cache accumulation to one query's working set."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
-        return fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked_persists()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Query(name, wrapped, oracle, (fn.__doc__ or "").strip())
+        return wrapped
 
     return deco
 

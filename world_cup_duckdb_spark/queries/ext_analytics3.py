@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.operators.sketch import misra_gries_candidates
-from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 _HOUR_US = 3_600_000_000
@@ -394,7 +394,7 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         # Tiny (≤ candidates + 1 rows) but its subplan is corpus-sized:
         # persist so the total and the final filter both read the cache.
-        .persist()
+        .transform(tracked_persist)
     )
     tot = groups.agg(F.sum("n").alias("tot"))
     return (

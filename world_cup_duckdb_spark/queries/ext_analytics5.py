@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 _Q = ("merge", "scan")  # the two-term ranked query
@@ -89,7 +89,7 @@ def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, q in enumerate(_Q)
             ],
         )
-        .persist()
+        .transform(tracked_persist)
     )
     corpus = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")

@@ -31,7 +31,7 @@ from world_cup_duckdb_spark.operators.text import (
     bpe_initial_repr,
     bpe_pair_counts,
 )
-from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 N_MERGES = 4
@@ -173,7 +173,7 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = vocab.select(
         "word", "freq", bpe_initial_repr("word").alias("repr")
-    ).persist()
+    ).transform(tracked_persist)
     merges, _ = _learn_merges(words, N_MERGES)
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
@@ -202,7 +202,7 @@ def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = vocab.select(
         "source", "word", "freq", bpe_initial_repr("word").alias("repr")
-    ).persist()
+    ).transform(tracked_persist)
     _, encoded = _learn_merges(words, N_MERGES)
     before = F.sum(F.col("freq") * F.length("word"))
     after = F.sum(F.col("freq") * F.size(bpe_symbols("repr")))

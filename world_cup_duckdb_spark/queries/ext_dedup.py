@@ -18,7 +18,7 @@ from world_cup_duckdb_spark.operators.dedup import (
     simhash16,
     with_recrawl,
 )
-from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 _CORPUS_SQL = """
@@ -106,7 +106,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # you'd land bands in storage before bucket-joining either way.
     bands = minhash_bands(
         with_recrawl(d), num_hashes=8, band_size=2
-    ).persist()
+    ).transform(tracked_persist)
     return lsh_candidate_pairs(bands)
 
 
@@ -246,7 +246,7 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ext_dedup_minhash.
     bands = minhash_bands(
         with_recrawl(d), num_hashes=8, band_size=2
-    ).persist()
+    ).transform(tracked_persist)
     return connected_components(lsh_star_edges(bands))
 
 
@@ -551,12 +551,12 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     corpus = with_recrawl(d)
-    sigs = minhash_signatures(corpus, num_hashes=8).persist()
+    sigs = minhash_signatures(corpus, num_hashes=8).transform(tracked_persist)
     pairs = lsh_candidate_pairs(bands_from_signatures(sigs, num_hashes=8, band_size=2))
     shs = corpus.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens("text"), 3)).alias("sh"),
-    ).persist()
+    ).transform(tracked_persist)
 
     agree = sum(
         F.when(F.col(f"a_sig{i}") == F.col(f"b_sig{i}"), 1).otherwise(0)
@@ -840,7 +840,7 @@ def ext_cluster_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     corpus = with_recrawl(d)
-    bands = minhash_bands(corpus, num_hashes=8, band_size=2).persist()
+    bands = minhash_bands(corpus, num_hashes=8, band_size=2).transform(tracked_persist)
     clusters = connected_components(lsh_star_edges(bands))
     counted = stage_token_counts(corpus, keep=("doc_id",), langs=("en",))
     stop_ratio = F.col("en_n") / F.col("n_tokens").cast("double")
@@ -981,7 +981,7 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     corpus = with_recrawl(d)
-    bands = minhash_bands(corpus, num_hashes=8, band_size=2).persist()
+    bands = minhash_bands(corpus, num_hashes=8, band_size=2).transform(tracked_persist)
     clusters = connected_components(lsh_star_edges(bands))
     members = (
         corpus.select("doc_id")
@@ -989,7 +989,7 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
         )
-        .persist()
+        .transform(tracked_persist)
     )
 
     def split_of(key: str):

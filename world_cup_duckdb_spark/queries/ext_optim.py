@@ -26,7 +26,7 @@ from world_cup_duckdb_spark.operators.optim import (
     priority_sample,
     zorder_key,
 )
-from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 _P = MERSENNE_P
@@ -138,7 +138,7 @@ def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialization + disk write, measured ~19% off the whole
         # query (0.83→0.67 s same-process A/B, r4); identical logical
         # plans share one cache entry across invocations.
-        .persist()
+        .transform(tracked_persist)
     )
     asia.count()  # eager: fill the cache before the consumers fan out
     # ONE pass over the fact table computes both counters: the whole

@@ -485,7 +485,9 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM micro CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm
     ),
     cb_dim AS (
-      SELECT m, CAST(vec_id % 16 AS INT) AS c,
+      SELECT m,
+             CAST(CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 16 AS INT) AS c,
              generate_subscripts(sub, 1) AS j, unnest(sub) AS x
       FROM subs
     ),

@@ -20,7 +20,7 @@ from world_cup_duckdb_spark.operators.text import (
     tokens,
     word_shingles,
 )
-from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 
@@ -622,7 +622,7 @@ def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .transform(tracked_persist)
     )
     ct = tf.groupBy("token").agg(F.sum("tf").alias("c"))
     # Same exact integer total as summing ct; reads the cached tf instead
@@ -882,7 +882,7 @@ def ext_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .persist()
+        .transform(tracked_persist)
     )
     norms = tc.groupBy("source").agg(
         F.sum(F.col("n") * F.col("n")).cast("long").alias("n2")

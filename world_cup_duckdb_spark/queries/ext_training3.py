@@ -34,9 +34,9 @@ from world_cup_duckdb_spark.sources.catalog import table
 #: recited hundreds of times (overfitting risk), and the bound that
 #: keeps output size ≤ cap × input at any corpus composition. LEAST()
 #: is exact, so the cap stays bit-portable. (Zero-weight groups are
-#: handled separately: the operator pins their multiplier to 1.0,
-#: because under the engine's ANSI session a c=0 division would raise,
-#: not produce an inf for the cap to absorb.)
+#: handled separately: the operator pins their multiplier to 1.0 —
+#: double/0 is IEEE Infinity in both engines, which the cap would
+#: otherwise silently absorb into max_upsample.)
 _MAX_UPSAMPLE = 8.0
 
 #: Epochs materialized by the shuffle plan (trainers consume 1..N).
@@ -121,7 +121,8 @@ def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT d.doc_id, e.epoch,
              md5(CAST(e.epoch AS VARCHAR) || '-'
-                 || CAST(d.doc_id AS VARCHAR)) AS hx
+                 || CAST(length(CAST(d.doc_id AS VARCHAR)) AS VARCHAR)
+                 || ':' || CAST(d.doc_id AS VARCHAR)) AS hx
       FROM documents d,
            (SELECT unnest(range(0, {_N_EPOCHS})) AS epoch) e
     )
