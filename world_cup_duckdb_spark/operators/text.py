@@ -181,6 +181,189 @@ def bpe_apply_merge(words: "DataFrame", a: str, b: str) -> "DataFrame":
     )
 
 
+def bpe_learn_merges(
+    words: "DataFrame",
+    n_merges: int,
+    candidate_pool: int = 256,
+    exact: bool = True,
+    repersist_every: int = 64,
+) -> tuple[list[tuple[int, str, str, str, int]], "DataFrame"]:
+    """Learn ``n_merges`` BPE rules with BATCHED merge discovery.
+
+    The sequential algorithm takes one driver barrier (a pair-count
+    aggregation reduced to an argmax row) PER MERGE — fine for a toy
+    vocabulary, but a production tokenizer learns ~30k rules, and 30k
+    sequential Spark jobs is the bottleneck regardless of per-pass cost.
+    Here each pass collects the top ``candidate_pool`` pairs and accepts
+    several mutually non-conflicting merges at once.
+
+    Two modes:
+
+    - ``exact=True`` (default): accept only a PREFIX of provably-
+      sequential picks — output is IDENTICAL to the sequential trainer,
+      rule for rule (the registry queries and their DuckDB oracles use
+      this mode). On natural text the strict soundness cap below limits
+      the batch (top pairs share characters heavily), so the pass count
+      shrinks only modestly — exactness is the point here, not speed.
+    - ``exact=False``: accept EVERY mutually symbol-disjoint,
+      fresh-token pick in the pool page — the standard production
+      approximation (the same greedy-disjoint batching trick fast
+      tokenizer trainers use). Passes ≈ n_merges / batch; the learned
+      rules can deviate from sequential order when a created pair would
+      have overtaken a later pick, which real trainers accept. This is
+      the mode that makes ~30k-rule vocabularies feasible
+      (pytest-evidenced pass-count + quality bounds, no SQL oracle —
+      the deviation is documented, not hidden).
+
+    Both modes RE-MATERIALIZE the vocabulary every ``repersist_every``
+    applied merges: each merge appends a string ``replace`` to the plan,
+    and an unbounded chain (30k nested replaces) blows up optimizer and
+    codegen time quadratically; periodic persist+count resets the chain
+    while keeping everything distributed.
+
+    Soundness of exact mode (batched == sequential, exactly — pinned by
+    tests/test_llm_ops.py parity):
+
+    - The head pick is the global (pf DESC, a, b) argmax — always
+      sequential-exact.
+    - A further candidate is ACCEPTED only when (1) its symbols are
+      disjoint from every earlier pick's symbols and merged token
+      (merging (a,b) only changes counts of pairs touching a or b),
+      (2) its merged token is a FRESH symbol — not in the pre-pass
+      alphabet, not another pick's merged token (a collision would
+      INFLATE existing pairs' counts, breaking the pre-count bounds
+      below), and (3) its frequency strictly exceeds ``cap``.
+    - ``cap`` upper-bounds everything the accepted picks could be
+      racing against after earlier merges apply: the pre-merge count of
+      every REJECTED collected pair (counts of non-fresh-colliding
+      pairs only decrease), every pair BELOW the collected pool (its
+      (pf, a, b) rank is behind the last collected row), and every pair
+      CREATED by an accepted merge (each occurrence of a new pair
+      (x, ab) consumes a pre-merge boundary pair (x, a) — a rejected or
+      unseen conflict, hence ≤ cap). Strict ``pf > cap`` therefore
+      makes each accepted pick the unique sequential argmax at its
+      turn, ties included.
+    - If the head pick's own merged token collides with an existing
+      symbol (legal in BPE — the counts just fold together), the batch
+      degenerates to that single merge and the next pass recounts.
+
+    Worst case (flat count plateaus, pathological symbol overlap) every
+    pass accepts one merge — never slower than sequential in passes,
+    and each pass is the same single aggregation.
+
+    The alphabet is tracked driver-side: seeded once from the distinct
+    symbols of the initial representations (one vocab-sized distinct),
+    then extended with each learned merge token. Symbols that vanish
+    from the vocabulary stay in the set — conservative (may defer a
+    pick to the next pass), never unsound.
+
+    Returns (merges, words) where merges is a list of
+    (rank, lhs, rhs, merged, pair_freq) and words has all rules applied.
+    When re-materialization triggered, the returned relation reads from
+    an internal persisted checkpoint — unpersist it via
+    ``spark.catalog.clearCache()`` (or let the session's next registry
+    query release it) once the result is consumed.
+    """
+    symbols = {
+        r["s"]
+        for r in words.select(
+            F.explode(bpe_symbols("repr")).alias("s")
+        )
+        .distinct()
+        .collect()
+    }
+    merges: list[tuple[int, str, str, str, int]] = []
+    our_cache: "DataFrame | None" = None
+    unmaterialized = 0
+    while len(merges) < n_merges:
+        rows = (
+            bpe_pair_counts(words)
+            .orderBy(F.desc("pf"), "a", "b")
+            .limit(candidate_pool)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(
+                f"BPE merge {len(merges) + 1}: corpus vocabulary has no "
+                "adjacent symbol pairs left to merge"
+            )
+        # Anything not collected ranks behind the last collected row
+        # (a short page means the pool saw EVERY pair: no unseen bound).
+        unseen_cap = rows[-1].pf if len(rows) == candidate_pool else 0
+        head = rows[0]
+        batch = [head]
+        if exact and head.a + head.b in symbols:
+            # Collision merge: counts of pairs touching the pre-existing
+            # symbol may INCREASE, so no pre-count bound survives —
+            # sequential-equivalence holds only for this single merge.
+            accepted, cap = [], 0
+        else:
+            used = {head.a, head.b, head.a + head.b}
+            accepted = []
+            cap = unseen_cap
+            for r in rows[1:]:
+                fresh = r.a + r.b
+                if (
+                    r.a in used
+                    or r.b in used
+                    or fresh in used
+                    or fresh in symbols
+                ):
+                    cap = max(cap, r.pf)
+                else:
+                    accepted.append(r)
+                    used.update((r.a, r.b, fresh))
+        if exact:
+            # Keep the strict-majority prefix: pf descending, so the
+            # filter is a prefix; trimmed picks have pf <= cap and thus
+            # never beat a survivor even if counted into cap themselves.
+            batch += [r for r in accepted if r.pf > cap]
+        else:
+            batch += accepted
+        batch = batch[: n_merges - len(merges)]
+        for r in batch:
+            merges.append((len(merges) + 1, r.a, r.b, r.a + r.b, r.pf))
+            symbols.add(r.a + r.b)
+            words = bpe_apply_merge(words, r.a, r.b)
+        unmaterialized += len(batch)
+        if unmaterialized >= repersist_every and len(merges) < n_merges:
+            # Reset the replace chain: persist + materialize, then drop
+            # OUR previous checkpoint (never the caller's input cache).
+            words = words.persist()
+            words.count()
+            if our_cache is not None:
+                our_cache.unpersist()
+            our_cache = words
+            unmaterialized = 0
+    return merges, words
+
+
+def bpe_learn_merges_sequential(
+    words: "DataFrame", n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], "DataFrame"]:
+    """Reference one-merge-per-pass BPE trainer (Sennrich et al. 2016):
+    each iteration is one pair-count aggregation reduced to a single
+    argmax row, then a map-only replace. Kept as the parity baseline for
+    :func:`bpe_learn_merges` — use the batched form for real vocabulary
+    sizes (this one takes one driver barrier per merge)."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            bpe_pair_counts(words)
+            .orderBy(F.desc("pf"), "a", "b")
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            raise ValueError(
+                f"BPE merge {rank}: corpus vocabulary has no adjacent "
+                "symbol pairs left to merge"
+            )
+        merges.append((rank, top.a, top.b, top.a + top.b, top.pf))
+        words = bpe_apply_merge(words, top.a, top.b)
+    return merges, words
+
+
 def fingerprint_from_shingles(sh: Column, seed: int) -> Column:
     """Seeded min-of-md5 fingerprint over an already-materialized shingle
     array — stage the shingles once (stage_token_counts rationale) when

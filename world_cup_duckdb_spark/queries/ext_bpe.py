@@ -7,17 +7,21 @@ merge rules from the corpus, the Sennrich et al. 2016 subword algorithm
 re-expressed relationally.
 
 Scale design: corpus-sized work happens exactly once (the vocabulary
-build — one explode + hash agg with map-side partial counts). Every merge
-iteration then runs over the VOCABULARY relation (distinct words × freq),
+build — one explode + hash agg with map-side partial counts). Merge
+discovery then runs over the VOCABULARY relation (distinct words × freq),
 which is orders of magnitude smaller than a 100 TB corpus and is
-persisted in memory. Per iteration: one pair-count aggregation (shuffle
-volume = distinct adjacent pairs, not corpus positions) reduced to a
-single argmax row — the 1-row driver collect is the algorithm's inherent
+persisted in memory. Discovery is BATCHED
+(operators/text.py:bpe_learn_merges): each pass is one pair-count
+aggregation (shuffle volume = distinct adjacent pairs, not corpus
+positions) whose top candidates yield a provably-sequential PREFIX of
+merges — the driver collect per pass is the algorithm's inherent
 synchronization point (the merge table IS the model being learned and is
-driver-side state in every BPE trainer), then a map-only string replace
-applies the rule. The per-symbol ``|s|`` wrapping makes one non-regex
-replace() pass equal greedy left-to-right merge application with correct
-overlap semantics in BOTH engines (operators/text.py:bpe_initial_repr).
+driver-side state in every BPE trainer), but the pass count no longer
+grows 1:1 with the merge count, which is what makes ~30k-rule production
+vocabularies feasible. A map-only string replace applies each rule; the
+per-symbol ``|s|`` wrapping makes one non-regex replace() pass equal
+greedy left-to-right merge application with correct overlap semantics in
+BOTH engines (operators/text.py:bpe_initial_repr).
 """
 
 from __future__ import annotations
@@ -27,9 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from world_cup_duckdb_spark.operators.text import (
-    bpe_apply_merge,
     bpe_initial_repr,
-    bpe_pair_counts,
+    bpe_learn_merges,
 )
 from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
@@ -132,25 +135,14 @@ def _bpe_encode_oracle(n: int) -> str:
 
 
 def _learn_merges(words: DataFrame, n: int) -> tuple[list, DataFrame]:
-    """Run n merge-discovery iterations; return the learned rules and the
-    vocabulary with all rules applied. Each iteration is one pair-count
-    aggregation reduced to a single argmax row, then a map-only replace."""
-    merges = []
-    for rank in range(1, n + 1):
-        top = (
-            bpe_pair_counts(words)
-            .orderBy(F.desc("pf"), "a", "b")
-            .limit(1)
-            .first()
-        )
-        if top is None:
-            raise ValueError(
-                f"BPE merge {rank}: corpus vocabulary has no adjacent "
-                "symbol pairs left to merge"
-            )
-        merges.append((rank, top.a, top.b, top.a + top.b, top.pf))
-        words = bpe_apply_merge(words, top.a, top.b)
-    return merges, words
+    """Run merge discovery; return the learned rules and the vocabulary
+    with all rules applied. Delegates to the BATCHED trainer
+    (operators/text.py:bpe_learn_merges) — provably identical rules to
+    the one-argmax-per-pass sequential loop (parity pinned in
+    tests/test_llm_ops.py), but the pass count scales with the corpus'
+    frequency-plateau structure instead of 1:1 with merges, which is
+    what makes production vocabulary sizes (~30k rules) feasible."""
+    return bpe_learn_merges(words, n)
 
 
 @register("ext_bpe_merges", oracle=_bpe_oracle(N_MERGES))
@@ -160,10 +152,11 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     across all word representations. Returns (merge_rank, lhs, rhs,
     merged, pair_freq) — N driver-hashable rows.
 
-    The driver loop is the algorithm, not an anti-pattern: each
-    ``.first()`` collects exactly one argmax row (the learned rule), and
-    everything between barriers is declarative DataFrame work over the
-    persisted vocabulary."""
+    The per-pass driver collect is the algorithm, not an anti-pattern:
+    the merge table is the model being learned (driver-side state in
+    every BPE trainer), and everything between barriers is declarative
+    DataFrame work over the persisted vocabulary; batching keeps the
+    barrier count sublinear in the merge count."""
     d = load_tables(spark, sf_dir)["documents"]
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
