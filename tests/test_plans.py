@@ -686,3 +686,34 @@ def test_epoch_shuffle_is_one_exchange_local_sort(spark, sf_dir):
     assert sorts == ["false"]
     # The expanded corpus scan prunes to doc_id only.
     assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+def test_corpus_prep_pipeline_has_no_corpus_sized_global_sort(spark, sf_dir):
+    """ext_corpus_prep_pipeline (the fused dedup -> select -> gate ->
+    mix -> shuffle -> pack flow): no global sort / range partitioning
+    anywhere, every Sort shard- or partition-local, and the only
+    unpartitioned Window runs over the O(#sources) stats aggregate —
+    never over corpus rows. The shuffle+pack tail reuses ONE
+    (epoch, shard) exchange for both window passes."""
+    import re
+
+    df = REGISTRY["ext_corpus_prep_pipeline"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "rangepartitioning" not in p
+    # every physical Sort is local (second argument false = not global)
+    sorts = re.findall(r"\(\d+\) Sort\n.*\nArguments: \[.*\], (\w+),", p)
+    assert sorts and all(s == "false" for s in sorts), p
+    # exactly one exchange keyed on (epoch, shard): rank + running
+    # offset share it (EnsureRequirements reuses the partitioning)
+    assert p.count("hashpartitioning(epoch") == 1, p
+    # the temperature-mix multiplier's unpartitioned window runs over
+    # the per-source stats aggregate, never corpus rows: the plan's
+    # single-partition exchanges are bounded (one for that tiny stats
+    # window; AQE may add none elsewhere) — a corpus-sized global
+    # window would show up as an extra SinglePartition exchange
+    assert p.count("Exchange SinglePartition") <= 1, p
+    # Window count: mix multiplier (over stats), shuffle rank, pack
+    # running offset — no more
+    tree = p.split("\n\n")[0]
+    assert tree.count(") Window") <= 3, p
+    spark.catalog.clearCache()

@@ -130,6 +130,7 @@ def epoch_shuffle(
     n_epochs: int = 2,
     n_shards: int = 8,
     salt: str = "",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic epoch shuffle: for each of `n_epochs` epochs, give
     every row a (shard, pos) under an epoch-salted md5 permutation —
@@ -148,7 +149,11 @@ def epoch_shuffle(
     length-prefix encoded into the hash input, so distinct key TUPLES
     never hash identically even when values contain the delimiter.
 
-    Returns (epoch int, shard int, pos bigint, <id cols>).
+    ``carry`` columns pass through UNHASHED (payload the consumer needs
+    per shuffled row — e.g. the char budget a downstream packer bins
+    on) so pipelines don't need a corpus-sized join back to the input.
+
+    Returns (epoch int, shard int, pos bigint, <id cols>, <carry>).
     """
     if n_epochs < 1 or n_shards < 1:
         # sequence(0, n_epochs-1) silently flips to a DESCENDING range
@@ -158,8 +163,10 @@ def epoch_shuffle(
             f"got n_epochs={n_epochs}, n_shards={n_shards}"
         )
     id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    carry_cols = list(carry)
     epochs = df.select(
         *id_cols,
+        *carry_cols,
         F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
     )
     # Length-prefixed component encoding ("-<len>:<value>") so the
@@ -184,6 +191,7 @@ def epoch_shuffle(
         shard.alias("shard"),
         F.substring(hx, 9, 16).alias("_hkey"),
         *id_cols,
+        *carry_cols,
     )
     w = Window.partitionBy("epoch", "shard").orderBy("_hkey", *id_cols)
     return keyed.select(
@@ -191,4 +199,5 @@ def epoch_shuffle(
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
         *id_cols,
+        *carry_cols,
     )

@@ -114,15 +114,34 @@ def _green_correctness_rows() -> frozenset[str]:
     return frozenset(green)
 
 
-# Static floor: every registry key green across CORRECTNESS_r01/r02/r03
-# as of round 4 — kept as a literal so a checkout WITHOUT the correctness
+# Static floor: every registry key green across CORRECTNESS_r01/r02/r03/r05
+# as of round 6 — kept as a literal so a checkout WITHOUT the correctness
 # files (fresh clone, driver sandbox) still orders correctly. The live
 # set below unions this with whatever newer files record.
 # NOTE: membership requires a green row, not merely a sampled row — r3's
 # set was built from sampled keys and silently retired ext_ivm_join, whose
 # only driver row (r1) was a hash MISMATCH (decimal-vs-float pandas bridge,
-# fixed in round 4 by casting the output to double).
+# fixed in round 4 by casting the output to double; green in r5).
 _VERIFIED_FLOOR: frozenset[str] = frozenset({
+    # round-5 greens (CORRECTNESS_r05.json: 50/50 hash_match)
+    "ext_ivm_join", "ext_feature_hash", "ext_mm_features",
+    "ext_pii_redact", "ext_url_filter", "ext_ann_bruteforce_np",
+    "op10b_export_csv", "op36b_replace_first",
+    "sql_pricing_summary", "sql_shipping_priority", "sql_local_supplier_volume",
+    "sql_revenue_change", "sql_big_spenders", "sql_order_priority_check",
+    "sql_customers_without_orders", "sql_grouping_sets", "sql_hypertable_rollup",
+    "sql_monthly_volume", "sql_nation_volume", "sql_order_count_distribution",
+    "sql_top_supplier", "sql_small_quantity_revenue", "sql_large_orders",
+    "sql_rolling_7day", "sql_balance_rank", "sql_min_price_supplier",
+    "sql_market_share", "sql_nation_profit", "sql_returned_items",
+    "sql_priority_linestatus", "sql_promo_revenue_ratio", "sql_supplier_part_counts",
+    "sql_disjunctive_parts", "sql_top_part_suppliers", "sql_sole_returner",
+    "sql_idle_customers", "sql_nation_set_ops", "sql_first_last_window",
+    "sql_recursive_calendar", "sql_lateral_topk", "sql_group_by_all",
+    "sql_bag_set_ops", "sql_filter_clause", "sql_important_parts",
+    "sql_percent_of_total", "sql_cube", "sql_pipe_syntax",
+    "sql_parameterized", "sql_listagg", "sql_scalar_correlated",
+    # rounds 1-3 greens
     "ext_ann_bruteforce", "ext_ann_ivf", "ext_ann_lsh",
     "ext_ann_recall", "ext_bigram_topk", "ext_bm25",
     "ext_chunk_documents", "ext_contamination", "ext_corpus_mix",
@@ -173,41 +192,25 @@ DRIVER_VERIFIED: frozenset[str] = _VERIFIED_FLOOR | _green_correctness_rows()
 def _ordered_names() -> list[str]:
     """Driver-facing key order. The round driver evaluates queries in dict
     order and stops after a fixed budget (~50 keys per round), so the order
-    IS the coverage policy. Policy (set round 4, still operative in round 5
-    because no new driver correctness file has landed since r3): lead with
-    the three keys that were sampled but never green (the two array-output
-    canonicalizer crashes and the decimal-bridge hash miss — all three
-    reshaped in r4), then the round-3 additions that have never been
-    sampled, then the full sql_* SQL surface (the reference's stated
-    purpose and the largest block with no driver evidence), then the
-    lakehouse fact paths, sketches, and graph set; everything already
-    driver-green goes last. Round-5 additions (BPE, band planner, cluster
-    best-copy, PQ, SemDeDup) queue automatically in the
-    never-driver-verified middle tier until a future window reaches them;
-    all have SIM_r05 green rows."""
-    round4_head = [
-        # Sampled in r1/r3 but never green — fixed this round, must re-run.
-        "ext_ivm_join", "ext_feature_hash", "ext_mm_features",
-        # Round-3 additions, never sampled.
-        "ext_pii_redact", "ext_url_filter", "ext_ann_bruteforce_np",
-        "op10b_export_csv", "op36b_replace_first",
-        # The SQL surface (TPC-H-style + dialect features), reg. order.
-        "sql_pricing_summary", "sql_shipping_priority", "sql_local_supplier_volume",
-        "sql_revenue_change", "sql_big_spenders", "sql_order_priority_check",
-        "sql_customers_without_orders", "sql_grouping_sets", "sql_hypertable_rollup",
-        "sql_monthly_volume", "sql_nation_volume", "sql_order_count_distribution",
-        "sql_top_supplier", "sql_small_quantity_revenue", "sql_large_orders",
-        "sql_rolling_7day", "sql_balance_rank", "sql_min_price_supplier",
-        "sql_market_share", "sql_nation_profit", "sql_returned_items",
-        "sql_priority_linestatus", "sql_promo_revenue_ratio", "sql_supplier_part_counts",
-        "sql_disjunctive_parts", "sql_top_part_suppliers", "sql_sole_returner",
-        "sql_idle_customers", "sql_nation_set_ops", "sql_first_last_window",
-        "sql_recursive_calendar", "sql_lateral_topk", "sql_group_by_all",
-        "sql_bag_set_ops", "sql_filter_clause", "sql_important_parts",
-        "sql_percent_of_total", "sql_cube", "sql_pipe_syntax",
-        "sql_parameterized", "sql_listagg", "sql_scalar_correlated",
+    IS the coverage policy. Round-6 policy (VERDICT r5 item 1): lead with
+    the round-5/6 LLM-curation tier (the engine's flagship extension
+    claims, zero driver evidence so far), then the one sql_* key the r5
+    window missed, then the lakehouse fact paths, sketches, graph set and
+    asof/range joins; the remaining never-sampled middle follows in
+    registration order, and everything already driver-green goes last.
+    The pinned head is rotation-aware (keys demote once a committed
+    correctness file records them green), so this list self-retires."""
+    round6_head = [
+        # LLM-curation tier: round-5 additions + the round-6 fused
+        # corpus-prep pipeline — flagship claims, never driver-sampled.
+        "ext_corpus_prep_pipeline",
+        "ext_bpe_merges", "ext_bpe_encode",
+        "ext_ann_pq", "ext_semantic_dedup",
+        "ext_lsh_band_plan", "ext_cluster_best_copy", "ext_split_leakage",
+        "ext_source_similarity", "ext_temperature_mix", "ext_epoch_shuffle",
+        # The one sql_* key the r5 window did not reach.
         "sql_window_range_interval",
-        # Lakehouse fact paths, sketches, graph — next in line.
+        # Lakehouse fact paths, sketches, graph, temporal joins.
         "ext_merge_upsert_fact", "ext_scd2_intervals",
         "ext_kmv_sketch", "ext_cms_freq", "ext_hdr_quantiles",
         "ext_heavy_hitters",
@@ -218,13 +221,13 @@ def _ordered_names() -> list[str]:
     # real registry key (a rename upstream would otherwise quietly drop the
     # query from the driver-sampled head of the ordering). Raise — not
     # assert — so the guard survives `python -O`.
-    missing = [n for n in round4_head if n not in REGISTRY]
+    missing = [n for n in round6_head if n not in REGISTRY]
     if missing:
         raise ValueError(f"ordering names not in REGISTRY: {missing}")
     # The pinned head is itself rotation-aware: once a pinned key gets a
     # green correctness row (next round's committed file), it demotes with
     # everything else instead of hogging the sample window forever.
-    ordered: list[str] = [n for n in round4_head if n not in DRIVER_VERIFIED]
+    ordered: list[str] = [n for n in round6_head if n not in DRIVER_VERIFIED]
     # Remaining never-driver-verified keys, registration order.
     ordered += [
         n for n in REGISTRY
@@ -269,6 +272,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_metrics,
     ext_multimodal,
     ext_optim,
+    ext_pipeline,
     ext_regression,
     ext_rollups,
     ext_scale,
