@@ -273,3 +273,119 @@ def test_ivm_join_view_equals_full_recompute(spark, sf_dir):
     }
     assert got == want
     assert latest_version(loc_v) == 1
+
+
+def _torn_commit_states():
+    """Crash points of the sidecar (no-hardlink) commit protocol, as
+    log-directory residue: (claim present?, tmp bodies present?)."""
+    return [
+        ("crash_after_tmp_before_claim", False, ["a"]),
+        ("crash_after_claim_before_rename", True, ["a"]),
+        ("crash_after_claim_retry_left_two_tmps", True, ["a", "b"]),
+        ("crash_after_claim_tmp_lost", True, []),
+    ]
+
+
+@pytest.mark.parametrize(
+    "label,claimed,tmps", _torn_commit_states(),
+    ids=[s[0] for s in _torn_commit_states()],
+)
+def test_torn_commit_recovery_restores_writability(
+    spark, nation, tmp_path, monkeypatch, label, claimed, tmps
+):
+    """Mid-commit crash/restart property of the O_EXCL-sidecar + rename
+    protocol (ADVICE r4 fix): whatever residue a crash leaves, (a)
+    readers never see a partial manifest — latest_version/read_table
+    serve only fully published versions; (b) recover_torn_commits
+    resolves the residue (roll forward when a durable body survived,
+    roll back otherwise); (c) the table is writable again afterwards
+    and fsck is clean."""
+    import json
+    import os
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        _log_dir,
+        fsck,
+        recover_torn_commits,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(nation.filter(F.col("n_regionkey") < 2), path)  # v0
+    log = _log_dir(path)
+    # fabricate the residue of a crashed commit of version 1
+    torn = 1
+    body = {"version": torn, "mode": "append", "dirs": ["data-000001-x"]}
+    for suffix in tmps:
+        with open(os.path.join(log, f"v{torn}.json.tmp-{suffix}"), "w") as f:
+            json.dump(body, f)
+    if claimed:
+        os.close(
+            os.open(
+                os.path.join(log, f"v{torn}.json.claim"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        )
+    # (a) readers: the torn version is invisible
+    assert latest_version(path) == 0
+    assert read_table(spark, path).count() == nation.filter(
+        F.col("n_regionkey") < 2
+    ).count()
+    # a claimed-but-unpublished version refuses new commits with the
+    # torn-commit diagnosis instead of silently clobbering — on a
+    # no-hardlink filesystem (the branch the claim protocol serves;
+    # simulate by making link(2) fail with ENOTSUP)
+    if claimed:
+        import errno
+
+        def no_link(*a, **k):
+            raise OSError(errno.ENOTSUP, "hard links unsupported")
+
+        with monkeypatch.context() as m:
+            m.setattr(os, "link", no_link)
+            with pytest.raises(ValueError, match="torn commit"):
+                write_table(nation.filter(F.col("n_regionkey") >= 2), path)
+    # (b) recovery resolves the residue
+    report = recover_torn_commits(path)
+    rolled_forward = claimed and bool(tmps)
+    if rolled_forward:
+        assert report["rolled_forward"] == [torn]
+        assert latest_version(path) == torn
+    else:
+        assert report["rolled_forward"] == []
+        assert latest_version(path) == 0
+    # no tmp residue survives recovery
+    assert not [e for e in os.listdir(log) if ".tmp-" in e]
+    # (c) the next commit succeeds and history reads clean end to end
+    if rolled_forward:
+        # the rolled-forward manifest references a dir the fabricated
+        # crash never wrote — exactly what fsck exists to flag
+        assert fsck(path)["missing"] == ["data-000001-x"]
+    else:
+        v = write_table(nation.filter(F.col("n_regionkey") >= 2), path)
+        assert v == torn
+        assert latest_version(path) == torn
+        report2 = fsck(path)
+        assert report2["missing"] == []
+        # a REFUSED claimed-case commit attempt above left its data dir
+        # behind — precisely the torn-write residue fsck flags as an
+        # orphan for vacuum; nothing else may be orphaned
+        assert len(report2["orphans"]) == (1 if claimed else 0)
+        assert read_table(spark, path).count() == nation.count()
+
+
+def test_recovery_is_noop_on_healthy_table(spark, nation, tmp_path):
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        fsck,
+        recover_torn_commits,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(nation, path)
+    write_table(nation.filter(F.col("n_regionkey") == 0), path)
+    assert recover_torn_commits(path) == {
+        "rolled_forward": [],
+        "rolled_back": [],
+        "swept": [],
+    }
+    assert latest_version(path) == 1
+    assert fsck(path) == {"missing": [], "orphans": []}

@@ -114,12 +114,86 @@ def _commit(
         try:
             os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
         except FileExistsError:
-            raise ValueError(f"version {version} already committed")
+            if os.path.exists(target):
+                raise ValueError(f"version {version} already committed")
+            # Claim without manifest: the previous claimant crashed
+            # between claim and publication (or is still in flight —
+            # indistinguishable without leases). Refuse rather than
+            # clobber; a restarted single writer resolves it explicitly.
+            raise ValueError(
+                f"version {version} claim exists without a published "
+                f"manifest (torn commit) — run recover_torn_commits() "
+                f"after confirming no committer is in flight"
+            )
         os.rename(tmp, target)
         return
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
+
+
+def recover_torn_commits(path: str) -> dict:
+    """Restart-time recovery for commits torn by a crash — ONLY safe
+    under the restart guarantee (no committer currently in flight; the
+    in-flight and crashed-pre-publication states are indistinguishable
+    without leases, which is why ``_commit`` refuses instead of healing
+    inline).
+
+    Resolution per transaction-log residue:
+
+    - claim sidecar WITHOUT a published manifest, with a surviving
+      fsynced tmp body → ROLL FORWARD: the claimant had durably decided
+      the content, so publish it (lexicographically first tmp when a
+      pre-claim retry crash left several — none was ever acknowledged,
+      so either body is a correct commit);
+    - claim without manifest and no tmp → ROLL BACK: remove the claim
+      so a retry can commit the version;
+    - tmp bodies whose manifest IS published (link-path crash residue,
+      or pre-claim crashes) → swept: the commit point is the
+      link/rename, so an unpublished unclaimed body was never promised.
+
+    Readers are safe throughout: discovery matches ``v*.json`` exactly,
+    and publication stays an atomic rename of an fsynced file. Returns
+    {"rolled_forward": [versions], "rolled_back": [versions],
+    "swept": [filenames]}.
+    """
+    log = _log_dir(path)
+    out: dict = {"rolled_forward": [], "rolled_back": [], "swept": []}
+    if not os.path.isdir(log):
+        return out
+    for entry in sorted(os.listdir(log)):
+        if not entry.endswith(".json.claim"):
+            continue
+        manifest = entry[: -len(".claim")]
+        target = os.path.join(log, manifest)
+        if os.path.exists(target):
+            continue  # published; the claim is normal sidecar residue
+        tmps = sorted(
+            e
+            for e in os.listdir(log)
+            if e.startswith(manifest + ".tmp-")
+        )
+        version = int(manifest[1:-5])
+        if tmps:
+            os.rename(os.path.join(log, tmps[0]), target)
+            out["rolled_forward"].append(version)
+        else:
+            os.remove(os.path.join(log, entry))
+            out["rolled_back"].append(version)
+    for entry in sorted(os.listdir(log)):
+        if ".json.tmp-" not in entry:
+            continue
+        manifest = entry.split(".json.tmp-")[0] + ".json"
+        published = os.path.exists(os.path.join(log, manifest))
+        claimed = os.path.exists(os.path.join(log, manifest + ".claim"))
+        # Published → residue of a completed commit. Unclaimed and
+        # unpublished → a pre-claim crash body that was never promised;
+        # sweeping it keeps a FUTURE roll-forward from resurrecting
+        # stale content ahead of a newer claimant's body.
+        if published or not claimed:
+            os.remove(os.path.join(log, entry))
+            out["swept"].append(entry)
+    return out
 
 
 def _column_stats(df: DataFrame, cols: list[str]) -> dict:
