@@ -36,6 +36,8 @@ HEADLINE = [
     "ext_tfidf",
     "ext_quality_filter_pipeline",
     "ext_bloom_semijoin",
+    # Round-6 flagship extension: the fused corpus-prep flow
+    "ext_corpus_prep_pipeline",
 ]
 
 
