@@ -78,6 +78,10 @@ DEFAULT_QUERIES = [
     # the global-sort blowup the op exists to avoid).
     "ext_temperature_mix",
     "ext_epoch_shuffle",
+    # Round-6 addition: the fused dedup -> select -> gate -> mix ->
+    # shuffle -> pack pipeline — the composition must inherit every
+    # stage's scaling, not multiply their constants.
+    "ext_corpus_prep_pipeline",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica
