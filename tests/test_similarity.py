@@ -172,3 +172,16 @@ def test_pq_seed_clusters_survive_stride_aligned_ids(spark, emb):
     evens = emb.withColumn("vec_id", F.col("vec_id") * 2)
     codebook, _ = pq_index(evens, m=4, k=16, dims=64)
     assert codebook.count() == 4 * 16
+
+
+def test_pq_index_supports_string_ids(spark, emb):
+    """md5-prefix seeding must work for non-numeric id spaces (the
+    advisor's second degenerate case for the old id % k seed)."""
+    from world_cup_duckdb_spark.operators.similarity import pq_index
+
+    named = emb.withColumn(
+        "vec_id", F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+    )
+    codebook, codes = pq_index(named, m=4, k=16, dims=64)
+    assert codebook.count() == 4 * 16
+    assert codes.filter(F.col("vid").startswith("doc-")).count() == codes.count()
