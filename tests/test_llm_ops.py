@@ -735,3 +735,52 @@ def test_bpe_repersist_checkpoint_preserves_results(spark):
         for r in bpe_learn_merges(df, 5, repersist_every=10**9)[1].collect()
     )
     spark.catalog.clearCache()
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "words,n",
+    [
+        # all-tie plateau with shared symbols: lexicographic tie-breaks
+        # decide every pick; the cap forces near-singleton batches
+        ([("ab", 10), ("bc", 10), ("ca", 10)], 4),
+        # self-overlapping runs: greedy left-to-right replace semantics
+        ([("aaaa", 7), ("aaab", 5)], 4),
+        # created-pair overtake: merging (a,b) in 'abab' creates (ab,ab)
+        # with pf 10 > (c,d)'s 9 — naive disjoint-top-k batching would
+        # merge (c,d) second; sequential (and the cap rule) picks
+        # (ab,ab). This fixture is the soundness cap's reason to exist.
+        ([("abab", 10), ("cd", 9)], 3),
+        # decreasing conflict: (x,a) outcounts everything but shares a
+        # symbol with the head pick, so it caps the whole batch
+        ([("xab", 6), ("ab", 5), ("cd", 4)], 3),
+    ],
+    ids=["tie-plateau", "self-overlap", "created-pair-overtake",
+         "conflict-caps-batch"],
+)
+def test_bpe_batched_equals_sequential_adversarial(spark, words, n):
+    """Exact-mode batching must equal the sequential trainer on corpora
+    engineered to break naive batch acceptance (ties, self-overlap,
+    merge-created pairs overtaking, high-count conflicts)."""
+    from world_cup_duckdb_spark.operators.text import (
+        bpe_initial_repr,
+        bpe_learn_merges,
+        bpe_learn_merges_sequential,
+    )
+
+    df = spark.createDataFrame(words, ["word", "freq"]).select(
+        "word", "freq", bpe_initial_repr("word").alias("repr")
+    )
+    try:
+        seq, seq_w = bpe_learn_merges_sequential(df, n)
+    except ValueError:
+        with pytest.raises(ValueError):
+            bpe_learn_merges(df, n)
+        return
+    bat, bat_w = bpe_learn_merges(df, n)
+    assert bat == seq
+    assert sorted(r["repr"] for r in bat_w.collect()) == sorted(
+        r["repr"] for r in seq_w.collect()
+    )
