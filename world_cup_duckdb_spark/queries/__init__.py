@@ -288,5 +288,6 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     scalars,
     sql_surface,
     sql_surface2,
+    sql_surface3,
     wc_pipeline,
 )
