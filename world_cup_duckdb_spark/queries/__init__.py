@@ -204,7 +204,7 @@ def _ordered_names() -> list[str]:
         # LLM-curation tier: round-5 additions + the round-6 fused
         # corpus-prep pipeline — flagship claims, never driver-sampled.
         "ext_corpus_prep_pipeline",
-        "ext_bpe_merges", "ext_bpe_encode",
+        "ext_bpe_merges", "ext_bpe_encode", "ext_bpe_merges_scaled",
         "ext_ann_pq", "ext_semantic_dedup",
         "ext_lsh_band_plan", "ext_cluster_best_copy", "ext_split_leakage",
         "ext_source_similarity", "ext_temperature_mix", "ext_epoch_shuffle",
