@@ -389,3 +389,76 @@ def test_recovery_is_noop_on_healthy_table(spark, nation, tmp_path):
     }
     assert latest_version(path) == 1
     assert fsck(path) == {"missing": [], "orphans": []}
+
+
+def test_recovery_skips_partial_bodies_and_stray_claims(
+    spark, nation, tmp_path
+):
+    """Review findings r6: (a) roll-forward must json-validate candidate
+    bodies — a crash mid-write can leave a partial tmp lexicographically
+    BEFORE the retry's complete fsynced body, and publishing the partial
+    would wedge every later read; (b) a stray foreign *.json.claim file
+    must not abort recovery."""
+    import json
+    import os
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        _log_dir,
+        latest_version,
+        recover_torn_commits,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(nation, path)  # v0
+    log = _log_dir(path)
+    # partial (invalid JSON) body sorts before the valid retry body
+    with open(os.path.join(log, "v1.json.tmp-aaa"), "w") as f:
+        f.write('{"version": 1, "mode": "appe')  # torn mid-write
+    with open(os.path.join(log, "v1.json.tmp-bbb"), "w") as f:
+        json.dump({"version": 1, "mode": "append", "dirs": []}, f)
+    os.close(os.open(
+        os.path.join(log, "v1.json.claim"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    ))
+    # stray claim that is not commit residue
+    with open(os.path.join(log, "backup.json.claim"), "w") as f:
+        f.write("junk")
+    report = recover_torn_commits(path)
+    assert report["rolled_forward"] == [1]
+    assert latest_version(path) == 1
+    # the published manifest parses and identifies as v1
+    with open(os.path.join(log, "v1.json")) as f:
+        assert json.load(f)["version"] == 1
+    # the partial body was swept, the stray claim left untouched
+    assert not [e for e in os.listdir(log) if ".tmp-" in e]
+    assert os.path.exists(os.path.join(log, "backup.json.claim"))
+
+
+def test_recovery_rolls_back_when_only_partial_bodies_exist(
+    spark, nation, tmp_path
+):
+    import json
+    import os
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        _log_dir,
+        latest_version,
+        recover_torn_commits,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(nation, path)  # v0
+    log = _log_dir(path)
+    with open(os.path.join(log, "v1.json.tmp-aaa"), "w") as f:
+        f.write("{not json")
+    os.close(os.open(
+        os.path.join(log, "v1.json.claim"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    ))
+    report = recover_torn_commits(path)
+    assert report["rolled_forward"] == []
+    assert report["rolled_back"] == [1]
+    assert latest_version(path) == 0
+    # version 1 is writable again
+    v = write_table(nation.filter(F.col("n_regionkey") == 0), path)
+    assert v == 1

@@ -756,9 +756,17 @@ import pytest
         # decreasing conflict: (x,a) outcounts everything but shares a
         # symbol with the head pick, so it caps the whole batch
         ([("xab", 6), ("ab", 5), ("cd", 4)], 3),
+        # SELF-pick created-pair overtake (review finding r6): merging
+        # (a,a) in 'aaaa' creates (aa,aa) with pf 10 > (c,d)'s 9, and
+        # its boundary pair is the pick ITSELF — neither rejected nor
+        # unseen, so only the self-pair cap fold keeps batched ==
+        # sequential ([(1,a,a,aa,30),(2,aa,aa,aaaa,10)], never (c,d))
+        ([("aaaa", 10), ("cd", 9)], 2),
+        # non-head self-pick mid-batch: same bound, later position
+        ([("xy", 20), ("aaaa", 4), ("cd", 3)], 3),
     ],
     ids=["tie-plateau", "self-overlap", "created-pair-overtake",
-         "conflict-caps-batch"],
+         "conflict-caps-batch", "self-pick-head", "self-pick-mid"],
 )
 def test_bpe_batched_equals_sequential_adversarial(spark, words, n):
     """Exact-mode batching must equal the sequential trainer on corpora

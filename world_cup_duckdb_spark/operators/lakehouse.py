@@ -157,25 +157,44 @@ def recover_torn_commits(path: str) -> dict:
     {"rolled_forward": [versions], "rolled_back": [versions],
     "swept": [filenames]}.
     """
+    import re as _re
+
     log = _log_dir(path)
     out: dict = {"rolled_forward": [], "rolled_back": [], "swept": []}
     if not os.path.isdir(log):
         return out
     for entry in sorted(os.listdir(log)):
-        if not entry.endswith(".json.claim"):
+        # Strict name guard: only claims of the v<digits>.json family are
+        # commit residue; a stray foreign file (operator copy, editor
+        # artifact) must not abort the one path that restores a broken
+        # table. latest_version() applies the same discipline.
+        m = _re.fullmatch(r"v(\d+)\.json\.claim", entry)
+        if not m:
             continue
         manifest = entry[: -len(".claim")]
         target = os.path.join(log, manifest)
         if os.path.exists(target):
             continue  # published; the claim is normal sidecar residue
-        tmps = sorted(
-            e
-            for e in os.listdir(log)
-            if e.startswith(manifest + ".tmp-")
-        )
-        version = int(manifest[1:-5])
-        if tmps:
-            os.rename(os.path.join(log, tmps[0]), target)
+        version = int(m.group(1))
+        # Roll forward only a VALID durable body: a crash mid-write can
+        # leave a partial (never-fsynced) tmp alongside a complete one
+        # from a retry — publishing the partial would wedge every later
+        # read at json.load. Parse each candidate and require the body
+        # to identify as this version.
+        chosen = None
+        for t in sorted(
+            e for e in os.listdir(log) if e.startswith(manifest + ".tmp-")
+        ):
+            try:
+                with open(os.path.join(log, t)) as f:
+                    body = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if isinstance(body, dict) and body.get("version") == version:
+                chosen = t
+                break
+        if chosen is not None:
+            os.rename(os.path.join(log, chosen), target)
             out["rolled_forward"].append(version)
         else:
             os.remove(os.path.join(log, entry))

@@ -187,6 +187,7 @@ def bpe_learn_merges(
     candidate_pool: int = 256,
     exact: bool = True,
     repersist_every: int = 64,
+    persist_fn=None,
 ) -> tuple[list[tuple[int, str, str, str, int]], "DataFrame"]:
     """Learn ``n_merges`` BPE rules with BATCHED merge discovery.
 
@@ -260,9 +261,11 @@ def bpe_learn_merges(
     Returns (merges, words) where merges is a list of
     (rank, lhs, rhs, merged, pair_freq) and words has all rules applied.
     When re-materialization triggered, the returned relation reads from
-    an internal persisted checkpoint — unpersist it via
-    ``spark.catalog.clearCache()`` (or let the session's next registry
-    query release it) once the result is consumed.
+    an internal persisted checkpoint. ``persist_fn`` controls that
+    checkpoint's lifecycle: pass a scoped helper (the registry queries
+    pass ``tracked_persist``, releasing it on the next query's entry);
+    the default is a bare ``DataFrame.persist`` — then unpersist via
+    ``spark.catalog.clearCache()`` once the result is consumed.
     """
     symbols = {
         r["s"]
@@ -314,10 +317,25 @@ def bpe_learn_merges(
                     accepted.append(r)
                     used.update((r.a, r.b, fresh))
         if exact:
-            # Keep the strict-majority prefix: pf descending, so the
-            # filter is a prefix; trimmed picks have pf <= cap and thus
-            # never beat a survivor even if counted into cap themselves.
-            batch += [r for r in accepted if r.pf > cap]
+            # Keep the provably-sequential prefix: a pick survives only
+            # while its pf strictly exceeds everything it could be
+            # racing against after earlier merges apply — rejected and
+            # unseen pairs (cap), PLUS the self-pair bound: merging a
+            # SELF-pick (t, t) creates (tt, tt) pairs whose pre-merge
+            # boundary pair is the pick ITSELF (neither rejected nor
+            # unseen), so each accepted self-pick folds its own pf into
+            # the running cap. pf is descending, so the scan below is a
+            # prefix; trimmed picks never beat a survivor even if
+            # counted into cap themselves.
+            cap_now = cap
+            if head.a == head.b:
+                cap_now = max(cap_now, head.pf)
+            for r in accepted:
+                if r.pf <= cap_now:
+                    break
+                batch.append(r)
+                if r.a == r.b:
+                    cap_now = max(cap_now, r.pf)
         else:
             batch += accepted
         batch = batch[: n_merges - len(merges)]
@@ -329,7 +347,7 @@ def bpe_learn_merges(
         if unmaterialized >= repersist_every and len(merges) < n_merges:
             # Reset the replace chain: persist + materialize, then drop
             # OUR previous checkpoint (never the caller's input cache).
-            words = words.persist()
+            words = (persist_fn or (lambda df: df.persist()))(words)
             words.count()
             if our_cache is not None:
                 our_cache.unpersist()

@@ -246,6 +246,10 @@ def ext_bpe_merges_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", "freq", bpe_initial_repr("word").alias("repr")
     ).transform(tracked_persist)
     merges, _ = bpe_learn_merges(
-        words, N_MERGES_SCALED, exact=False, repersist_every=48
+        words,
+        N_MERGES_SCALED,
+        exact=False,
+        repersist_every=48,
+        persist_fn=tracked_persist,
     )
     return spark.createDataFrame(merges, _MERGE_SCHEMA)

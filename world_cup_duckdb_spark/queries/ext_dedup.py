@@ -735,10 +735,40 @@ def ext_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _best_copy_oracle() -> str:
+def quality_expr():
+    """Shared length/stopword quality score over stage_token_counts
+    columns (n_tokens, en_n) — ONE definition consumed by
+    ext_cluster_best_copy AND the fused corpus-prep pipeline
+    (queries/ext_pipeline.py), so the canonical-selection policy cannot
+    silently diverge between the per-stage query and the composition."""
+    stop_ratio = F.col("en_n") / F.col("n_tokens").cast("double")
+    return (
+        F.least(F.lit(1.0), F.col("n_tokens") / F.lit(200.0)) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 8.0) * 0.5
+    )
+
+
+def quality_scored_sql(src: str = "corpus") -> str:
+    """DuckDB twin of :func:`quality_expr` as a (doc_id, q) subquery
+    over ``src`` — the single SQL spelling of the quality policy."""
     from world_cup_duckdb_spark.operators.text import STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+      SELECT doc_id,
+             least(1.0, n_tokens / 200.0) * 0.5
+               + least(1.0, (n_stop / CAST(n_tokens AS DOUBLE)) * 8.0) * 0.5
+               AS q
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ({en}))) AS INT) AS n_stop
+        FROM {src}
+      )"""
+
+
+def _best_copy_oracle() -> str:
     return f"""
     WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
     tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
@@ -782,18 +812,7 @@ def _best_copy_oracle() -> str:
       SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
       FROM reach GROUP BY src
     ),
-    scored AS (
-      SELECT doc_id,
-             least(1.0, n_tokens / 200.0) * 0.5
-               + least(1.0, (n_stop / CAST(n_tokens AS DOUBLE)) * 8.0) * 0.5
-               AS q
-      FROM (
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-               CAST(len(list_filter(string_split(text, ' '),
-                                    w -> w IN ({en}))) AS INT) AS n_stop
-        FROM corpus
-      )
+    scored AS ({quality_scored_sql("corpus")}
     ),
     members AS (
       SELECT c.doc_id, COALESCE(r.cluster_id, c.doc_id) AS cluster_id
@@ -843,12 +862,7 @@ def ext_cluster_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_bands(corpus, num_hashes=8, band_size=2).transform(tracked_persist)
     clusters = connected_components(lsh_star_edges(bands))
     counted = stage_token_counts(corpus, keep=("doc_id",), langs=("en",))
-    stop_ratio = F.col("en_n") / F.col("n_tokens").cast("double")
-    quality = (
-        F.least(F.lit(1.0), F.col("n_tokens") / F.lit(200.0)) * 0.5
-        + F.least(F.lit(1.0), stop_ratio * 8.0) * 0.5
-    )
-    scored = counted.select("doc_id", quality.alias("q"))
+    scored = counted.select("doc_id", quality_expr().alias("q"))
     members = (
         corpus.select("doc_id")
         .join(clusters, "doc_id", "left")
@@ -932,6 +946,19 @@ def _split_sql(key: str) -> str:
     )
 
 
+def split_bucket(key):
+    """Spark twin of :func:`_split_sql`'s bucket arithmetic: the 0-9
+    md5-nibble bucket of a key column — ONE definition for
+    ext_split_leakage and the fused pipeline's train gate."""
+    from world_cup_duckdb_spark.functions.strings import (
+        hex_nibble,
+        md5_bucket,
+    )
+
+    h = md5_bucket(F.col(key) if isinstance(key, str) else key)
+    return (hex_nibble(h, 1) * 16 + hex_nibble(h, 2)) % 10
+
+
 def _split_leakage_oracle() -> str:
     def mode_sql(mode: str, key: str) -> str:
         return f"""
@@ -993,8 +1020,7 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def split_of(key: str):
-        h = md5_bucket(F.col(key))
-        b = (hex_nibble(h, 1) * 16 + hex_nibble(h, 2)) % 10
+        b = split_bucket(key)
         return (
             F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
         )

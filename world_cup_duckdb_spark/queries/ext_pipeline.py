@@ -35,20 +35,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from world_cup_duckdb_spark.functions.strings import hex_nibble, md5_bucket
 from world_cup_duckdb_spark.operators.dedup import (
     connected_components,
     lsh_star_edges,
     minhash_bands,
     with_recrawl,
 )
-from world_cup_duckdb_spark.operators.text import STOPWORDS, stage_token_counts
+from world_cup_duckdb_spark.operators.text import stage_token_counts
 from world_cup_duckdb_spark.operators.training import (
     epoch_shuffle,
     temperature_mix,
 )
 from world_cup_duckdb_spark.queries import register, tracked_persist
-from world_cup_duckdb_spark.queries.ext_dedup import _CLUSTER_CTES, _split_sql
+from world_cup_duckdb_spark.queries.ext_dedup import (
+    _CLUSTER_CTES,
+    _split_sql,
+    quality_expr,
+    quality_scored_sql,
+    split_bucket,
+)
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 #: Recrawl id offset (operators/dedup.py:with_recrawl default) — maps a
@@ -65,21 +70,9 @@ _MAX_UPSAMPLE = 8.0
 
 
 def _pipeline_oracle() -> str:
-    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return f"""
     WITH RECURSIVE {_CLUSTER_CTES},
-    scored AS (
-      SELECT doc_id,
-             least(1.0, n_tokens / 200.0) * 0.5
-               + least(1.0, (n_stop / CAST(n_tokens AS DOUBLE)) * 8.0) * 0.5
-               AS q
-      FROM (
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-               CAST(len(list_filter(string_split(text, ' '),
-                                    w -> w IN ({en}))) AS INT) AS n_stop
-        FROM corpus
-      )
+    scored AS ({quality_scored_sql("corpus")}
     ),
     best AS (
       SELECT cluster_id, doc_id AS kept_doc_id FROM (
@@ -93,12 +86,14 @@ def _pipeline_oracle() -> str:
       SELECT kept_doc_id FROM best
       WHERE ({_split_sql("cluster_id")}) = 'train'
     ),
+    meta AS (
+      SELECT doc_id, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + {_OFFSET}, source, n_chars FROM documents
+    ),
     surv AS (
-      SELECT t.kept_doc_id, d.source, d.n_chars
-      FROM train t JOIN documents d
-        ON d.doc_id = CASE WHEN t.kept_doc_id >= {_OFFSET}
-                           THEN t.kept_doc_id - {_OFFSET}
-                           ELSE t.kept_doc_id END
+      SELECT t.kept_doc_id, m.source, m.n_chars
+      FROM train t JOIN meta m ON m.doc_id = t.kept_doc_id
     ),
     stats AS (SELECT source, SUM(n_chars) AS c FROM surv GROUP BY source),
     mult AS (
@@ -196,38 +191,31 @@ def ext_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = connected_components(lsh_star_edges(bands))
     counted = stage_token_counts(corpus, keep=("doc_id",), langs=("en",))
-    stop_ratio = F.col("en_n") / F.col("n_tokens").cast("double")
-    quality = (
-        F.least(F.lit(1.0), F.col("n_tokens") / F.lit(200.0)) * 0.5
-        + F.least(F.lit(1.0), stop_ratio * 8.0) * 0.5
-    )
     members = (
         corpus.select("doc_id")
         .join(clusters, "doc_id", "left")
         .select(
             "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
         )
-        .join(counted.select("doc_id", quality.alias("q")), "doc_id")
+        .join(counted.select("doc_id", quality_expr().alias("q")), "doc_id")
     )
     best = members.groupBy("cluster_id").agg(
         F.max(
             F.struct(F.col("q"), (-F.col("doc_id")).alias("neg"))
         ).alias("m")
     )
-    h = md5_bucket(F.col("cluster_id"))
-    bucket = (hex_nibble(h, 1) * 16 + hex_nibble(h, 2)) % 10
-    train = best.filter(bucket < 8).select(
+    train = best.filter(split_bucket("cluster_id") < 8).select(
         (-F.col("m.neg")).cast("long").alias("kept_doc_id")
     )
-    orig = F.when(
-        F.col("kept_doc_id") >= _OFFSET, F.col("kept_doc_id") - _OFFSET
-    ).otherwise(F.col("kept_doc_id"))
-    survivors = train.select("kept_doc_id", orig.alias("_orig")).join(
-        d.select(
-            F.col("doc_id").alias("_orig"), "source", "n_chars"
-        ),
-        "_orig",
-    )
+    # Metadata rides the SAME recrawl union the clustering saw — an
+    # exact join on the (possibly shifted) kept id, never arithmetic on
+    # the id value (an `id >= offset` reverse-map silently misclassifies
+    # corpora whose genuine ids exceed the offset, e.g. the shifted-key
+    # replicas scripts/scale_check.py stages).
+    meta = with_recrawl(d.select("doc_id", "source", "n_chars"))
+    survivors = train.join(
+        meta, train["kept_doc_id"] == meta["doc_id"]
+    ).select("kept_doc_id", "source", "n_chars")
     mixed = temperature_mix(
         survivors.select("kept_doc_id", "source", "n_chars"),
         weight_col="n_chars",
