@@ -188,6 +188,7 @@ def bpe_learn_merges(
     exact: bool = True,
     repersist_every: int = 64,
     persist_fn=None,
+    allow_exhaustion: bool = False,
 ) -> tuple[list[tuple[int, str, str, str, int]], "DataFrame"]:
     """Learn ``n_merges`` BPE rules with BATCHED merge discovery.
 
@@ -286,6 +287,14 @@ def bpe_learn_merges(
             .collect()
         )
         if not rows:
+            # Vocabulary fully merged before the budget was spent. The
+            # oracled fixed-N entries keep the hard failure (their
+            # unrolled SQL twins assume exactly N rules exist); the
+            # production scaled entry passes allow_exhaustion=True and
+            # gets the learned prefix — a smaller corpus or scale factor
+            # simply yields a shorter rule table (ADVICE r6).
+            if allow_exhaustion:
+                break
             raise ValueError(
                 f"BPE merge {len(merges) + 1}: corpus vocabulary has no "
                 "adjacent symbol pairs left to merge"

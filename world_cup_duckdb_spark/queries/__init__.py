@@ -43,7 +43,22 @@ REGISTRY: dict[str, Query] = {}
 #: relation that still backs an uncollected plan is always safe in
 #: Spark — it recomputes — so an unusual build-two-then-collect-both
 #: caller loses cache hits, never correctness.)
+#:
+#: CONCURRENCY CONTRACT: this is module-global state keyed on "the next
+#: registered query starts", which assumes the SINGLE-THREADED
+#: build-then-collect driver loop that both the round driver and
+#: bench.py actually run. A caller that builds registry queries from
+#: multiple threads gets structural safety (the list itself is guarded
+#: by ``_PERSIST_LOCK``) but NOT cache affinity: thread A entering a
+#: query releases thread B's in-flight persists, demoting B's cache
+#: hits to recomputes. That degrades performance, never correctness —
+#: Spark recomputes unpersisted relations — and is the accepted trade
+#: for keeping the fast path free of per-query bookkeeping objects.
 _TRACKED_PERSISTS: list[DataFrame] = []
+
+import threading as _threading  # noqa: E402
+
+_PERSIST_LOCK = _threading.Lock()
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -51,14 +66,18 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     query: the cache entry is dropped when the next registered query
     begins, instead of living for the whole session."""
     df = df.persist()
-    _TRACKED_PERSISTS.append(df)
+    with _PERSIST_LOCK:
+        _TRACKED_PERSISTS.append(df)
     return df
 
 
 def release_tracked_persists() -> None:
     """Unpersist every intermediate cached via :func:`tracked_persist`."""
-    while _TRACKED_PERSISTS:
-        df = _TRACKED_PERSISTS.pop()
+    while True:
+        with _PERSIST_LOCK:
+            if not _TRACKED_PERSISTS:
+                return
+            df = _TRACKED_PERSISTS.pop()
         try:
             df.unpersist()
         except Exception:
@@ -189,45 +208,70 @@ _VERIFIED_FLOOR: frozenset[str] = frozenset({
 DRIVER_VERIFIED: frozenset[str] = _VERIFIED_FLOOR | _green_correctness_rows()
 
 
+#: Registry keys deliberately kept OUT of the driver-facing queries()
+#: export. ``ext_bpe_merges_scaled`` is the production (approx-batched)
+#: BPE trainer: its output is order-of-merges dependent in a way no
+#: DuckDB oracle can express, so a driver sample can only ever record
+#: the weaker rows-only ``no_oracle`` row — and the self-retiring
+#: rotation would re-burn one of the ~50 driver samples on it every
+#: round forever (VERDICT r6 item 2). Its evidence class lives in
+#: pytest instead: the batched-vs-sequential parity fixtures and pass-
+#: count bounds in tests/test_bpe.py, plus the oracled exact-mode keys
+#: ``ext_bpe_merges`` / ``ext_bpe_encode`` (driver-green r6). The
+#: function stays in REGISTRY so local parity harnesses and bench.py
+#: can still run it by name.
+DRIVER_EXCLUDED: frozenset[str] = frozenset({"ext_bpe_merges_scaled"})
+
+
 def _ordered_names() -> list[str]:
     """Driver-facing key order. The round driver evaluates queries in dict
     order and stops after a fixed budget (~50 keys per round), so the order
-    IS the coverage policy. Round-6 policy (VERDICT r5 item 1): lead with
-    the round-5/6 LLM-curation tier (the engine's flagship extension
-    claims, zero driver evidence so far), then the one sql_* key the r5
-    window missed, then the lakehouse fact paths, sketches, graph set and
-    asof/range joins; the remaining never-sampled middle follows in
-    registration order, and everything already driver-green goes last.
-    The pinned head is rotation-aware (keys demote once a committed
+    IS the coverage policy. Round-7 policy (VERDICT r6 item 1): the 46
+    keys that have never appeared in any committed correctness file are
+    pinned EXPLICITLY — not left to registration order — so the one
+    remaining 50-key window closes the evidence gap (263/263 oracled keys
+    driver-green). Any round-7 additions register BEHIND this head. The
+    pinned head is rotation-aware (keys demote once a committed
     correctness file records them green), so this list self-retires."""
-    round6_head = [
-        # LLM-curation tier: round-5 additions + the round-6 fused
-        # corpus-prep pipeline — flagship claims, never driver-sampled.
-        "ext_corpus_prep_pipeline",
-        "ext_bpe_merges", "ext_bpe_encode", "ext_bpe_merges_scaled",
-        "ext_ann_pq", "ext_semantic_dedup",
-        "ext_lsh_band_plan", "ext_cluster_best_copy", "ext_split_leakage",
-        "ext_source_similarity", "ext_temperature_mix", "ext_epoch_shuffle",
-        # The one sql_* key the r5 window did not reach.
-        "sql_window_range_interval",
-        # Lakehouse fact paths, sketches, graph, temporal joins.
-        "ext_merge_upsert_fact", "ext_scd2_intervals",
-        "ext_kmv_sketch", "ext_cms_freq", "ext_hdr_quantiles",
-        "ext_heavy_hitters",
-        "ext_pagerank", "ext_triangles", "ext_bfs_reachability",
-        "ext_asof_join", "ext_range_join", "ext_table_checksum",
+    round7_head = [
+        # The complete never-driver-sampled set as of CORRECTNESS_r06
+        # (46 keys, all oracled). Order: headline bench query first, then
+        # the 100 TB scale toolkit (surrogate keys, skew, layout), the
+        # sql_* dialect forms, and the analytics tail.
+        "ext_bloom_semijoin",
+        "ext_surrogate_key_scalable",
+        "ext_salted_join", "ext_salted_agg", "ext_skew_profile",
+        "ext_zorder_layout", "ext_partitioned_layout",
+        "ext_bucketed_join", "ext_compaction",
+        "ext_token_budget_select",
+        "ext_null_safe_join", "ext_pivot_wide",
+        "sql_qualify", "sql_distinct_on", "sql_star_exclude_replace",
+        "sql_values_inline", "sql_natural_join", "sql_ilike",
+        "sql_try_cast", "sql_generate_series", "sql_list_comprehension",
+        "sql_ntile",
+        "ext_systematic_sample", "ext_priority_sample",
+        "ext_funnel_click_purchase", "ext_funnel_strict3",
+        "ext_cohort_retention", "ext_top_paths", "ext_ab_test",
+        "ext_json_extract", "ext_variant_json",
+        "ext_cusum", "ext_entropy", "ext_hhi_concentration",
+        "ext_time_weighted_avg", "ext_regr_per_group",
+        "ext_rollup_hypertable", "ext_grouping_sets",
+        "ext_transition_matrix", "ext_rfm", "ext_histogram",
+        "ext_market_basket", "ext_calendar_dims",
+        "ext_window_distinct_users", "ext_gap_fill_locf",
+        "ext_seasonality",
     ]
     # Guard against silent priority demotion: every priority name must be a
     # real registry key (a rename upstream would otherwise quietly drop the
     # query from the driver-sampled head of the ordering). Raise — not
     # assert — so the guard survives `python -O`.
-    missing = [n for n in round6_head if n not in REGISTRY]
+    missing = [n for n in round7_head if n not in REGISTRY]
     if missing:
         raise ValueError(f"ordering names not in REGISTRY: {missing}")
     # The pinned head is itself rotation-aware: once a pinned key gets a
     # green correctness row (next round's committed file), it demotes with
     # everything else instead of hogging the sample window forever.
-    ordered: list[str] = [n for n in round6_head if n not in DRIVER_VERIFIED]
+    ordered: list[str] = [n for n in round7_head if n not in DRIVER_VERIFIED]
     # Remaining never-driver-verified keys, registration order.
     ordered += [
         n for n in REGISTRY
@@ -243,14 +287,18 @@ def _ordered_names() -> list[str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {n: REGISTRY[n].fn for n in _ordered_names()}
+    return {
+        n: REGISTRY[n].fn
+        for n in _ordered_names()
+        if n not in DRIVER_EXCLUDED
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         n: REGISTRY[n].oracle
         for n in _ordered_names()
-        if REGISTRY[n].oracle is not None
+        if REGISTRY[n].oracle is not None and n not in DRIVER_EXCLUDED
     }
 
 

@@ -223,7 +223,12 @@ def ext_bpe_merges_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pass cost, is what caps vocabulary size, and this is the mode
     that makes ~30k-rule production vocabularies feasible.
 
-    NO SQL ORACLE by design (the weaker rows-only driver check): the
+    NO SQL ORACLE by design — and therefore EXCLUDED from the
+    driver-facing queries()/oracle_sql() export (queries/__init__.py
+    DRIVER_EXCLUDED, VERDICT r6 item 2): a rows-only row can never go
+    green, so keeping it in the driver order would re-burn one of the
+    ~50 per-round correctness samples forever. It stays in REGISTRY for
+    bench.py and local harnesses. Rationale for the missing oracle: the
     trainer is iterative with a data-dependent pass structure, and the
     approx batch order deviates from the unrolled sequential CTE
     whenever a merge-created pair would have overtaken a later pick —
@@ -251,5 +256,9 @@ def ext_bpe_merges_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact=False,
         repersist_every=48,
         persist_fn=tracked_persist,
+        # A smaller corpus can fully merge before 64 rules — return the
+        # learned prefix instead of raising (ADVICE r6): the production
+        # contract is "up to N rules", not "exactly N or die".
+        allow_exhaustion=True,
     )
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
