@@ -435,17 +435,27 @@ def test_driver_key_order_leads_with_never_verified_keys():
     round's sample window lands entirely on keys with no CORRECTNESS row
     yet."""
     from world_cup_duckdb_spark.queries import (
+        DRIVER_EXCLUDED,
         DRIVER_VERIFIED,
         REGISTRY,
         queries,
+        oracle_sql,
     )
 
     names = list(queries())
-    assert set(names) == set(REGISTRY)
+    # The driver-facing export is the registry minus the documented
+    # exclusions (keys that can never go green: no-oracle-by-design),
+    # and every exported key MUST carry an oracle — the r7 contract
+    # that no driver sample can land on a rows-only row again.
+    assert set(names) == set(REGISTRY) - DRIVER_EXCLUDED
+    assert set(oracle_sql()) == set(names)
+    assert DRIVER_EXCLUDED <= set(REGISTRY)
     # All §2 ops are already driver-green; the verified set must be real
     # registry keys (a rename upstream would silently shrink coverage).
     assert DRIVER_VERIFIED <= set(REGISTRY), DRIVER_VERIFIED - set(REGISTRY)
-    n_unverified = len(REGISTRY) - len(DRIVER_VERIFIED)
+    n_unverified = len(
+        set(REGISTRY) - DRIVER_VERIFIED - DRIVER_EXCLUDED
+    )
     head = names[:n_unverified]
     assert all(n not in DRIVER_VERIFIED for n in head), [
         n for n in head if n in DRIVER_VERIFIED
@@ -600,3 +610,101 @@ def test_hdr_quantiles_sketch_is_mergeable(spark, sf_dir):
     w = {r["l_returnflag"]: r.asDict() for r in whole.collect()}
     m = {r["l_returnflag"]: r.asDict() for r in merged.collect()}
     assert w == m and w
+
+
+def test_distributed_rank_family_equals_global_windows(spark):
+    """distributed_row_number / distributed_ntile / distributed_running_sum
+    (the generalized surrogate_key_distributed decomposition, VERDICT r6
+    item 4) must equal the single-task ANSI window forms exactly — on an
+    adversarially partitioned input, for asc and desc orders, uneven
+    NTILE splits (N % n != 0), and the exclusive running-sum frame."""
+    import random
+
+    from pyspark.sql import Window
+    from world_cup_duckdb_spark.operators.relational import (
+        distributed_ntile,
+        distributed_row_number,
+        distributed_running_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(997)]
+    df = spark.createDataFrame(rows, "id int, v int").repartition(13)
+    order = [F.col("v").asc_nulls_last(), F.col("id").asc_nulls_last()]
+
+    for n in (5, 3, 1000):  # 997 % 5 = 2, 997 % 3 = 1, n > N degenerate
+        got = distributed_ntile(df, n, ["v", "id"], "t", n_ranges=7)
+        exp = df.withColumn("t", F.ntile(n).over(Window.orderBy(*order)))
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+    got = distributed_row_number(
+        df, [F.desc("v"), "id"], "rn", n_ranges=7
+    )
+    exp = df.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.orderBy(F.desc("v"), F.col("id").asc_nulls_last()))
+        .cast("bigint"),
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    for inclusive, upper in ((True, 0), (False, -1)):
+        got = distributed_running_sum(
+            df,
+            ["v", "id"],
+            F.col("v").cast("bigint"),
+            "rs",
+            n_ranges=7,
+            inclusive=inclusive,
+        )
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, upper
+        )
+        exp = df.withColumn(
+            "rs",
+            F.coalesce(
+                F.sum(F.col("v").cast("bigint")).over(w),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+
+def test_distributed_rank_family_edge_shapes(spark):
+    """Empty input yields empty output with the rank column present;
+    ties over a NON-total order still give exact tile CENSUS (each tile's
+    size matches ANSI NTILE's) even though within-tie assignment is
+    arbitrary; a single-row relation ranks 1/tile 1/prefix 0."""
+    from world_cup_duckdb_spark.operators.relational import (
+        distributed_ntile,
+        distributed_row_number,
+        distributed_running_sum,
+    )
+
+    empty = spark.createDataFrame([], "id int, v int")
+    out = distributed_ntile(empty, 4, ["v", "id"], "t", n_ranges=3)
+    assert out.count() == 0 and "t" in out.columns
+
+    # 10 rows, all the same key: everything lands in one range, and the
+    # tile census must still be NTILE's 3/3/2/2 split.
+    same = spark.createDataFrame([(i, 9) for i in range(10)], "id int, v int")
+    census = (
+        distributed_ntile(same, 4, ["v"], "t", n_ranges=5)
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    assert {r["t"]: r["count"] for r in census} == {1: 3, 2: 3, 3: 2, 4: 2}
+
+    one = spark.createDataFrame([(1, 5)], "id int, v int")
+    assert distributed_row_number(one, ["v"], "rn").first()["rn"] == 1
+    assert distributed_ntile(one, 7, ["v"], "t").first()["t"] == 1
+    assert (
+        distributed_running_sum(
+            one, ["v"], F.col("v").cast("bigint"), "rs", inclusive=False
+        ).first()["rs"]
+        == 0
+    )

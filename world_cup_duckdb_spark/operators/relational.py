@@ -169,6 +169,179 @@ def surrogate_key_distributed(
     )
 
 
+def _norm_order(order_by: Sequence[str | Column]) -> list[Column]:
+    """Normalize order keys: bare column names get ANSI asc-nulls-last
+    (Spark's asc default is nulls-FIRST; DuckDB/Postgres rank nulls
+    last, and every oracle in the registry assumes the ANSI order).
+    Column expressions pass through — callers own their null order."""
+    return [
+        F.col(c).asc_nulls_last() if isinstance(c, str) else c
+        for c in order_by
+    ]
+
+
+def _ranged_offsets(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    n_ranges: int | None,
+    weight: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffold of the distributed global-window family: range-
+    partition ``df`` on the order keys, and compute per-partition
+    EXCLUSIVE prefix offsets (row counts, or ``weight`` sums) plus the
+    grand total.
+
+    This is the same three-step decomposition
+    :func:`surrogate_key_distributed` pioneered — a range shuffle gives
+    non-overlapping, globally-ordered key ranges per partition; anything
+    "global running" then splits into a partition-LOCAL part (scale-safe:
+    a window partitioned by partition id) plus a broadcast per-partition
+    offset — generalized so ranks, ntiles, and running sums all reuse it
+    (VERDICT r6 item 4).
+
+    The ranged relation is materialized once (``localCheckpoint``)
+    because two consumers derive from it (the offsets aggregate and the
+    caller's main expression): without the lineage cut the range shuffle
+    could re-execute with differently-sampled boundaries per consumer
+    and offsets from one partitioning would be applied to another.
+
+    Equal order keys always land in ONE partition (the range partitioner
+    maps each key deterministically), so tie groups never straddle an
+    offset boundary. Skew caveat: a single key with more rows than fits
+    one executor partition is the caller's salting problem — the same
+    caveat every ORDER BY PARTITION carries.
+
+    Returns ``(ranged, offsets)``: ``ranged`` is ``df`` plus ``_pid``;
+    ``offsets`` has one row per non-empty partition with ``_offset``
+    (exclusive prefix total of earlier partitions) and ``_total`` (grand
+    total) — ≤ ``n_ranges`` rows, always broadcast-sized.
+    """
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = spark.sparkContext.defaultParallelism
+    order_cols = _norm_order(order_by)
+    ranged = (
+        df.repartitionByRange(n_ranges, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part = F.count(F.lit(1)) if weight is None else F.sum(weight)
+    counts = ranged.groupBy("_pid").agg(part.alias("_n"))
+    w_run = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_run), F.lit(0)).alias("_offset"),
+        F.sum("_n").over(w_all).alias("_total"),
+    )
+    return ranged, offsets
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    out_col: str = "rn",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Exact ``ROW_NUMBER() OVER (ORDER BY order_by)`` (1-based) without
+    a single-partition window: global rank = broadcast partition offset
+    + partition-local row_number. The only windows in the plan are
+    partitioned by ``_pid`` (the local rank) or run over the ≤n_ranges
+    offset rows — no window ever sees the data in one task.
+
+    With a total (duplicate-free) order the assignment is deterministic
+    and equals the ANSI window exactly; among tied keys the numbering is
+    arbitrary, same as any ROW_NUMBER over a non-total order.
+    """
+    ranged, offsets = _ranged_offsets(df, order_by, n_ranges)
+    w_local = Window.partitionBy("_pid").orderBy(*_norm_order(order_by))
+    return (
+        ranged.withColumn("_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_offset") + F.col("_local")).cast("bigint"))
+        .drop("_pid", "_local", "_offset", "_total")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_by: Sequence[str | Column],
+    out_col: str = "tile",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY order_by)`` without a single-
+    partition window. ANSI NTILE gives the first ``N mod n`` tiles
+    ``N div n + 1`` rows and the rest ``N div n``; with the global rank
+    ``i`` from the offset decomposition and the grand total ``N``
+    (carried on the broadcast offsets row), the tile is closed-form:
+
+        q, r = N div n, N mod n
+        tile(i) = (i-1) div (q+1) + 1                  if i <= r*(q+1)
+                  r + (i - r*(q+1) - 1) div q + 1      otherwise
+
+    (``N < n`` degenerates to ``tile = i`` via the first branch.)
+    Tie caveat as :func:`distributed_row_number`; tile COUNTS are exact
+    regardless of tie order.
+    """
+    ranged, offsets = _ranged_offsets(df, order_by, n_ranges)
+    w_local = Window.partitionBy("_pid").orderBy(*_norm_order(order_by))
+    i = F.col("_offset") + F.col("_local")
+    q = F.floor(F.col("_total") / n)
+    r = F.col("_total") % n
+    head = r * (q + 1)
+    tile = F.when(
+        i <= head, F.floor((i - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((i - head - 1) / q) + 1)
+    return (
+        ranged.withColumn("_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, tile.cast("int"))
+        .drop("_pid", "_local", "_offset", "_total")
+    )
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    value: str | Column,
+    out_col: str = "running",
+    n_ranges: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global running sum — ``SUM(value) OVER (ORDER BY order_by
+    ROWS UNBOUNDED PRECEDING [AND -1])`` — without a single-partition
+    window: partition-local running sum + the broadcast exclusive prefix
+    of per-partition totals. ``inclusive=False`` gives the
+    rows-to-previous form (0 for the first row, never NULL).
+
+    The value column is summed as-is: pass an exact type (bigint /
+    decimal) when cross-engine bit-equality matters, as the registry's
+    determinism rules require.
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    ranged, offsets = _ranged_offsets(
+        df.withColumn("_w", val), order_by, n_ranges, weight=F.col("_w")
+    )
+    upper = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*_norm_order(order_by))
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        ranged.withColumn(
+            "_localsum", F.coalesce(F.sum("_w").over(w_local), zero)
+        )
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_localsum"))
+        .drop("_pid", "_w", "_localsum", "_offset", "_total")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

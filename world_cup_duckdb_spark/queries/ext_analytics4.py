@@ -16,6 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from world_cup_duckdb_spark.operators.relational import (
+    distributed_running_sum,
+)
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
@@ -338,19 +341,22 @@ def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("a")).alias("cb"),
         F.count(F.lit(1)).alias("c"),
     )
-    # asc_nulls_last: a NULL-val group must rank AFTER every real value
-    # (the oracle's default), not shift every real rank from the front
-    w = Window.orderBy(F.col("val").asc_nulls_last()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    r = g.select(
+    # Exclusive prefix of tie-group sizes via distributed_running_sum
+    # (operators/relational.py): range shuffle + broadcast partition
+    # offsets — the window form (`SUM(c) OVER (ORDER BY val)`) is a
+    # single-partition sort that at 100× the distinct-value cardinality
+    # funnels the whole relation through one task (VERDICT r6 item 4).
+    # Bare "val" gets asc_nulls_last: a NULL-val group must rank AFTER
+    # every real value (the oracle's default), not shift every real
+    # rank from the front. val is the group key, so the order is total
+    # and the prefix equals the ANSI window exactly.
+    r = distributed_running_sum(
+        g, ["val"], "c", out_col="_before", inclusive=False
+    ).select(
         "ca",
         "cb",
         "c",
-        (
-            F.coalesce(F.sum("c").over(w), F.lit(0))
-            + (F.col("c") + 1) / F.lit(2.0)
-        ).alias("avg_rank"),
+        (F.col("_before") + (F.col("c") + 1) / F.lit(2.0)).alias("avg_rank"),
     )
     s = r.agg(
         F.sum("ca").alias("na"),

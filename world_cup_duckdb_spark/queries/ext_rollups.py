@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.functions.strings import dec
+from world_cup_duckdb_spark.operators.relational import distributed_ntile
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import table
 
@@ -202,11 +203,15 @@ def ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     via custkey tie-breaks.
 
     Scale: the per-customer aggregate shuffles once on custkey and
-    partial-combines map-side. The three global NTILEs are single-partition
-    sorts over ONE ROW PER CUSTOMER (already aggregate-reduced); at 100 TB
-    with billions of customers, swap NTILE for percentile_approx(metric,
-    [.2,.4,.6,.8]) cutoffs broadcast back — same scores, no global sort —
-    as ext_quantiles documents for the exact→approx grading path.
+    partial-combines map-side. Each quintile score comes from
+    distributed_ntile (operators/relational.py) — range-shuffle +
+    broadcast partition offsets over a NARROW (custkey, metric)
+    projection, then one join back on custkey — instead of `NTILE OVER
+    (ORDER BY metric)`: the window form is a single-partition sort of
+    the whole customer table per metric, which at billions of customers
+    is three serial corpus sorts (VERDICT r6). The (metric, custkey)
+    tie-break is a total order, so the distributed tile equals the ANSI
+    window bit-for-bit — no percentile_approx tolerance needed.
     """
     o = table(spark, sf_dir, "orders")
     rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -214,20 +219,22 @@ def ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
     )
-    return rfm.select(
-        "custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
-        .alias("m_score"),
+    scored = rfm
+    for metric, score in (
+        ("last_order", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        tiles = distributed_ntile(
+            rfm.select("custkey", metric),
+            5,
+            [F.desc(metric), F.asc("custkey")],
+            out_col=score,
+        ).select("custkey", score)
+        scored = scored.join(tiles, "custkey")
+    return scored.select(
+        "custkey", "last_order", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 
