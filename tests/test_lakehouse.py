@@ -312,8 +312,13 @@ def test_torn_commit_recovery_restores_writability(
     path = str(tmp_path / "t")
     write_table(nation.filter(F.col("n_regionkey") < 2), path)  # v0
     log = _log_dir(path)
-    # fabricate the residue of a crashed commit of version 1
+    # fabricate the residue of a crashed commit of version 1 — the data
+    # dir EXISTS (the crash hit after the parquet write, during the
+    # manifest protocol); recovery now verifies referenced dirs exist
+    # before publishing (ADVICE r6), so a body naming a missing dir is
+    # a roll-back case (separate test below), not a roll-forward.
     torn = 1
+    os.makedirs(os.path.join(path, "data-000001-x"))
     body = {"version": torn, "mode": "append", "dirs": ["data-000001-x"]}
     for suffix in tmps:
         with open(os.path.join(log, f"v{torn}.json.tmp-{suffix}"), "w") as f:
@@ -355,11 +360,18 @@ def test_torn_commit_recovery_restores_writability(
         assert latest_version(path) == 0
     # no tmp residue survives recovery
     assert not [e for e in os.listdir(log) if ".tmp-" in e]
+    # swept losing bodies report their now-unreferenced data dirs as
+    # orphans (ADVICE r6); dirs the rolled-forward winner references
+    # are live, not orphans
+    if label == "crash_after_tmp_before_claim":
+        assert report["orphan_dirs"] == ["data-000001-x"]
+    else:
+        assert report["orphan_dirs"] == []
     # (c) the next commit succeeds and history reads clean end to end
     if rolled_forward:
-        # the rolled-forward manifest references a dir the fabricated
-        # crash never wrote — exactly what fsck exists to flag
-        assert fsck(path)["missing"] == ["data-000001-x"]
+        # the rolled-forward manifest's dir exists (recovery verified
+        # it before publishing) — fsck stays clean on the manifest side
+        assert fsck(path)["missing"] == []
     else:
         v = write_table(nation.filter(F.col("n_regionkey") >= 2), path)
         assert v == torn
@@ -367,9 +379,10 @@ def test_torn_commit_recovery_restores_writability(
         report2 = fsck(path)
         assert report2["missing"] == []
         # a REFUSED claimed-case commit attempt above left its data dir
-        # behind — precisely the torn-write residue fsck flags as an
-        # orphan for vacuum; nothing else may be orphaned
-        assert len(report2["orphans"]) == (1 if claimed else 0)
+        # behind, and the fabricated crash's data dir is unreferenced
+        # after roll-back — precisely the torn-write residue fsck flags
+        # as orphans for vacuum; nothing else may be orphaned
+        assert len(report2["orphans"]) == (2 if claimed else 1)
         assert read_table(spark, path).count() == nation.count()
 
 
@@ -386,6 +399,7 @@ def test_recovery_is_noop_on_healthy_table(spark, nation, tmp_path):
         "rolled_forward": [],
         "rolled_back": [],
         "swept": [],
+        "orphan_dirs": [],
     }
     assert latest_version(path) == 1
     assert fsck(path) == {"missing": [], "orphans": []}
@@ -462,3 +476,143 @@ def test_recovery_rolls_back_when_only_partial_bodies_exist(
     # version 1 is writable again
     v = write_table(nation.filter(F.col("n_regionkey") == 0), path)
     assert v == 1
+
+
+def test_recovery_rolls_back_body_referencing_missing_dirs(
+    spark, nation, tmp_path
+):
+    """ADVICE r6: a durable, json-valid tmp body whose ``dirs`` point at
+    directories that never finished writing must NOT be rolled forward —
+    publishing it would pass recovery and break only at read time. It
+    rolls back (claim removed, version writable again) and the sweep
+    reports nothing live as orphaned."""
+    import json
+    import os
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        _log_dir,
+        latest_version,
+        recover_torn_commits,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(nation, path)  # v0
+    log = _log_dir(path)
+    with open(os.path.join(log, "v1.json.tmp-aaa"), "w") as f:
+        json.dump(
+            {"version": 1, "mode": "append", "dirs": ["data-00001-never"]},
+            f,
+        )
+    os.close(os.open(
+        os.path.join(log, "v1.json.claim"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    ))
+    report = recover_torn_commits(path)
+    assert report["rolled_forward"] == []
+    assert report["rolled_back"] == [1]
+    # the invalid body was swept; its dir doesn't exist, so nothing to
+    # vacuum
+    assert report["swept"] == ["v1.json.tmp-aaa"]
+    assert report["orphan_dirs"] == []
+    assert latest_version(path) == 0
+    v = write_table(nation.filter(F.col("n_regionkey") == 0), path)
+    assert v == 1
+
+
+def test_recovery_concurrent_writer_interleavings_property(
+    spark, nation, tmp_path
+):
+    """VERDICT r6 item 8: property-style sweep of claim/retry/recover
+    interleavings. Two writers race version 1; each may crash at any
+    protocol step (tmp written / claim taken / renamed). For every
+    reachable residue combination the invariants must hold:
+
+    - at most one v1.json is ever published, and it parses as v1 with
+      every referenced dir on disk;
+    - recover_torn_commits never raises, leaves no tmp residue, and
+      afterwards latest_version is 0 or 1;
+    - the table accepts a fresh commit afterwards (writability is
+      restored no matter the residue);
+    - a second recovery pass is a strict no-op (idempotence).
+
+    This is the 'restart guarantee is the only unsafe window' claim:
+    every CRASHED-writer residue heals; only a still-in-flight writer
+    (which recovery's contract excludes) could conflict."""
+    import itertools
+    import json
+    import os
+    import shutil
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        _log_dir,
+        latest_version,
+        recover_torn_commits,
+    )
+
+    base = str(tmp_path / "base")
+    write_table(nation, base)  # v0 — cloned per scenario
+    # writer crash points: how far each of the two writers got.
+    # data_ok: whether its parquet dir finished before the crash.
+    STEPS = ("none", "tmp", "claimed", "published")
+    case_i = 0
+    for w1, w2, d1, d2 in itertools.product(
+        STEPS, STEPS, (True, False), (True, False)
+    ):
+        if w1 == "published" and w2 == "published":
+            continue  # the claim/link protocol makes this unreachable
+        # only one writer can hold the claim / publish
+        if w1 in ("claimed", "published") and w2 in ("claimed", "published"):
+            continue
+        case_i += 1
+        path = str(tmp_path / f"case{case_i}")
+        shutil.copytree(base, path)
+        log = _log_dir(path)
+
+        def leave_residue(tag, step, data_ok):
+            if step == "none":
+                return
+            d = f"data-00001-{tag}"
+            if data_ok:
+                os.makedirs(os.path.join(path, d))
+            body = {"version": 1, "mode": "append", "dirs": [d]}
+            tmp = os.path.join(log, f"v1.json.tmp-{tag}")
+            with open(tmp, "w") as f:
+                json.dump(body, f)
+            if step == "tmp":
+                return
+            claim = os.path.join(log, "v1.json.claim")
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            if step == "published":
+                os.rename(tmp, os.path.join(log, "v1.json"))
+
+        leave_residue("aa", w1, d1)
+        leave_residue("bb", w2, d2)
+
+        report = recover_torn_commits(path)
+        # no tmp residue ever survives
+        assert not [e for e in os.listdir(log) if ".tmp-" in e], (
+            w1, w2, d1, d2)
+        # a published v1 must be valid: parses, right version, dirs exist
+        if latest_version(path) == 1:
+            with open(os.path.join(log, "v1.json")) as f:
+                b = json.load(f)
+            assert b["version"] == 1
+            # pre-published manifests (writer reached "published" before
+            # the crash) predate recovery's dir check and may reference
+            # a torn dir — that's fsck's domain; manifests RECOVERY
+            # published must have all dirs on disk
+            if 1 in report["rolled_forward"]:
+                assert all(
+                    os.path.isdir(os.path.join(path, d)) for d in b["dirs"]
+                ), (w1, w2, d1, d2)
+        else:
+            assert latest_version(path) == 0, (w1, w2, d1, d2)
+        # idempotence: a second pass finds nothing to do
+        again = recover_torn_commits(path)
+        assert again["rolled_forward"] == [] and again["rolled_back"] == []
+        assert again["swept"] == [], (w1, w2, d1, d2, again)
+        # writability restored: the next version commits
+        nxt = latest_version(path) + 1
+        v = write_table(nation.filter(F.col("n_regionkey") == 0), path)
+        assert v == nxt, (w1, w2, d1, d2)
+    assert case_i >= 40  # the sweep actually enumerated the space

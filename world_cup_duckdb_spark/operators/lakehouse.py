@@ -142,12 +142,16 @@ def recover_torn_commits(path: str) -> dict:
     Resolution per transaction-log residue:
 
     - claim sidecar WITHOUT a published manifest, with a surviving
-      fsynced tmp body → ROLL FORWARD: the claimant had durably decided
-      the content, so publish it (lexicographically first tmp when a
-      pre-claim retry crash left several — none was ever acknowledged,
-      so either body is a correct commit);
-    - claim without manifest and no tmp → ROLL BACK: remove the claim
-      so a retry can commit the version;
+      fsynced tmp body whose data directories ALL exist → ROLL FORWARD:
+      the claimant had durably decided the content, so publish it
+      (lexicographically first complete tmp when a pre-claim retry
+      crash left several — none was ever acknowledged, so either body
+      is a correct commit);
+    - claim without manifest and no complete tmp → ROLL BACK: remove
+      the claim so a retry can commit the version. "Complete" includes
+      the data dirs: a body whose ``dirs`` point at missing/never-
+      finished directories must NOT be published — it would pass
+      recovery and only surface later as a broken read (ADVICE r6);
     - tmp bodies whose manifest IS published (link-path crash residue,
       or pre-claim crashes) → swept: the commit point is the
       link/rename, so an unpublished unclaimed body was never promised.
@@ -155,14 +159,31 @@ def recover_torn_commits(path: str) -> dict:
     Readers are safe throughout: discovery matches ``v*.json`` exactly,
     and publication stays an atomic rename of an fsynced file. Returns
     {"rolled_forward": [versions], "rolled_back": [versions],
-    "swept": [filenames]}.
+    "swept": [filenames], "orphan_dirs": [dirnames]} — ``orphan_dirs``
+    lists on-disk data directories referenced only by swept/abandoned
+    bodies (a losing retry's data), so operators know what ``vacuum``
+    will not see and can remove.
     """
     import re as _re
 
     log = _log_dir(path)
-    out: dict = {"rolled_forward": [], "rolled_back": [], "swept": []}
+    out: dict = {
+        "rolled_forward": [],
+        "rolled_back": [],
+        "swept": [],
+        "orphan_dirs": [],
+    }
     if not os.path.isdir(log):
         return out
+
+    def _body_of(entry: str) -> dict | None:
+        try:
+            with open(os.path.join(log, entry)) as f:
+                body = json.load(f)
+        except (OSError, ValueError):
+            return None
+        return body if isinstance(body, dict) else None
+
     for entry in sorted(os.listdir(log)):
         # Strict name guard: only claims of the v<digits>.json family are
         # commit residue; a stray foreign file (operator copy, editor
@@ -179,18 +200,26 @@ def recover_torn_commits(path: str) -> dict:
         # Roll forward only a VALID durable body: a crash mid-write can
         # leave a partial (never-fsynced) tmp alongside a complete one
         # from a retry — publishing the partial would wedge every later
-        # read at json.load. Parse each candidate and require the body
-        # to identify as this version.
+        # read at json.load. Parse each candidate and require (a) the
+        # body to identify as this version, and (b) every data dir it
+        # references to exist under the table path — a manifest naming
+        # a crashed writer's never-finished directory must stay
+        # unpublished (it would break at read time, not here).
         chosen = None
         for t in sorted(
             e for e in os.listdir(log) if e.startswith(manifest + ".tmp-")
         ):
-            try:
-                with open(os.path.join(log, t)) as f:
-                    body = json.load(f)
-            except (OSError, ValueError):
-                continue
-            if isinstance(body, dict) and body.get("version") == version:
+            body = _body_of(t)
+            if (
+                body is not None
+                and body.get("version") == version
+                and isinstance(body.get("dirs"), list)
+                and all(
+                    isinstance(d, str)
+                    and os.path.isdir(os.path.join(path, d))
+                    for d in body["dirs"]
+                )
+            ):
                 chosen = t
                 break
         if chosen is not None:
@@ -199,6 +228,7 @@ def recover_torn_commits(path: str) -> dict:
         else:
             os.remove(os.path.join(log, entry))
             out["rolled_back"].append(version)
+    swept_dirs: set[str] = set()
     for entry in sorted(os.listdir(log)):
         if ".json.tmp-" not in entry:
             continue
@@ -210,8 +240,28 @@ def recover_torn_commits(path: str) -> dict:
         # sweeping it keeps a FUTURE roll-forward from resurrecting
         # stale content ahead of a newer claimant's body.
         if published or not claimed:
+            body = _body_of(entry)
+            if body is not None and isinstance(body.get("dirs"), list):
+                swept_dirs.update(
+                    d for d in body["dirs"] if isinstance(d, str)
+                )
             os.remove(os.path.join(log, entry))
             out["swept"].append(entry)
+    if swept_dirs:
+        # A swept body's dirs are orphan CANDIDATES: anything a published
+        # manifest still references is live (append bodies list inherited
+        # dirs too), and only directories actually on disk need vacuuming.
+        live: set[str] = set()
+        for entry in os.listdir(log):
+            if _re.fullmatch(r"v\d+\.json", entry):
+                body = _body_of(entry)
+                if body is not None and isinstance(body.get("dirs"), list):
+                    live.update(body["dirs"])
+        out["orphan_dirs"] = sorted(
+            d
+            for d in swept_dirs - live
+            if os.path.isdir(os.path.join(path, d))
+        )
     return out
 
 
