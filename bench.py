@@ -45,6 +45,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # Post-suite settle (VERDICT r6 item 6): the round driver benches
+    # right after its 50-query correctness pass, and the committed r6
+    # pairs show that box state costs the legacy-16 subtotal ~15-20%
+    # (2.16-2.33x vs 1.82-1.96x idle) — residual page-cache pressure,
+    # CPU-governor state, and reclaim from the just-exited session. A
+    # short fixed cooldown before the JVM starts lets that settle;
+    # min-of-7 then lands on a clean draw. Override with
+    # BENCH_COOLDOWN_SEC=0 for interactive runs.
+    cooldown = float(os.environ.get("BENCH_COOLDOWN_SEC", "15"))
+    if cooldown > 0:
+        time.sleep(cooldown)
+
     from world_cup_duckdb_spark import get_spark
     from world_cup_duckdb_spark.queries import REGISTRY
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.functions.strings import dec
 from world_cup_duckdb_spark.operators.relational import distributed_ntile
-from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import table
 
 
@@ -214,11 +214,15 @@ def ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     window bit-for-bit — no percentile_approx tolerance needed.
     """
     o = table(spark, sf_dir, "orders")
+    # Persist the customer aggregate: four consumers read it (the base
+    # projection + three ntile range shuffles, each of which eagerly
+    # checkpoints its ranged input) — without the cut the fact-sized
+    # groupBy would recompute once per score.
     rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
-    )
+    ).transform(tracked_persist)
     scored = rfm
     for metric, score in (
         ("last_order", "r_score"),
