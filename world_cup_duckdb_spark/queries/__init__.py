@@ -315,6 +315,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_analytics5,
     ext_bpe,
     ext_dedup,
+    ext_distributed,
     ext_events,
     ext_graph,
     ext_metrics,
