@@ -58,15 +58,21 @@ def _bpe_ctes(n: int, per_source: bool = False) -> str:
     source frequencies sum to the global ones), so the learned rules are
     identical; the source key only survives for downstream stats."""
     src = "source, " if per_source else ""
+    # Every CTE is MATERIALIZED: each w{k} references w{k-1} once plus
+    # t{k} three times, so DuckDB's default inline expansion grows
+    # EXPONENTIALLY in n (3^n copies of the base scan — n=16 exhausts
+    # file handles on the documents view before it exhausts time).
+    # Materialization keeps the chain linear: one vocab-sized
+    # intermediate per iteration, same rows, same results.
     parts = [
         f"""
-    WITH vocab AS (
+    WITH vocab AS MATERIALIZED (
       SELECT {src}token AS word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT {src}unnest(string_split(text, ' ')) AS token FROM documents)
       WHERE token <> '' AND token NOT LIKE '%|%'
       GROUP BY {"1, 2" if per_source else "1"}
     ),
-    w0 AS (
+    w0 AS MATERIALIZED (
       SELECT {src}word, freq,
              '|' || array_to_string(string_split(word, ''), '||') || '|' AS repr
       FROM vocab
@@ -80,7 +86,7 @@ def _bpe_ctes(n: int, per_source: bool = False) -> str:
              string_split(substr(repr, 2, length(repr) - 2), '||') AS l
       FROM w{k - 1}
     ),
-    t{k} AS (
+    t{k} AS MATERIALIZED (
       SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS pf
       FROM (
         SELECT freq,
@@ -92,7 +98,7 @@ def _bpe_ctes(n: int, per_source: bool = False) -> str:
       ORDER BY pf DESC, a, b
       LIMIT 1
     ),
-    w{k} AS (
+    w{k} AS MATERIALIZED (
       SELECT {src}word, freq,
              replace(repr,
                      '|' || (SELECT a FROM t{k}) || '||'
@@ -204,6 +210,38 @@ def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         after.cast("long").alias("symbols_after"),
         (after.cast("double") / before).alias("compression"),
     )
+
+
+#: Deeper exact-mode budget: 16 merges crosses several batch boundaries
+#: of the exact-batched trainer (N=4 often resolves in 1-2 passes), so
+#: its oracle certifies batched==sequential through repeated
+#: soundness-cap decisions — the driver-facing replacement evidence for
+#: the demoted no-oracle scaled entry (VERDICT r6 item 2 option b).
+N_MERGES_DEEP = 16
+
+
+@register("ext_bpe_merges16", oracle=_bpe_oracle(N_MERGES_DEEP))
+def ext_bpe_merges16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First SIXTEEN BPE merge rules via the exact-batched trainer,
+    hash-checked against the 16-iteration unrolled sequential CTE chain
+    in DuckDB. Same algorithm and plan shape as ext_bpe_merges; the
+    deeper budget makes the driver row certify the batched trainer's
+    sequential-equivalence across multiple candidate pages and
+    soundness-cap trims, not just the first one — the oracled evidence
+    class that replaced the driver slot of the no-oracle production
+    entry (queries/__init__.py DRIVER_EXCLUDED)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & (~F.col("word").contains("|")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    words = vocab.select(
+        "word", "freq", bpe_initial_repr("word").alias("repr")
+    ).transform(tracked_persist)
+    merges, _ = _learn_merges(words, N_MERGES_DEEP)
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
 #: Production-path merge budget for the scaled trainer entry. The

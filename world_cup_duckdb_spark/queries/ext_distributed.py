@@ -125,3 +125,47 @@ def ext_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum").cast("double") / F.col("tot").cast("double"), 9
         ).alias("cum_share"),
     )
+
+
+@register(
+    "ext_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM t GROUP BY 1
+    """,
+)
+def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals (8 equal-count buckets with
+    their value ranges) — the optimizer statistic that complements the
+    fixed-width `ext_histogram`: equal-width buckets starve on skewed
+    value distributions (one bucket holds everything), equi-depth
+    buckets adapt their boundaries so every bucket carries the same row
+    weight — exactly the shape engines keep for selectivity estimation
+    and the engine's own salting decisions.
+
+    Scale: bucket assignment is distributed_ntile over a two-column
+    projection (range shuffle + broadcast offsets — no single-partition
+    window over the fact); the census aggregate partial-combines above
+    it. Determinism: the (o_totalprice, o_orderkey) tie-break is a
+    total order, so both engines cut ties identically; per-bucket
+    min/max/count are tie-order insensitive given that cut."""
+    o = load_tables(spark, sf_dir)["orders"]
+    tiled = distributed_ntile(
+        o.select("o_orderkey", "o_totalprice"),
+        8,
+        ["o_totalprice", "o_orderkey"],
+        out_col="bucket",
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
