@@ -792,3 +792,32 @@ def test_bpe_batched_equals_sequential_adversarial(spark, words, n):
     assert sorted(r["repr"] for r in bat_w.collect()) == sorted(
         r["repr"] for r in seq_w.collect()
     )
+
+
+def test_bpe_allow_exhaustion_returns_learned_prefix(spark):
+    """ADVICE r6: a corpus that fully merges before the budget must
+    return the learned prefix under allow_exhaustion=True (the scaled
+    production entry's contract is "up to N rules") and keep the hard
+    ValueError by default (the oracled fixed-N entries assume exactly N
+    rules exist)."""
+    import pytest as _pytest
+
+    from world_cup_duckdb_spark.operators.text import (
+        bpe_initial_repr,
+        bpe_learn_merges,
+    )
+
+    # 'ab'×3, 'cd' — exhausts after at most 3 merges (ab, cd, and
+    # nothing else pairable), far below the requested budget of 10.
+    df = spark.createDataFrame(
+        [("ab", 3), ("cd", 1)], ["word", "freq"]
+    ).select("word", "freq", bpe_initial_repr("word").alias("repr"))
+    for exact in (True, False):
+        merges, out = bpe_learn_merges(
+            df, 10, exact=exact, allow_exhaustion=True
+        )
+        assert [m[3] for m in merges] == ["ab", "cd"], merges
+        # every word is now a single symbol — nothing left to merge
+        assert out.filter(F.col("repr").contains("||")).count() == 0
+        with _pytest.raises(ValueError, match="no adjacent symbol pairs"):
+            bpe_learn_merges(df, 10, exact=exact)
