@@ -729,6 +729,7 @@ def test_corpus_prep_pipeline_has_no_corpus_sized_global_sort(spark, sf_dir):
         ("ext_corpus_deciles", 1),
         ("ext_pareto_curve", 1),
         ("ext_equidepth_histogram", 1),
+        ("ext_systematic_sample", 1),
     ],
 )
 def test_no_unpartitioned_window_over_data(spark, sf_dir, name, max_single):

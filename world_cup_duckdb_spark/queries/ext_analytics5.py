@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from world_cup_duckdb_spark.operators.relational import distributed_row_number
+from world_cup_duckdb_spark.operators.relational import (
+    distributed_row_number,
+    distributed_running_sum,
+)
 from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
@@ -366,25 +369,22 @@ def ext_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     because selection depends only on the cumulative weights, never on
     a float RNG — every arithmetic step is exact integer division.
 
-    Scale: one cumulative-sum window over the doc-grain table (a
-    range-partitioned sort at cluster scale; Spark's window needs no
-    global single partition until the frame is evaluated per row), and
-    the global total reuses the same pass. For a billion-doc corpus the
-    same stride arithmetic runs on per-partition subtotals: cum =
-    partition-prefix + local cumsum, one tiny scalar exchange."""
+    Scale: the cumulative weights come from distributed_running_sum
+    (operators/relational.py) — range shuffle on doc_id + partition-
+    local cumsum + broadcast per-partition offsets — exactly the
+    "partition-prefix + local cumsum" decomposition this docstring used
+    to merely promise (`SUM OVER (ORDER BY doc_id)` over the corpus was
+    a single-partition sort, the ext_vocab_growth scale-killer class,
+    fixed r7); the grand total rides in as a broadcast 1-row aggregate."""
     d = load_tables(spark, sf_dir)["documents"]
     w = F.col("n_chars").cast("bigint")
-    wc = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wa = Window.partitionBy()
-    c = d.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.sum(w).over(wc).alias("cum"),
-        F.sum(w).over(wa).alias("tot"),
-    )
+    c = distributed_running_sum(
+        d.select("doc_id", "lang", "n_chars"),
+        ["doc_id"],
+        w,
+        out_col="cum",
+        inclusive=True,
+    ).crossJoin(F.broadcast(d.agg(F.sum(w).alias("tot"))))
     # tot = 0 (all-zero weights) must yield NULL bounds — the filter
     # then drops every row like the oracle's `// 0 → NULL`; a bare
     # `div` is an ANSI DIVIDE_BY_ZERO crash
