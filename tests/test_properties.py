@@ -310,3 +310,61 @@ def test_temperature_mix_envelope_on_random_corpora(spark, sizes):
         m = min(cap, math.sqrt(cmax / c)) if c > 0 else 1.0
         n = per_group_n[s]
         assert n * math.floor(m) <= got[s] <= n * math.ceil(m), (s, m, got[s])
+
+
+@given(
+    vals=st.lists(st.integers(0, 20), min_size=1, max_size=40),
+    n=st.integers(1, 12),
+    n_ranges=st.integers(1, 6),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_window_family_matches_ansi_property(
+    spark, vals, n, n_ranges
+):
+    """Hypothesis sweep of the distributed global-window decomposition
+    (round 7): for arbitrary value multisets (ties included), tile
+    counts, and range-partition counts, distributed_ntile /
+    distributed_row_number / distributed_running_sum over the TOTAL
+    order (v, idx) must equal the single-task ANSI window forms row for
+    row — including uneven splits, n > N, and all-duplicate inputs."""
+    from pyspark.sql import Window
+    from world_cup_duckdb_spark.operators.relational import (
+        distributed_ntile,
+        distributed_row_number,
+        distributed_running_sum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "idx int, v int").repartition(3)
+    order = [F.col("v").asc_nulls_last(), F.col("idx").asc_nulls_last()]
+    w = Window.orderBy(*order)
+
+    got = distributed_ntile(df, n, ["v", "idx"], "t", n_ranges=n_ranges)
+    exp = df.withColumn("t", F.ntile(n).over(w))
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    got = distributed_row_number(df, ["v", "idx"], "rn", n_ranges=n_ranges)
+    exp = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    got = distributed_running_sum(
+        df, ["v", "idx"], F.col("v").cast("bigint"), "rs",
+        n_ranges=n_ranges, inclusive=False,
+    )
+    exp = df.withColumn(
+        "rs",
+        F.coalesce(
+            F.sum(F.col("v").cast("bigint")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
