@@ -338,5 +338,6 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     sql_surface,
     sql_surface2,
     sql_surface3,
+    sql_surface4,
     wc_pipeline,
 )
