@@ -32,3 +32,37 @@ def test_release_is_idempotent_and_safe(spark, sf_dir):
     release_tracked_persists()
     release_tracked_persists()
     assert not _TRACKED_PERSISTS
+
+
+def test_tracked_persist_release_is_thread_safe(spark):
+    """ADVICE r6 item 3: the tracked-persist list is module-global state;
+    concurrent builders must get STRUCTURAL safety (no torn list, no
+    double-unpersist crash) even though cache affinity is documented as
+    single-threaded-driver-only. Hammer tracked_persist/release from
+    several threads; the invariant is no exception and an empty list."""
+    import threading
+
+    from world_cup_duckdb_spark.queries import (
+        _TRACKED_PERSISTS,
+        release_tracked_persists,
+        tracked_persist,
+    )
+
+    errors = []
+
+    def worker(i):
+        try:
+            for _ in range(10):
+                tracked_persist(spark.range(5).selectExpr(f"id + {i} as v"))
+                release_tracked_persists()
+        except Exception as ex:  # pragma: no cover - the failure signal
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    release_tracked_persists()
+    assert errors == []
+    assert not _TRACKED_PERSISTS
