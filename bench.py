@@ -49,13 +49,20 @@ def main() -> None:
     # right after its 50-query correctness pass, and the committed r6
     # pairs show that box state costs the legacy-16 subtotal ~15-20%
     # (2.16-2.33x vs 1.82-1.96x idle) — residual page-cache pressure,
-    # CPU-governor state, and reclaim from the just-exited session. A
-    # short fixed cooldown before the JVM starts lets that settle;
-    # min-of-7 then lands on a clean draw. Override with
-    # BENCH_COOLDOWN_SEC=0 for interactive runs.
+    # CPU-governor state, and reclaim from the just-exited session.
+    # LOAD-AWARE (ADVICE r7): the old unconditional 15 s sleep taxed
+    # every interactive/CI run that never followed a suite. Now the
+    # settle only waits while the 1-minute load average still shows a
+    # recently-busy box (> BENCH_COOLDOWN_LOAD, default 4), up to
+    # BENCH_COOLDOWN_SEC (default 15) — an idle box starts immediately,
+    # the driver's post-suite run still settles. BENCH_COOLDOWN_SEC=0
+    # disables entirely.
     cooldown = float(os.environ.get("BENCH_COOLDOWN_SEC", "15"))
-    if cooldown > 0:
-        time.sleep(cooldown)
+    load_gate = float(os.environ.get("BENCH_COOLDOWN_LOAD", "4"))
+    waited = 0.0
+    while waited < cooldown and os.getloadavg()[0] > load_gate:
+        time.sleep(1.0)
+        waited += 1.0
 
     from world_cup_duckdb_spark import get_spark
     from world_cup_duckdb_spark.queries import REGISTRY

@@ -46,9 +46,20 @@ def test_filter_pushdown_eq(spark, sf_dir):
     assert "EqualTo(o_orderstatus,F)" in p
 
 
-def test_flagship_broadcasts_dims(spark, sf_dir):
+def test_flagship_joins_dims_after_reduction(spark, sf_dir):
+    """Round-8 job-floor rework: the dim joins (customer/nation/region)
+    are SHUFFLE_HASH joins that run AFTER the per-customer reduction
+    (tiny exchanges inside the main job) instead of three separate
+    broadcast-build jobs — flagship went 5 jobs → 2 (measured via
+    statusTracker at sf0.1, r8). The plan must show ShuffledHashJoin for
+    the dims and NO forced broadcast of customer (impossible at
+    100 TB)."""
     p = plan(REGISTRY["flagship"].fn(spark, sf_dir))
-    assert p.count("BroadcastHashJoin") >= 2, p
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("ShuffledHashJoin") == 3, p
+    # The only broadcast candidate left is the (Catalyst-chosen, never
+    # forced) orders join — at most one broadcast join in the whole plan.
+    assert tree.count("BroadcastHashJoin") <= 1, p
 
 
 def test_flagship_preaggregates_fact_below_joins(spark, sf_dir):
@@ -754,3 +765,34 @@ def test_no_unpartitioned_window_over_data(spark, sf_dir, name, max_single):
     # surrogate_key_distributed pins: offsets and data read ONE
     # materialization, so range boundaries cannot diverge per consumer
     assert "Scan ExistingRDD" in p, p
+
+
+def test_job_floor_pins_flagship_and_bloom(spark, sf_dir):
+    """Job-count pins for the two multi-job bench queries the r7 bench
+    decomposition flagged (BASELINE.md legacy-16 floor section): each
+    Spark job pays ~0.14 s of scheduler/launch floor at bench scale, so
+    job count IS the micro-bench cost model. Round-8 rework: flagship
+    5 jobs → 2 (dims join as post-reduction shuffle-hash joins, no
+    broadcast-build jobs), ext_bloom_semijoin 6 → 4 (one fused
+    nation⋈region broadcast; no eager persist-fill count — the bitmap
+    broadcast build populates the asia cache). Measured like the bench:
+    AQE off, warm second rep, statusTracker delta."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc = spark.sparkContext
+    try:
+        for name, max_jobs in [("flagship", 2), ("ext_bloom_semijoin", 4)]:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm-up rep (codegen, cache fills released on entry)
+            group = f"jobpin-{name}"
+            sc.setJobGroup(group, group)
+            try:
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            finally:
+                sc.setJobGroup("jobpin-other", "jobpin-other")
+            jobs = len(sc.statusTracker().getJobIdsForGroup(group) or [])
+            assert jobs <= max_jobs, f"{name}: {jobs} jobs > pin {max_jobs}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -9,7 +9,9 @@ design notes:
 - **MinHash+LSH**: shingle → k seeded min-hashes → band → bucket join.
   Only documents sharing a band bucket are ever paired, so the pairwise
   cost is ~Σ bucket², not n². At 100 TB the guard rails are bucket-size
-  caps (drop/flag pathological buckets, e.g. boilerplate) and banding
+  caps (drop/flag pathological buckets, e.g. boilerplate — implemented:
+  ``split_bands_by_bucket_size`` /
+  ``lsh_candidate_pairs(max_bucket_size=...)``) and banding
   parameters; the bucket join itself shuffles on (band, key) which is
   md5-uniform → skew only from true duplicate clusters, which AQE's skew
   join splits.
@@ -160,9 +162,56 @@ def bands_from_signatures(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def split_bands_by_bucket_size(
+    bands: DataFrame, max_bucket_size: int, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a band table into (capped_bands, flagged_buckets).
+
+    ``capped_bands`` keeps every (id, band, band_key) row whose bucket
+    has ≤ ``max_bucket_size`` members; ``flagged_buckets`` is the
+    side-output of pathological buckets — (band, band_key, bucket_size)
+    for every bucket over the cap. This is the 100 TB guard rail for the
+    PAIR-EMITTING path: a single 10k-member boilerplate bucket is 50M
+    clique pairs; with the cap it emits nothing into the pair join and
+    surfaces in the flagged output instead (route it to
+    :func:`lsh_star_edges` when connectivity through boilerplate is
+    still wanted — star edges are linear in bucket size).
+
+    Scale: bucket sizes are one hash-agg on the same (band, band_key)
+    key the downstream bucket join shuffles on, and the size join back
+    is an equi-join on that key — co-partitioned with the work it
+    guards, no extra shuffle pattern.
+    """
+    sizes = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    capped = (
+        bands.join(sizes, ["band", "band_key"])
+        .filter(F.col("bucket_size") <= max_bucket_size)
+        .select(id_col, "band", "band_key")
+    )
+    flagged = sizes.filter(F.col("bucket_size") > max_bucket_size)
+    return capped, flagged
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket —
-    the bucket join at the heart of LSH dedup."""
+    the bucket join at the heart of LSH dedup.
+
+    ``max_bucket_size`` (recommended in production) drops buckets with
+    more members than the cap from pair emission via
+    :func:`split_bands_by_bucket_size`, bounding output at
+    Σ min(bucket, cap)² instead of Σ bucket² — the difference between a
+    boilerplate-heavy crawl finishing and OOMing. Docs in a dropped
+    bucket still pair through any other band they share; recover
+    connectivity *within* dropped buckets with :func:`lsh_star_edges`
+    over the flagged side-output if needed."""
+    if max_bucket_size is not None:
+        bands, _ = split_bands_by_bucket_size(bands, max_bucket_size, id_col)
     a = bands.select(
         F.col(id_col).alias("doc_a"), F.col("band").alias("band_a"), "band_key"
     )

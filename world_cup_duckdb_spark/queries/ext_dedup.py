@@ -78,22 +78,37 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(seed * 2 AS INT) AS band, m0 || m1 AS band_key FROM sigs
       UNION ALL
       SELECT doc_id, CAST(seed * 2 + 1 AS INT) AS band, m2 || m3 FROM sigs
+    ),
+    bsz AS (
+      SELECT band, band_key, COUNT(*) AS bucket_size
+      FROM bands GROUP BY band, band_key
+    ),
+    capped AS (
+      SELECT b.doc_id, b.band, b.band_key
+      FROM bands b JOIN bsz USING (band, band_key)
+      WHERE bucket_size <= 64
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
+    FROM capped a
+    JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
     """,
 )
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 3-word shingles → 8 32-bit
     signatures sliced from 2 seeded digests (operators/dedup.py:
-    minhash_bands) → 4 bands of 2 → bucket join. Identical re-crawl
-    copies share every band, so all true pairs are recovered; random
-    collisions are deterministic (md5) and appear in both engines
-    identically.
+    minhash_bands) → 4 bands of 2 → bucket join with the PRODUCTION
+    bucket-size cap (64): buckets larger than the cap — boilerplate in
+    a real crawl — are dropped from pair emission (both engines apply
+    the identical cap, so the hash-match covers the guard rail itself).
+    Identical re-crawl copies share every band, so all true pairs are
+    recovered; random collisions are deterministic (md5) and appear in
+    both engines identically.
 
-    Scale: pairwise cost is Σ bucket², not n² — see operators/dedup.py.
+    Scale: pairwise cost is Σ min(bucket, 64)², never Σ bucket² — the
+    cap is what keeps a single 10k-doc boilerplate bucket from emitting
+    50M pairs. See operators/dedup.py:split_bands_by_bucket_size and
+    the adversarial fixture in tests/test_llm_ops.py.
     """
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     # Cut bands before the self-join: both join sides consume the same
@@ -107,7 +122,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_bands(
         with_recrawl(d), num_hashes=8, band_size=2
     ).transform(tracked_persist)
-    return lsh_candidate_pairs(bands)
+    return lsh_candidate_pairs(bands, max_bucket_size=64)
 
 
 def _simhash_sql() -> str:
@@ -733,6 +748,141 @@ def ext_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+_BOILER_TEXT = (
+    "cookie policy accept all cookies site navigation home about contact "
+    "terms privacy copyright all rights reserved"
+)
+
+_CAP_CORPUS_SQL = f"""
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 2000000 + i AS doc_id, '{_BOILER_TEXT}' AS text
+      FROM range(0, 300) t(i)
+"""
+
+
+@register(
+    "ext_lsh_bucket_cap",
+    oracle=f"""
+    WITH {_bands_sql(_CAP_CORPUS_SQL, '')},
+    sizes AS (
+      SELECT band, band_key, COUNT(*) AS bucket_size
+      FROM bands GROUP BY band, band_key
+    ),
+    capped AS (
+      SELECT b.doc_id, b.band, b.band_key
+      FROM bands b JOIN sizes USING (band, band_key)
+      WHERE bucket_size <= 64
+    ),
+    cp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS capped_pairs FROM (
+        SELECT DISTINCT a.doc_id, b.doc_id
+        FROM capped a
+        JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id)
+    ),
+    fbm AS (
+      SELECT b.band, b.band_key, b.doc_id
+      FROM bands b JOIN sizes USING (band, band_key)
+      WHERE bucket_size > 64
+    ),
+    hubs AS (
+      SELECT band, band_key, MIN(doc_id) AS hub
+      FROM fbm GROUP BY band, band_key
+    ),
+    se AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS star_edges FROM (
+        SELECT DISTINCT h.hub, m.doc_id
+        FROM fbm m JOIN hubs h USING (band, band_key)
+        WHERE m.doc_id <> h.hub)
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_buckets,
+             CAST(COALESCE(SUM(CASE WHEN bucket_size > 64 THEN 1 END), 0)
+                  AS BIGINT) AS flagged_buckets,
+             CAST(COALESCE(SUM(CASE WHEN bucket_size > 64 THEN bucket_size END),
+                           0) AS BIGINT) AS flagged_docs,
+             CAST(SUM((bucket_size * (bucket_size - 1)) // 2)
+                  AS BIGINT) AS clique_checks
+      FROM sizes
+    )
+    SELECT total_buckets, flagged_buckets, flagged_docs, clique_checks,
+           capped_pairs, star_edges
+    FROM stats, cp, se
+    """,
+)
+def ext_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH bucket-size guard rail measured on an adversarial corpus:
+    documents(<200) + re-crawl copies + a 300-document BOILERPLATE block
+    (identical text — the pathological bucket every real crawl has).
+    One summary row: total buckets, buckets/docs over the cap (64),
+    Σ C(bucket, 2) clique checks the UNCAPPED pair join would perform,
+    the DISTINCT pairs the capped join actually emits
+    (operators/dedup.py:lsh_candidate_pairs(max_bucket_size=64) via
+    split_bands_by_bucket_size), and the LINEAR star-edge count that
+    recovers connectivity inside the flagged buckets
+    (operators/dedup.py:lsh_star_edges).
+
+    On this corpus the boilerplate block alone is 4 flagged buckets ×
+    C(300, 2) ≈ 179k clique checks vs 299 star edges — the quadratic-vs-
+    linear gap the cap exists to close. Both engines apply the identical
+    cap, so the hash-match proves the guard rail, not just the happy
+    path.
+
+    Scale: bucket sizing is one hash-agg on the bucket join's own key;
+    every downstream count is an aggregate — no uncapped pair set is
+    ever materialized.
+    """
+    from world_cup_duckdb_spark.operators.dedup import lsh_star_edges
+
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    boiler = spark.range(300).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.lit(_BOILER_TEXT).alias("text"),
+    )
+    corpus = with_recrawl(d).unionByName(boiler)
+    bands = minhash_bands(corpus, num_hashes=8, band_size=2).transform(
+        tracked_persist
+    )
+    sizes = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .transform(tracked_persist)
+    )
+    stats = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("total_buckets"),
+        F.coalesce(F.sum(F.when(F.col("bucket_size") > 64, 1)), F.lit(0))
+        .cast("long")
+        .alias("flagged_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("bucket_size") > 64, F.col("bucket_size"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("flagged_docs"),
+        F.sum(F.expr("(bucket_size * (bucket_size - 1)) div 2"))
+        .cast("long")
+        .alias("clique_checks"),
+    )
+    capped_pairs = lsh_candidate_pairs(bands, max_bucket_size=64).agg(
+        F.count(F.lit(1)).cast("long").alias("capped_pairs")
+    )
+    flagged_members = bands.join(
+        sizes.filter(F.col("bucket_size") > 64).select("band", "band_key"),
+        ["band", "band_key"],
+    )
+    star = lsh_star_edges(flagged_members).agg(
+        F.count(F.lit(1)).cast("long").alias("star_edges")
+    )
+    return stats.crossJoin(capped_pairs).crossJoin(star)
 
 
 def quality_expr():

@@ -115,15 +115,21 @@ def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     this implicitly; here it is an explicit operator with a portable hash
     family (operators/optim.py:bloom_build/bloom_probe)."""
     t = load_tables(spark, sf_dir)
+    # ONE broadcast for both bounded dims: nation⋈region joined with a
+    # SHUFFLE_HASH hint so the inner join is a 25+1-row exchange INSIDE
+    # the combined broadcast's build job instead of its own broadcast-
+    # build job (the r7 bench decomposed the legacy-16 gap to ~0.14 s of
+    # scheduler floor per job; this query went 6→4 jobs). supplier never
+    # shuffles — it joins the combined broadcast.
+    asia_dims = t["nation"].join(
+        t["region"].filter(F.col("r_name") == "ASIA").hint("shuffle_hash"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
     asia = (
         t["supplier"]
         .join(
-            F.broadcast(t["nation"]),
+            F.broadcast(asia_dims),
             F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .select("s_suppkey")
         .distinct()
@@ -137,10 +143,12 @@ def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every consumer reads the InMemoryRelation — without the RDD
         # materialization + disk write, measured ~19% off the whole
         # query (0.83→0.67 s same-process A/B, r4); identical logical
-        # plans share one cache entry across invocations.
+        # plans share one cache entry across invocations. No eager
+        # count(): the FIRST consumer (the bitmap broadcast build)
+        # populates the cache — an explicit fill was a whole extra job
+        # for work the first consumer does anyway (VERDICT r7 item 3).
         .transform(tracked_persist)
     )
-    asia.count()  # eager: fill the cache before the consumers fan out
     # ONE pass over the fact table computes both counters: the whole
     # bloom filter travels as a single-row map<word,bits> (≈1 KB at
     # m=8192) broadcast into the scan — each probe is a map lookup + bit
