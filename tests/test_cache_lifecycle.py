@@ -66,3 +66,33 @@ def test_tracked_persist_release_is_thread_safe(spark):
     release_tracked_persists()
     assert errors == []
     assert not _TRACKED_PERSISTS
+
+
+def test_ranged_offsets_checkpoint_blocks_release_with_query_scope(
+    spark, sf_dir
+):
+    """ADVICE r7: _ranged_offsets localCheckpoints the ranged relation,
+    and checkpoint blocks are invisible to DataFrame.unpersist — they
+    used to live until JVM GC across the driver's multi-hundred-query
+    loop. Now the operator registers a release callback (tracking.py)
+    that the next registry query's entry runs. Pin: after materializing
+    a distributed-window query, checkpoint RDD storage exists; after the
+    next query entry it is gone."""
+    from world_cup_duckdb_spark import tracking
+
+    release_tracked_persists()
+    spark.catalog.clearCache()
+    sc = spark.sparkContext._jsc.sc()
+
+    def rdd_storage_count() -> int:
+        return len(sc.getRDDStorageInfo())
+
+    base = rdd_storage_count()
+    df = REGISTRY["ext_corpus_deciles"].fn(spark, sf_dir)
+    df.count()
+    assert tracking._RELEASERS, "no checkpoint releaser registered"
+    assert rdd_storage_count() > base, "expected live checkpoint blocks"
+    # entering the NEXT registered query releases the checkpoint blocks
+    REGISTRY["op17_filter_eq"].fn(spark, sf_dir)
+    assert not tracking._RELEASERS
+    assert rdd_storage_count() <= base

@@ -319,6 +319,11 @@ def test_torn_commit_recovery_restores_writability(
     # a roll-back case (separate test below), not a roll-forward.
     torn = 1
     os.makedirs(os.path.join(path, "data-000001-x"))
+    # Roll-forward validation requires a COMPLETE dir (ADVICE r7): the
+    # fabricated crash here hit after the parquet job finished (marker
+    # present), during the manifest protocol. The empty-dir case — crash
+    # between mkdir and part writes — is a roll-back (test below).
+    open(os.path.join(path, "data-000001-x", "_SUCCESS"), "w").close()
     body = {"version": torn, "mode": "append", "dirs": ["data-000001-x"]}
     for suffix in tmps:
         with open(os.path.join(log, f"v{torn}.json.tmp-{suffix}"), "w") as f:
@@ -517,6 +522,61 @@ def test_recovery_rolls_back_body_referencing_missing_dirs(
     assert latest_version(path) == 0
     v = write_table(nation.filter(F.col("n_regionkey") == 0), path)
     assert v == 1
+
+
+def test_recovery_rolls_back_body_referencing_empty_dir(
+    spark, nation, tmp_path
+):
+    """ADVICE r7: a referenced data dir that EXISTS but is incomplete —
+    the crash hit between mkdir and the part writes, so it holds no
+    _SUCCESS marker and no *.parquet part — must not roll forward
+    either; a bare isdir check would publish it and fail at read time.
+    A dir with parquet parts but no marker (writer configured with
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false) still
+    qualifies as complete."""
+    import json
+    import os
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        _log_dir,
+        latest_version,
+        recover_torn_commits,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(nation, path)  # v0
+    log = _log_dir(path)
+    os.makedirs(os.path.join(path, "data-00001-empty"))
+    with open(os.path.join(log, "v1.json.tmp-aaa"), "w") as f:
+        json.dump(
+            {"version": 1, "mode": "append", "dirs": ["data-00001-empty"]},
+            f,
+        )
+    os.close(os.open(
+        os.path.join(log, "v1.json.claim"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    ))
+    report = recover_torn_commits(path)
+    assert report["rolled_forward"] == []
+    assert report["rolled_back"] == [1]
+    assert latest_version(path) == 0
+    # markerless-but-parted dir: completeness via *.parquet presence
+    os.makedirs(os.path.join(path, "data-00002-parts"))
+    open(
+        os.path.join(path, "data-00002-parts", "part-0000.parquet"), "w"
+    ).close()
+    with open(os.path.join(log, "v1.json.tmp-bbb"), "w") as f:
+        json.dump(
+            {"version": 1, "mode": "append", "dirs": ["data-00002-parts"]},
+            f,
+        )
+    os.close(os.open(
+        os.path.join(log, "v1.json.claim"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    ))
+    report2 = recover_torn_commits(path)
+    assert report2["rolled_forward"] == [1]
+    assert latest_version(path) == 1
 
 
 def test_recovery_concurrent_writer_interleavings_property(

@@ -202,9 +202,24 @@ def recover_torn_commits(path: str) -> dict:
         # from a retry — publishing the partial would wedge every later
         # read at json.load. Parse each candidate and require (a) the
         # body to identify as this version, and (b) every data dir it
-        # references to exist under the table path — a manifest naming
-        # a crashed writer's never-finished directory must stay
-        # unpublished (it would break at read time, not here).
+        # references to be a COMPLETE parquet directory — present AND
+        # carrying a completeness marker (Spark's _SUCCESS, or at least
+        # one *.parquet part for writers with the marker disabled). A
+        # bare isdir is not enough (ADVICE r7): a crash between
+        # mkdir and the part writes leaves an empty directory that
+        # passes existence but fails at read time — the exact failure
+        # this gate exists to keep unpublished.
+        def _complete_dir(d: str) -> bool:
+            full = os.path.join(path, d)
+            if not os.path.isdir(full):
+                return False
+            if os.path.exists(os.path.join(full, "_SUCCESS")):
+                return True
+            try:
+                return any(e.endswith(".parquet") for e in os.listdir(full))
+            except OSError:
+                return False
+
         chosen = None
         for t in sorted(
             e for e in os.listdir(log) if e.startswith(manifest + ".tmp-")
@@ -215,8 +230,7 @@ def recover_torn_commits(path: str) -> dict:
                 and body.get("version") == version
                 and isinstance(body.get("dirs"), list)
                 and all(
-                    isinstance(d, str)
-                    and os.path.isdir(os.path.join(path, d))
+                    isinstance(d, str) and _complete_dir(d)
                     for d in body["dirs"]
                 )
             ):

@@ -204,6 +204,16 @@ def _ranged_offsets(
     caller's main expression): without the lineage cut the range shuffle
     could re-execute with differently-sampled boundaries per consumer
     and offsets from one partitioning would be applied to another.
+    ``persist()`` would NOT be a safe substitute: an evicted/lost cache
+    block silently recomputes with re-sampled boundaries — wrong rows —
+    whereas lost checkpoint blocks FAIL the job, which retries the whole
+    query from source (fault-tolerance trade, ADVICE r7: on a real
+    cluster an executor loss costs a query retry, never a wrong answer;
+    swap in reliable ``checkpoint()`` against a checkpoint dir if
+    retries are too expensive at your scale). The checkpoint blocks are
+    scoped to the current registry query via tracking.track_release —
+    the next query's entry unpersists them, so the driver's multi-
+    hundred-query loop never accumulates checkpoint storage.
 
     Equal order keys always land in ONE partition (the range partitioner
     maps each key deterministically), so tie groups never straddle an
@@ -225,6 +235,17 @@ def _ranged_offsets(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    # Release the checkpoint's block-cached RDD with the query scope
+    # (DataFrame.unpersist can't reach it; see tracking.py). The handle
+    # is the LogicalRDD the checkpointed frame is rooted at.
+    from world_cup_duckdb_spark import tracking
+
+    try:
+        _jrdd = ranged._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        _jrdd = None  # plan shape changed upstream: fall back to GC release
+    if _jrdd is not None:
+        tracking.track_release(lambda: _jrdd.unpersist(False))
     part = F.count(F.lit(1)) if weight is None else F.sum(weight)
     counts = ranged.groupBy("_pid").agg(part.alias("_n"))
     w_run = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -285,16 +306,24 @@ def distributed_ntile(
     (``N < n`` degenerates to ``tile = i`` via the first branch.)
     Tie caveat as :func:`distributed_row_number`; tile COUNTS are exact
     regardless of tie order.
+
+    All arithmetic is BIGINT integral division (``div``), never double
+    ``/`` + ``floor`` — double division loses exactness once counts
+    approach 2^53, which the 100 TB design point can reach (ADVICE r7).
     """
     ranged, offsets = _ranged_offsets(df, order_by, n_ranges)
     w_local = Window.partitionBy("_pid").orderBy(*_norm_order(order_by))
     i = F.col("_offset") + F.col("_local")
-    q = F.floor(F.col("_total") / n)
+    q = F.expr(f"_total div {int(n)}")
     r = F.col("_total") % n
     head = r * (q + 1)
+
+    def _idiv(num: Column, den: Column) -> Column:
+        return F.call_function("div", num.cast("bigint"), den.cast("bigint"))
+
     tile = F.when(
-        i <= head, F.floor((i - 1) / (q + 1)) + 1
-    ).otherwise(r + F.floor((i - head - 1) / q) + 1)
+        i <= head, _idiv(i - 1, q + 1) + 1
+    ).otherwise(r + _idiv(i - head - 1, q) + 1)
     return (
         ranged.withColumn("_local", F.row_number().over(w_local))
         .join(F.broadcast(offsets), "_pid")
@@ -320,6 +349,16 @@ def distributed_running_sum(
     The value column is summed as-is: pass an exact type (bigint /
     decimal) when cross-engine bit-equality matters, as the registry's
     determinism rules require.
+
+    PRECONDITION (ADVICE r7): ``value`` must be NON-NULL on every row.
+    ANSI ``SUM OVER`` skips NULLs and returns NULL only when the whole
+    frame is NULL-valued; reproducing that exactly would need a second
+    non-null running count. This decomposition instead coalesces the
+    EMPTY frame (first row under ``inclusive=False``) to 0 — the
+    documented never-NULL contract — and with NULL values present an
+    all-NULL prefix frame would diverge from the window form (0 / offset
+    instead of NULL). Every registry caller feeds a non-null expression;
+    new callers must ``coalesce`` or filter first.
     """
     val = F.col(value) if isinstance(value, str) else value
     ranged, offsets = _ranged_offsets(
@@ -332,10 +371,14 @@ def distributed_running_sum(
         .rowsBetween(Window.unboundedPreceding, upper)
     )
     zero = F.lit(0).cast("bigint")
+    local = F.sum("_w").over(w_local)
+    if not inclusive:
+        # Only the empty first frame can be NULL under the non-null
+        # precondition; inclusive frames are never empty, so no coalesce
+        # (masking a violated precondition with 0 would be silent).
+        local = F.coalesce(local, zero)
     return (
-        ranged.withColumn(
-            "_localsum", F.coalesce(F.sum("_w").over(w_local), zero)
-        )
+        ranged.withColumn("_localsum", local)
         .join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.col("_offset") + F.col("_localsum"))
         .drop("_pid", "_w", "_localsum", "_offset", "_total")

@@ -72,7 +72,12 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 
 def release_tracked_persists() -> None:
-    """Unpersist every intermediate cached via :func:`tracked_persist`."""
+    """Unpersist every intermediate cached via :func:`tracked_persist`,
+    then run operator-registered release callbacks (checkpoint blocks
+    and other state the DataFrame API can't drop — see tracking.py)."""
+    from world_cup_duckdb_spark import tracking
+
+    tracking.release_all()
     while True:
         with _PERSIST_LOCK:
             if not _TRACKED_PERSISTS:
