@@ -741,6 +741,10 @@ def test_corpus_prep_pipeline_has_no_corpus_sized_global_sort(spark, sf_dir):
         ("ext_pareto_curve", 1),
         ("ext_equidepth_histogram", 1),
         ("ext_systematic_sample", 1),
+        # r8: the skyline's global frontier pass is a distributed running
+        # max — worst-case (monotone data, local prune removes nothing)
+        # no longer plans a full-candidate single-task window.
+        ("ext_skyline", 1),
     ],
 )
 def test_no_unpartitioned_window_over_data(spark, sf_dir, name, max_single):

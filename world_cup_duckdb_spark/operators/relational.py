@@ -180,6 +180,38 @@ def _norm_order(order_by: Sequence[str | Column]) -> list[Column]:
     ]
 
 
+def _ranged(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    n_ranges: int | None,
+) -> DataFrame:
+    """Range-partition ``df`` on the order keys, tag rows with ``_pid``,
+    and materialize ONCE (``localCheckpoint``) — the shared first step of
+    every distributed_* decomposition. Materialization rationale and the
+    fault-tolerance trade are documented on :func:`_ranged_offsets`."""
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = spark.sparkContext.defaultParallelism
+    order_cols = _norm_order(order_by)
+    ranged = (
+        df.repartitionByRange(n_ranges, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Release the checkpoint's block-cached RDD with the query scope
+    # (DataFrame.unpersist can't reach it; see tracking.py). The handle
+    # is the LogicalRDD the checkpointed frame is rooted at.
+    from world_cup_duckdb_spark import tracking
+
+    try:
+        _jrdd = ranged._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        _jrdd = None  # plan shape changed upstream: fall back to GC release
+    if _jrdd is not None:
+        tracking.track_release(lambda: _jrdd.unpersist(False))
+    return ranged
+
+
 def _ranged_offsets(
     df: DataFrame,
     order_by: Sequence[str | Column],
@@ -226,26 +258,7 @@ def _ranged_offsets(
     (exclusive prefix total of earlier partitions) and ``_total`` (grand
     total) — ≤ ``n_ranges`` rows, always broadcast-sized.
     """
-    spark = df.sparkSession
-    if n_ranges is None:
-        n_ranges = spark.sparkContext.defaultParallelism
-    order_cols = _norm_order(order_by)
-    ranged = (
-        df.repartitionByRange(n_ranges, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # Release the checkpoint's block-cached RDD with the query scope
-    # (DataFrame.unpersist can't reach it; see tracking.py). The handle
-    # is the LogicalRDD the checkpointed frame is rooted at.
-    from world_cup_duckdb_spark import tracking
-
-    try:
-        _jrdd = ranged._jdf.queryExecution().analyzed().rdd()
-    except Exception:
-        _jrdd = None  # plan shape changed upstream: fall back to GC release
-    if _jrdd is not None:
-        tracking.track_release(lambda: _jrdd.unpersist(False))
+    ranged = _ranged(df, order_by, n_ranges)
     part = F.count(F.lit(1)) if weight is None else F.sum(weight)
     counts = ranged.groupBy("_pid").agg(part.alias("_n"))
     w_run = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -382,6 +395,50 @@ def distributed_running_sum(
         .join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.col("_offset") + F.col("_localsum"))
         .drop("_pid", "_w", "_localsum", "_offset", "_total")
+    )
+
+
+def distributed_running_max(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    value: str | Column,
+    out_col: str = "running_max",
+    n_ranges: int | None = None,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Exact global running max — ``MAX(value) OVER (ORDER BY order_by
+    ROWS UNBOUNDED PRECEDING [AND -1])`` — without a single-partition
+    window: partition-local running max combined (``greatest``) with the
+    broadcast max over all EARLIER partitions. Same range-shuffle
+    decomposition as :func:`distributed_running_sum`; max needs no
+    weight plumbing because per-partition maxes combine associatively.
+
+    NULL semantics match the ANSI window exactly: MAX skips NULL values,
+    and the result is NULL only when the frame holds no non-null value
+    (``greatest`` returns NULL only when every argument is NULL) — the
+    empty exclusive first frame is therefore NULL, as the window form
+    gives. Tie caveat as :func:`distributed_row_number` for rows equal
+    on the full order key (an exclusive frame is order-sensitive among
+    ties); with a total order the result is deterministic and exact.
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    ranged = _ranged(df.withColumn("_v", val), order_by, n_ranges)
+    per_part = ranged.groupBy("_pid").agg(F.max("_v").alias("_pm"))
+    w_run = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.select(
+        "_pid", F.max("_pm").over(w_run).alias("_prevmax")
+    )
+    upper = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*_norm_order(order_by))
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    return (
+        ranged.withColumn("_localmax", F.max("_v").over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.greatest(F.col("_localmax"), F.col("_prevmax")))
+        .drop("_pid", "_v", "_localmax", "_prevmax")
     )
 
 

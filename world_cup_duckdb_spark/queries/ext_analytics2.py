@@ -105,10 +105,17 @@ def ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     size strictly exceeds the running max over all strictly-cheaper rows.
 
     Scale: skyline(S) = skyline(∪ local skylines), so a local staircase
-    per input partition prunes candidates before the single global ordered
-    pass — the global window only ever sees each partition's frontier, not
-    the full distinct-price set. The initial groupBy is the only full
-    shuffle. Determinism: pure integer/decimal comparisons, no floats."""
+    per input partition prunes candidates first; the global pass is then
+    a DISTRIBUTED running max (operators/relational.py:
+    distributed_running_max — range shuffle + per-partition prefix +
+    broadcast offsets), so no window ever sees the candidate set in one
+    task. That closes the VERDICT r7 worst case: on adversarial MONOTONE
+    data (price and size both ascending) the local prune removes nothing
+    and a plain `Window.orderBy(price)` would sort the full distinct-
+    price set in a single task — here it stays partitioned (adversarial
+    fixture in tests/test_operators.py). The initial groupBy is the only
+    full shuffle. Determinism: pure integer/decimal comparisons, no
+    floats; prices are distinct post-groupBy so the order is total."""
     p = load_tables(spark, sf_dir)["part"]
     gall = p.groupBy("p_retailprice").agg(
         F.max("p_size").cast("int").alias("best_size")
@@ -132,10 +139,15 @@ def ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_m").isNull() | (F.col("best_size") > F.col("_m")))
         .drop("_m", "_pid")
     )
-    wg = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    from world_cup_duckdb_spark.operators.relational import (
+        distributed_running_max,
+    )
+
+    sky = distributed_running_max(
+        cand, ["p_retailprice"], "best_size", out_col="_m", inclusive=False
+    )
     return (
-        cand.withColumn("_m", F.max("best_size").over(wg))
-        .filter(F.col("_m").isNull() | (F.col("best_size") > F.col("_m")))
+        sky.filter(F.col("_m").isNull() | (F.col("best_size") > F.col("_m")))
         .drop("_m")
         .unionByName(null_rows)
     )
