@@ -442,6 +442,30 @@ def distributed_running_max(
     )
 
 
+def positional_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Sequence[str | Column],
+    right_order: Sequence[str | Column],
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """DuckDB ``POSITIONAL JOIN`` semantics, made well-defined for a
+    distributed engine: zip the two relations row-by-row under EXPLICIT
+    total orders (DuckDB zips physical row order, which a distributed
+    table doesn't have — callers must say what "position" means), with
+    the shorter side NULL-padded to the longer one (DuckDB pads the same
+    way).
+
+    Scale: each side gets a global position from
+    :func:`distributed_row_number` (range shuffle + broadcast offsets —
+    no single-task window), then a plain equi-join on the position
+    column; output length = max(|left|, |right|) via full-outer join.
+    """
+    l = distributed_row_number(left, left_order, "_pos", n_ranges)
+    r = distributed_row_number(right, right_order, "_pos", n_ranges)
+    return l.join(r, "_pos", "full_outer").drop("_pos")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -344,5 +344,6 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     sql_surface2,
     sql_surface3,
     sql_surface4,
+    sql_surface5,
     wc_pipeline,
 )

@@ -1,0 +1,170 @@
+"""SQL-dialect parity, batch 5 (EXTENSION): the remaining DuckDB-dialect
+tail VERDICT r7 ranked — ``COLUMNS(...)`` star-expressions, ``SUMMARIZE``
+(as a portable exact profile), and ``POSITIONAL JOIN``. Spark has no
+native spelling for any of the three, so each key pairs an ENGINE-side
+emulation (programmatic select building / a one-pass profile aggregate /
+zip-by-distributed-row-number) with the DuckDB-native form as its
+oracle — the shim a migrating user would otherwise write by hand.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.sources.catalog import load_tables
+
+
+def columns_regex(df: DataFrame, pattern: str) -> list[str]:
+    """DuckDB ``COLUMNS('regex')`` resolution: the column names of ``df``
+    the regex matches (DuckDB uses RE2 *search* semantics — anchor with
+    ^$ for exact-name matching), in schema order. The emulation surface
+    for star-expressions: callers splat the returned list into a
+    programmatic select/agg."""
+    return [c for c in df.columns if re.search(pattern, c)]
+
+
+@register(
+    "sql_columns_expr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, MAX(COLUMNS('^l_(extendedprice|discount|tax)$'))
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           l_extendedprice AS max_l_extendedprice,
+           l_discount AS max_l_discount,
+           l_tax AS max_l_tax
+    FROM m
+    """,
+)
+def sql_columns_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COLUMNS(regex)`` star-expression: apply one aggregate across
+    every column a regex matches (here MAX over the three lineitem money
+    columns, per return flag). The oracle runs DuckDB's native COLUMNS;
+    Spark has no equivalent, so the engine emulates it by resolving the
+    regex against the schema (columns_regex above) and splatting the
+    aggregate — exactly the shim a migrating user needs, now a tested
+    engine helper.
+
+    Scale: one hash aggregate, partial map-side, grouped on a 3-value
+    key; MAX is order-insensitive so doubles are exact cross-engine."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cols = columns_regex(li, r"^l_(extendedprice|discount|tax)$")
+    return li.groupBy("l_returnflag").agg(
+        *[F.max(c).alias(f"max_{c}") for c in cols]
+    )
+
+
+@register(
+    "sql_summarize",
+    oracle="""
+    SELECT 'p_partkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(p_partkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(p_partkey) AS VARCHAR) AS min_value,
+           CAST(MAX(p_partkey) AS VARCHAR) AS max_value
+    FROM part
+    UNION ALL
+    SELECT 'p_brand', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(p_brand) AS BIGINT),
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT),
+           CAST(MIN(p_brand) AS VARCHAR), CAST(MAX(p_brand) AS VARCHAR)
+    FROM part
+    UNION ALL
+    SELECT 'p_type', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(p_type) AS BIGINT),
+           CAST(COUNT(DISTINCT p_type) AS BIGINT),
+           CAST(MIN(p_type) AS VARCHAR), CAST(MAX(p_type) AS VARCHAR)
+    FROM part
+    UNION ALL
+    SELECT 'p_size', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(p_size) AS BIGINT),
+           CAST(COUNT(DISTINCT p_size) AS BIGINT),
+           CAST(MIN(p_size) AS VARCHAR), CAST(MAX(p_size) AS VARCHAR)
+    FROM part
+    UNION ALL
+    SELECT 'p_retailprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(p_retailprice) AS BIGINT),
+           CAST(COUNT(DISTINCT p_retailprice) AS BIGINT),
+           CAST(MIN(p_retailprice) AS VARCHAR),
+           CAST(MAX(p_retailprice) AS VARCHAR)
+    FROM part
+    """,
+)
+def sql_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SUMMARIZE`` as a PORTABLE exact column profile: per column —
+    row count, null count, exact distinct count, min/max (string-cast).
+    DuckDB's native SUMMARIZE also emits approx_unique/std/quantiles,
+    which are engine-defined approximations no cross-engine hash can
+    pin; this key certifies the exact subset both engines must agree
+    on, and the engine helper is the profiling entry point.
+
+    Scale: ONE scan — all per-column aggregates (including the multiple
+    exact count-distincts, planned via Expand) run in a single pass;
+    the one-row result then unpivots to a row per column with stack().
+    At 100 TB swap exact count-distinct for approx_count_distinct and
+    profile a sampled fraction; the plan shape (single pass, constant
+    output) is unchanged."""
+    part = load_tables(spark, sf_dir)["part"]
+    cols = ["p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_mn_{c}"),
+            F.max(c).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = part.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n, _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+@register(
+    "sql_positional_join",
+    oracle="""
+    SELECT a.c_custkey, a.c_name, b.active_custkey
+    FROM (SELECT c_custkey, c_name FROM customer ORDER BY c_custkey) a
+    POSITIONAL JOIN
+         (SELECT o_custkey AS active_custkey
+          FROM (SELECT DISTINCT o_custkey FROM orders)
+          ORDER BY o_custkey) b
+    """,
+)
+def sql_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``POSITIONAL JOIN``: zip two relations row-by-row, NULL-padding
+    the shorter side — here every customer (ordered by key) zipped with
+    the ordered distinct custkeys that placed orders (fewer rows, so the
+    tail pads with NULL). DuckDB zips physical row order; a distributed
+    table has none, so the engine form (operators/relational.py:
+    positional_join) requires explicit total orders per side and the
+    oracle pins them with ORDER BY subqueries.
+
+    Scale: each side's position comes from distributed_row_number
+    (range shuffle + broadcast offsets — no single-task window), then
+    one full-outer equi-join on position. No collect, no zipWithIndex
+    RDD hop."""
+    from world_cup_duckdb_spark.operators.relational import positional_join
+
+    t = load_tables(spark, sf_dir)
+    left = t["customer"].select("c_custkey", "c_name")
+    right = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("active_custkey"))
+        .distinct()
+    )
+    return positional_join(
+        left, right, ["c_custkey"], ["active_custkey"]
+    ).select("c_custkey", "c_name", "active_custkey")
