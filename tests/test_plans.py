@@ -102,8 +102,10 @@ def test_micro_query_stage_floor_is_pinned(spark, sf_dir):
     Pins: op45 = scan → ONE exchange (partitionBy key) → window with
     WindowGroupLimit (rank filter truncates to k per group during sort);
     op47 = ONE exchange (partial-combined agg) + TakeOrderedAndProject
-    (never a global sort); op49 = Expand-based rollup behind ONE exchange
-    with both dims broadcast."""
+    (never a global sort); op49 (r8 rework) = customer pre-aggregated to
+    nation grain below every join, dims attached as SHUFFLE_HASH joins
+    (tiny in-job exchanges, no broadcast-build jobs — 3 jobs → 1), the
+    rollup Expand running over the ≤|nations| relation only."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         p45 = plan(REGISTRY["op45_rank_window"].fn(spark, sf_dir))
@@ -118,10 +120,15 @@ def test_micro_query_stage_floor_is_pinned(spark, sf_dir):
     assert t47.count("Exchange") == 1, p47
     assert "TakeOrderedAndProject" in p47 and "partial" in p47, p47
     t49 = p49.split("(1) Scan")[0]
-    # one shuffle exchange; the other Exchange mentions are broadcasts
-    assert t49.count("Exchange") - t49.count("BroadcastExchange") == 1, p49
     assert "Expand" in p49, p49
-    assert t49.count("BroadcastHashJoin") == 2, p49
+    # no broadcast-build jobs: both dims are shuffle-hash joins
+    assert t49.count("BroadcastExchange") == 0, p49
+    assert t49.count("ShuffledHashJoin") == 2, p49
+    # customer reduces to nation grain BELOW every join: the deepest
+    # chain is scan(customer) → partial HashAggregate on c_nationkey
+    scan1_49 = p49.split("(1) Scan parquet")[1].split("(2)")[0]
+    assert "customer.parquet" in scan1_49, p49
+    assert "Keys [1]: [c_nationkey" in p49, p49
 
 
 def test_no_python_udf_on_reference_surface(spark, sf_dir):

@@ -368,9 +368,11 @@ def test_bloom_probe_joins_are_broadcast(spark, sf_dir):
     the big scan, never a shuffle of the big side. The bloom itself ships
     as a single-row map<word,bits> (BroadcastNestedLoopJoin of a 1-row
     build — both probes are then map lookups inside the scan stage); the
-    exact key set is a broadcast hash join (the nation/region dim joins
-    live inside the checkpointed key-set build and so don't appear in
-    this plan); the fact side never sort-merge- or shuffle-hash-joins."""
+    exact key set is a broadcast hash join. The ONE ShuffledHashJoin
+    allowed is the r8 fused nation⋈region dim join (25-row exchanges
+    inside the key-set build, replacing a broadcast-build job each —
+    BASELINE.md r8 job-floor table); the FACT (lineitem) side never
+    sort-merge- or shuffle-hash-joins."""
     from world_cup_duckdb_spark.queries import REGISTRY
 
     df = REGISTRY["ext_bloom_semijoin"].fn(spark, sf_dir)
@@ -380,7 +382,16 @@ def test_bloom_probe_joins_are_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
-    assert "ShuffledHashJoin" not in plan, plan
+    import re as _re
+
+    # the (persisted, multiply-consumed) asia subplan prints once per
+    # consumer in the tree — count DISTINCT operator ids, not mentions
+    shj_ids = set(_re.findall(r"\((\d+)\) ShuffledHashJoin", plan))
+    assert len(shj_ids) <= 1, plan
+    # the shuffle-hash join must be the bounded dims, never lineitem
+    for seg in plan.split(") ShuffledHashJoin")[1:]:
+        head = seg.split("\n\n")[0]
+        assert "lineitem" not in head, plan
 
 
 def test_cms_estimate_never_undercounts(spark):

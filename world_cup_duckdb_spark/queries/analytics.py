@@ -249,15 +249,38 @@ def op49_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup: per-group + subtotal + grand total in one pass (OP49) —
     per-tournament plus overall totals (SURVEY.md §2.7). Spark expands
     rollup groups inside the same partial+final hash aggregation, so the
-    fact table is still read once."""
+    fact table is still read once.
+
+    Shape (r8 job-floor rework): customer pre-aggregates to nation grain
+    FIRST — one exchange of ≤|nations| partial rows — and the bounded
+    dims then attach as SHUFFLE_HASH joins (25-row exchanges inside the
+    same job) before the rollup expands over the 25-row relation. The
+    old forced dim broadcasts cost a broadcast-build job each (3 jobs
+    total); this plan is 1 job, same single customer scan, and the
+    decimal two-level sum stays exact (partial decimal(28,2) per nation,
+    merged before the double cast)."""
     t = load_tables(spark, sf_dir)
-    return (
+    per_nation = (
         t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(dec("c_acctbal")).alias("_bal"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        per_nation
+        .join(
+            t["nation"].hint("shuffle_hash"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t["region"].hint("shuffle_hash"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
         .rollup("r_name", "n_name")
         .agg(
-            F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
-            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_bal").cast("double").alias("total_acctbal"),
+            F.sum("_n").alias("n_customers"),
         )
     )

@@ -152,12 +152,21 @@ def op28_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scripts/build_db.py:1183-1203). Equi-key + inequality residual:
     Catalyst plans the equi part as the join key (one shuffle on
     o_custkey) and applies the `<` as a post-join filter.
+
+    SHUFFLE_HASH-hinted (r8): at bench SF Catalyst would auto-broadcast
+    one side — broadcasting a full FACT table, the one plan shape that
+    cannot survive 100 TB — and pay a broadcast-build job for it. The
+    hinted self-join co-partitions both sides on o_custkey inside the
+    single job; at scale that is the only correct plan anyway.
     """
     o = load_tables(spark, sf_dir)["orders"]
     a = o.select(F.col("o_custkey"), F.col("o_orderkey").alias("k1"))
     b = o.select(F.col("o_custkey").alias("cust2"), F.col("o_orderkey").alias("k2"))
     return (
-        a.join(b, (F.col("o_custkey") == F.col("cust2")) & (F.col("k1") < F.col("k2")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("o_custkey") == F.col("cust2")) & (F.col("k1") < F.col("k2")),
+        )
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

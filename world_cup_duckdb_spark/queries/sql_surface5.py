@@ -133,6 +133,45 @@ def sql_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_window_exclude",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW) AS DOUBLE) AS others_total
+    FROM orders
+    """,
+)
+def sql_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``EXCLUDE CURRENT ROW`` window-frame modifier (each order
+    carries the total of the customer's OTHER orders; NULL when it is
+    the only one — an excluded frame over one row is empty). Spark has
+    no EXCLUDE clause; the engine emulates it algebraically — whole-
+    partition sum minus the current row's value, NULL-gated on the
+    partition count — which is exact because the sums are decimal.
+
+    Scale: one customer-partitioned window pass (per-key state,
+    executor-local), two unbounded aggregates sharing the single sort —
+    same shuffle volume as the native clause would cost."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    dec_price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.count(F.lit(1)).over(w) > 1,
+            (F.sum(dec_price).over(w) - dec_price).cast("double"),
+        ).alias("others_total"),
+    )
+
+
+@register(
     "sql_positional_join",
     oracle="""
     SELECT a.c_custkey, a.c_name, b.active_custkey
