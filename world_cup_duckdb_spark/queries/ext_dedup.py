@@ -557,7 +557,13 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard runs only on candidate pairs (LSH-bounded, never
     all-pairs), which is precisely the verify-stage contract. Estimates
     are md5-deterministic, so the oracle hash-checks the CALIBRATION
-    itself, not just the mechanism."""
+    itself, not just the mechanism.
+
+    This query deliberately runs the pair join UNCAPPED (unlike
+    ext_dedup_minhash's production max_bucket_size=64): calibration must
+    see the true bucket distribution, and at 100 TB it runs on a bounded
+    SAMPLE of the corpus (the sampling is the guard rail here; the cap
+    would bias the estimate/exact comparison toward small buckets)."""
     from world_cup_duckdb_spark.operators.dedup import (
         bands_from_signatures,
         minhash_signatures,
