@@ -461,6 +461,17 @@ def positional_join(
     no single-task window), then a plain equi-join on the position
     column; output length = max(|left|, |right|) via full-outer join.
     """
+    clash = [c for c in ("_pos",) if c in left.columns or c in right.columns]
+    if clash:
+        raise ValueError(
+            f"positional_join reserves column {clash}; rename it first"
+        )
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            "positional_join output would have ambiguous columns "
+            f"{sorted(overlap)}; alias one side first"
+        )
     l = distributed_row_number(left, left_order, "_pos", n_ranges)
     r = distributed_row_number(right, right_order, "_pos", n_ranges)
     return l.join(r, "_pos", "full_outer").drop("_pos")

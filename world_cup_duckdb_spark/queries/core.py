@@ -67,26 +67,27 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-order count (OP44) → ranking window (OP45) → filter
     (OP47-style top-k per group).
 
-    Scale design: REDUCE BEFORE EVERY JOIN. lineitem pre-aggregates per
-    l_orderkey (the biggest fact collapses ~4× before any join; the
-    distinct order count becomes a plain count — no expand/two-phase
-    distinct machinery over fact volume); the orders join output then
-    pre-aggregates per o_custkey BEFORE the customer join, so customer
-    joins a ≤|customer| relation co-partitioned on its own key — no
-    forced customer broadcast (impossible at 100 TB) and no fact-volume
-    shuffle on custkey. nation/region joins run AFTER reduction to
-    ≤|nations| rows as SHUFFLE_HASH joins: a 25-row exchange inside the
-    main job beats a broadcast-build job each (the r7 bench decomposed
-    the legacy-16 gap to ~0.14 s/job scheduler floor; this plan is 2
-    jobs — orders' auto-broadcast + the action — down from 5). The
-    window partitions by r_name only after reduction to ≤(nations) rows,
-    so it never sees fact volume.
+    Scale design: lineitem is reduced FIRST — revenue pre-aggregated per
+    l_orderkey, so (a) the biggest fact collapses ~4× before any join,
+    (b) the orderkey shuffle is shared by the aggregation and the orders
+    join (one exchange of the big side total), and (c) the distinct order
+    count becomes a plain count (one row per order post-agg) — no
+    expand/two-phase distinct machinery over fact volume. Measured ~30%
+    faster than the join-then-countDistinct form at sf0.1, and the gap
+    widens with lines-per-order. nation/region are bounded dims →
+    broadcast (never shuffled); customer/orders are PLAIN joins — never
+    force-broadcast — so Catalyst/AQE broadcasts them at small SF and
+    shuffles on the key at scale. The window partitions by r_name only
+    AFTER reduction to ≤(nations) rows, so it never sees fact volume.
 
-    Numeric exactness: per-customer revenue sums the e4-cents longs
-    directly (orders-per-customer is bounded — TPC-H ≤41 — so no
-    overflow at any SF); nation-level totals then use the two-level
-    long-partials → decimal(38,0) pattern so 10^8-customer nations at
-    100 TB can't overflow.
+    Job-floor note (r8): a 2-job variant (per-customer pre-agg, all dims
+    as post-reduction SHUFFLE_HASH joins) was built and interleaved-A/B'd
+    against this 5-job form at sf0.1 — 0.48/0.53 min vs 0.57-0.81: the
+    extra fact-grain custkey exchange costs MORE than three tiny
+    broadcast-build jobs, so job count alone is not the cost model and
+    the broadcast form stays (BASELINE.md r8 section has the full A/B;
+    the same rework DID win on op49/op28/bloom, where it removed
+    exchanges or fact broadcasts instead of adding one).
     """
     t = load_tables(spark, sf_dir)
     per_order = (
@@ -94,27 +95,22 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sum(_rev_e4()).alias("order_rev_e4"))
     )
-    per_cust = (
+    rev = (
         per_order
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_custkey")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        # Two-level exact sum: long partials per (group, partition) — a
+        # partition's row count is bounded, so the ≤10^10-per-order term
+        # can't overflow — then decimal(38,0) over the tiny partial rows,
+        # so nation-level totals survive 10^10-order groups at 100 TB.
+        .groupBy("r_name", "n_name", F.spark_partition_id().alias("_pid"))
         .agg(
-            F.sum("order_rev_e4").alias("cust_rev_e4"),
-            F.count(F.lit(1)).alias("cust_orders"),
+            F.sum("order_rev_e4").alias("_rev_part"),
+            F.count(F.lit(1)).alias("_n_part"),
         )
-    )
-    rev = (
-        per_cust
-        .join(
-            t["customer"].select("c_custkey", "c_nationkey").hint("shuffle_hash"),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .groupBy("c_nationkey", F.spark_partition_id().alias("_pid"))
-        .agg(
-            F.sum("cust_rev_e4").alias("_rev_part"),
-            F.sum("cust_orders").alias("_n_part"),
-        )
-        .groupBy("c_nationkey")
+        .groupBy("r_name", "n_name")
         .agg(
             (
                 F.sum(F.col("_rev_part").cast("decimal(38,0)")).cast("double")
@@ -122,15 +118,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
             F.sum("_n_part").alias("n_orders"),
         )
-        .join(
-            t["nation"].hint("shuffle_hash"),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            t["region"].hint("shuffle_hash"),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("r_name", "n_name", "revenue", "n_orders")
     )
     w = Window.partitionBy("r_name").orderBy(F.desc("revenue"), F.asc("n_name"))
     return (
