@@ -765,3 +765,25 @@ def test_skyline_monotone_adversarial_stays_distributed(spark):
     for d in p.split(") Window")[1:]:
         head = d.split("\n\n")[0]
         assert "_pid" in head, head
+
+
+def test_positional_join_pads_and_guards(spark):
+    """positional_join: shorter side NULL-pads to the longer one
+    (DuckDB POSITIONAL JOIN semantics) under explicit total orders;
+    reserved/ambiguous column names are rejected loudly rather than
+    silently mis-joining."""
+    import pytest as _pytest
+
+    from world_cup_duckdb_spark.operators.relational import positional_join
+
+    left = spark.createDataFrame([(i, f"L{i}") for i in range(5)], "k int, l string")
+    right = spark.createDataFrame([(i * 10,) for i in range(3)], "r int")
+    out = positional_join(left, right, ["k"], ["r"]).orderBy("k").collect()
+    assert [(o.k, o.l, o.r) for o in out] == [
+        (0, "L0", 0), (1, "L1", 10), (2, "L2", 20),
+        (3, "L3", None), (4, "L4", None),
+    ]
+    with _pytest.raises(ValueError, match="_pos"):
+        positional_join(left.withColumnRenamed("l", "_pos"), right, ["k"], ["r"])
+    with _pytest.raises(ValueError, match="ambiguous"):
+        positional_join(left, right.withColumnRenamed("r", "k"), ["k"], ["k"])
