@@ -185,3 +185,69 @@ def test_pq_index_supports_string_ids(spark, emb):
     codebook, codes = pq_index(named, m=4, k=16, dims=64)
     assert codebook.count() == 4 * 16
     assert codes.filter(F.col("vid").startswith("doc-")).count() == codes.count()
+
+
+def test_kmeans_invariants_and_convergence(spark, sf_dir):
+    """ext_kmeans (distributed Lloyd's, exact integer assignment):
+    every vector is assigned exactly once; at most k clusters; the
+    integer SSE against the FINAL round's centroids is no larger than
+    against the INITIAL seeds (Lloyd's monotonicity, evaluated on the
+    same corpus); and the whole run is deterministic (re-run equality —
+    the property the exact-arithmetic design exists to guarantee)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    out = REGISTRY["ext_kmeans"].fn(spark, sf_dir)
+    rows = out.collect()
+    n = REGISTRY["ext_kmeans"].fn(spark, sf_dir)  # determinism re-run
+    assert sorted((r.vec_id, r.cluster_id) for r in rows) == sorted(
+        (r.vec_id, r.cluster_id) for r in n.collect()
+    )
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids))
+    clusters = {r.cluster_id for r in rows}
+    assert 1 <= len(clusters) <= 4
+    # Lloyd's improves (or holds) the objective: mean within-cluster
+    # squared distance under the final assignment beats assigning
+    # everything to its nearest INITIAL seed ... computed exactly.
+    from pyspark.sql import functions as F
+    from world_cup_duckdb_spark.sources.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("m"),
+    )
+    pdf = {r.vec_id: r.m for r in emb.collect()}
+    assign = {r.vec_id: r.cluster_id for r in rows}
+
+    def sse(centroids, assignment):
+        tot = 0
+        for vid, cid in assignment.items():
+            num, den = centroids[cid]
+            tot += sum(
+                (x * den - nm) ** 2 for x, nm in zip(pdf[vid], num)
+            ) / (den * den)
+        return tot
+
+    seeds = {cid: (pdf[cid], 1) for cid in range(4)}
+
+    def nearest(cents, vid):
+        best = None
+        for cid in sorted(cents):
+            num, den = cents[cid]
+            d = sum((x * den - nm) ** 2 for x, nm in zip(pdf[vid], num)) / (
+                den * den
+            )
+            if best is None or d < best[0]:
+                best = (d, cid)
+        return best[1]
+
+    seed_assign = {vid: nearest(seeds, vid) for vid in pdf}
+    # final centroids implied by the final assignment
+    finals = {}
+    for vid, cid in assign.items():
+        num, den = finals.get(cid, ([0] * 64, 0))
+        finals[cid] = ([a + b for a, b in zip(num, pdf[vid])], den + 1)
+    assert sse(finals, assign) <= sse(seeds, seed_assign) + 1e-9

@@ -635,3 +635,156 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_census(
         emb.unionByName(copy), threshold=0.95, n_clusters=16
     )
+
+
+_KM_K = 4      # clusters
+_KM_T = 3      # assignment rounds (T-1 centroid updates between them)
+_KM_DIMS = 64  # fixture embedding width (FIXTURES.md)
+
+_KM_MICRO = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x * 1000000) AS BIGINT))"
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's iterations as MATERIALIZED CTEs (DuckDB inlines
+    CTEs by default; the cent->assign->cent chain re-references `m`
+    multiplicatively — the same exponential-inlining trap the BPE
+    oracles hit in r7). Distances are exact integers: micro-unit
+    components, den-scaled diffs squared in HUGEINT — so the argmin
+    (ties broken by smallest centroid id) is engine-independent."""
+    dist = (
+        "list_sum(list_transform(range(1, {dims} + 1), d -> "
+        "(CAST(e.m[d] AS HUGEINT) * c.den - c.num[d])"
+        " * (CAST(e.m[d] AS HUGEINT) * c.den - c.num[d])))"
+    ).format(dims=_KM_DIMS)
+    parts = [
+        f"m AS MATERIALIZED (SELECT vec_id, {_KM_MICRO} AS m FROM embeddings)",
+        f"""cent_0 AS MATERIALIZED (
+      SELECT vec_id AS cid, list_transform(m, x -> CAST(x AS HUGEINT)) AS num,
+             CAST(1 AS BIGINT) AS den
+      FROM m WHERE vec_id < {_KM_K})""",
+    ]
+    for i in range(_KM_T):
+        parts.append(f"""dists_{i} AS MATERIALIZED (
+      SELECT e.vec_id, c.cid, {dist} AS dist
+      FROM m e CROSS JOIN cent_{i} c)""")
+        parts.append(f"""amin_{i} AS MATERIALIZED (
+      SELECT vec_id, MIN(dist) AS md FROM dists_{i} GROUP BY vec_id)""")
+        parts.append(f"""assign_{i} AS MATERIALIZED (
+      SELECT d.vec_id, CAST(MIN(d.cid) AS INT) AS cluster_id
+      FROM dists_{i} d JOIN amin_{i} a
+        ON d.vec_id = a.vec_id AND d.dist = a.md
+      GROUP BY d.vec_id)""")
+        if i < _KM_T - 1:
+            parts.append(f"""sums_{i} AS MATERIALIZED (
+      SELECT a.cluster_id AS cid, t.d, SUM(t.v) AS s,
+             COUNT(*) AS den
+      FROM assign_{i} a
+      JOIN (SELECT vec_id, unnest(m) AS v, generate_subscripts(m, 1) AS d
+            FROM m) t USING (vec_id)
+      GROUP BY a.cluster_id, t.d)""")
+            parts.append(f"""cent_{i + 1} AS MATERIALIZED (
+      SELECT cid, list(CAST(s AS HUGEINT) ORDER BY d) AS num,
+             CAST(MIN(den) AS BIGINT) AS den
+      FROM sums_{i} GROUP BY cid)""")
+    last = _KM_T - 1
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, cluster_id FROM assign_{last}"
+    )
+
+
+@register("ext_kmeans", oracle=_kmeans_oracle())
+def ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus (k=4, 3
+    assignment rounds) — the clustering step a curation pipeline runs
+    before cluster-balanced sampling / SemDeDup-style pruning. Spark
+    runs the textbook driver-coordinated loop: centroids live on the
+    driver as EXACT integer state (per-dim micro-unit sums + member
+    count — k×dims numbers, bounded regardless of corpus size) and are
+    re-broadcast each round as literals, so every assignment pass is
+    pure map-side work over the one persisted micro-unit relation; the
+    update is one (k×dims)-row aggregate collect per round. No
+    fact-sized shuffle anywhere except the update aggregates, which
+    combine map-side to k×dims rows.
+
+    EXACTNESS (what makes this oracle-checkable where float k-means is
+    not): components are scaled to integer micro-units; a point-to-
+    centroid comparison multiplies through by the cluster size, so
+    dist = Σ_d (x_d·den − num_d)² is INTEGER arithmetic end-to-end
+    (decimal(38) on the Spark side, HUGEINT in DuckDB) and the argmin —
+    ties to the smallest centroid id — is bit-independent of engines,
+    partitioning, and summation order. The long diff term is exact for
+    clusters up to ~10^13 members (den·max|x_micro| < 2^63); beyond
+    that, renormalize den. Empty clusters drop out of the next round in
+    both engines (no arbitrary re-seeding).
+
+    Scale: per round = one map-side assignment over the corpus + one
+    map-side-combined aggregate down to k×dims rows; driver state is
+    k×(dims+1) integers. The iteration count is the driver loop bound,
+    exactly like connected_components."""
+    t = load_tables(spark, sf_dir)["embeddings"]
+    from world_cup_duckdb_spark.queries import tracked_persist
+
+    emb = t.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("m"),
+    ).transform(tracked_persist)
+
+    # init: the k smallest vec_ids are the seeds (num = components, den=1)
+    init = {
+        int(r["vec_id"]): ([int(v) for v in r["m"]], 1)
+        for r in emb.filter(F.col("vec_id") < _KM_K).collect()
+    }
+    cents = init
+
+    def assign_expr() -> F.Column:
+        choices = []
+        for cid in sorted(cents):
+            num, den = cents[cid]
+            num_lit = F.array(*[F.lit(v).cast("long") for v in num])
+            sq = F.zip_with(
+                F.col("m"),
+                num_lit,
+                lambda x, nm: (
+                    (x * F.lit(den) - nm).cast("decimal(19,0)")
+                    * (x * F.lit(den) - nm).cast("decimal(19,0)")
+                ),
+            )
+            dist = F.aggregate(
+                sq,
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v,
+            )
+            choices.append(
+                F.struct(dist.alias("d"), F.lit(cid).alias("cid"))
+            )
+        # struct comparison is field-order lexicographic: min dist,
+        # ties to the smallest centroid id — same rule as the oracle.
+        return F.array_min(F.array(*choices))["cid"].cast("int")
+
+    for it in range(_KM_T):
+        assigned = emb.withColumn("cluster_id", assign_expr())
+        if it < _KM_T - 1:
+            rows = (
+                assigned.select(
+                    "cluster_id", F.posexplode("m").alias("d", "v")
+                )
+                .groupBy("cluster_id", "d")
+                .agg(
+                    F.sum("v").alias("s"),
+                    F.count(F.lit(1)).alias("den"),
+                )
+                .collect()  # bounded: k×dims rows of integers
+            )
+            nxt: dict[int, tuple[list[int], int]] = {}
+            for r in rows:
+                num, _ = nxt.setdefault(
+                    int(r["cluster_id"]), ([0] * _KM_DIMS, int(r["den"]))
+                )
+                num[int(r["d"])] = int(r["s"])
+                nxt[int(r["cluster_id"])] = (num, int(r["den"]))
+            cents = nxt
+    return assigned.select("vec_id", "cluster_id")
