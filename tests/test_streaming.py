@@ -563,3 +563,62 @@ def test_stream_ivm_recovers_first_batch_crash_before_view_write(
     assert got.select(*sorted(got.columns)).exceptAll(
         want.select(*sorted(got.columns))
     ).count() == 0
+
+
+@pytest.fixture(scope="module")
+def staged_docs(spark, sf_dir, tmp_path_factory):
+    """The ext_stream_neardup corpus (documents + id-shifted re-crawl)
+    staged as 3 parquet files in ASCENDING doc_id order — the arrival
+    rule the streaming detector's batch twin assumes (monotone ids)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from world_cup_duckdb_spark.operators.dedup import with_recrawl
+
+    base = tmp_path_factory.mktemp("docs_stream")
+    df = (
+        with_recrawl(
+            table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    third = math.ceil(len(df) / 3)
+    for i in range(3):
+        chunk = df.iloc[i * third : (i + 1) * third]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            base / f"docs_{i}.parquet",
+        )
+    return str(base)
+
+
+def test_streaming_neardup_equals_batch_twin(spark, sf_dir, staged_docs):
+    """streaming/neardup.py ≡ ext_stream_neardup: the stateful bucket-hub
+    detector, run over 3 micro-batches, flags exactly the documents the
+    batch twin flags, with the same matched hub. The multi-batch split
+    is the point — cross-batch matches must come out of the state
+    store, not the current batch."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.streaming.neardup import (
+        neardup_flags,
+        read_document_stream,
+        streaming_neardup_band_matches,
+    )
+
+    stream = read_document_stream(spark, staged_docs, max_files_per_trigger=1)
+    matches = streaming_neardup_band_matches(stream)
+    got = _rows(
+        neardup_flags(_run_stream(spark, matches, "update", "neardup_m")),
+        ["doc_id", "matched_doc", "is_dup"],
+    )
+    want = _rows(
+        REGISTRY["ext_stream_neardup"].fn(spark, sf_dir),
+        ["doc_id", "matched_doc", "is_dup"],
+    )
+    assert got == want and want
+    # sanity: the re-crawl guarantees dups exist and novel docs exist
+    assert any(r[2] for r in want) and any(not r[2] for r in want)

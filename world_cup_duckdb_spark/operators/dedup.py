@@ -62,6 +62,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_words: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """Per-document MinHash signatures: (id, sig0..sig{n-1}).
 
@@ -92,9 +93,14 @@ def minhash_signatures(
         start = (i % 4) * 8 + 1
         return lambda h: F.substring(h, start, 8)
 
+    # ``spread=False`` for STREAMING inputs: spread_for_cpu_work sizes
+    # its repartition decision from df.inputFiles(), which a streaming
+    # relation cannot answer — micro-batches already arrive partitioned
+    # by the source, so the fan-out is both unavailable and unneeded.
     n_seeds = (num_hashes + 3) // 4
-    doc = spread_for_cpu_work(
-        docs.select(F.col(id_col), F.col(text_col)), id_col
+    narrow = docs.select(F.col(id_col), F.col(text_col))
+    doc = (
+        spread_for_cpu_work(narrow, id_col) if spread else narrow
     ).select(
         F.col(id_col),
         F.array_distinct(word_shingles(tokens(text_col), shingle_words)).alias("_sh"),
@@ -121,6 +127,7 @@ def minhash_bands(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_words: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """Per-document LSH band keys: (id, band, band_key).
 
@@ -130,7 +137,12 @@ def minhash_bands(
     shuffle.
     """
     sigs = minhash_signatures(
-        docs, text_col, id_col, num_hashes=num_hashes, shingle_words=shingle_words
+        docs,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_words=shingle_words,
+        spread=spread,
     )
     return bands_from_signatures(sigs, id_col, num_hashes, band_size)
 

@@ -381,3 +381,76 @@ def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).cast("double").alias("attributed_value"),
         F.min(F.col("pus") - F.col("cus")).cast("bigint").alias("min_gap_us"),
     )
+
+
+def _stream_neardup_oracle() -> str:
+    from world_cup_duckdb_spark.queries.ext_dedup import (
+        _bands_sql,
+        _CORPUS_SQL,
+    )
+
+    return f"""
+    WITH {_bands_sql(_CORPUS_SQL, '')},
+    hub AS (
+      SELECT band, band_key, MIN(doc_id) AS hub
+      FROM bands GROUP BY band, band_key
+    ),
+    m AS (
+      SELECT b.doc_id, CAST(MIN(h.hub) AS BIGINT) AS matched_doc
+      FROM bands b JOIN hub h USING (band, band_key)
+      WHERE h.hub < b.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, m.matched_doc,
+           m.matched_doc IS NOT NULL AS is_dup
+    FROM (SELECT DISTINCT doc_id FROM ({_CORPUS_SQL})) d
+    LEFT JOIN m USING (doc_id)
+    """
+
+
+@register("ext_stream_neardup", oracle=_stream_neardup_oracle())
+def ext_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH TWIN of the streaming near-dup detector
+    (streaming/neardup.py): per document, the minimum EARLIER-arriving
+    document (smaller id) sharing any LSH band bucket — the bucket hub —
+    or NULL when the document is novel. In the streaming form the hub
+    is one long of applyInPandasWithState state per bucket, updated as
+    batches arrive; here it is one aggregate over the static band
+    table. tests/test_streaming.py proves the two produce identical
+    rows across micro-batch splits, and this oracle hash-checks the
+    semantics against DuckDB.
+
+    Scale: hub aggregation + hub join are both keyed by (band,
+    band_key) — md5-uniform, one shuffle shape; per-document reduce is
+    a plain min. No pair set is ever materialized (star-edge shape,
+    linear in bucket size)."""
+    from world_cup_duckdb_spark.operators.dedup import (
+        minhash_bands,
+        with_recrawl,
+    )
+    from world_cup_duckdb_spark.queries import tracked_persist
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    bands = minhash_bands(
+        with_recrawl(d), num_hashes=8, band_size=2
+    ).transform(tracked_persist)
+    hub = bands.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("hub")
+    )
+    m = (
+        bands.join(hub, ["band", "band_key"])
+        .filter(F.col("hub") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("hub").cast("bigint").alias("matched_doc"))
+    )
+    return (
+        with_recrawl(d)
+        .select("doc_id")
+        .distinct()
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            "matched_doc",
+            F.col("matched_doc").isNotNull().alias("is_dup"),
+        )
+    )
