@@ -676,3 +676,80 @@ def test_recovery_concurrent_writer_interleavings_property(
         v = write_table(nation.filter(F.col("n_regionkey") == 0), path)
         assert v == nxt, (w1, w2, d1, d2)
     assert case_i >= 40  # the sweep actually enumerated the space
+
+
+def test_delete_where_is_copy_on_write_and_idempotent(spark, nation, tmp_path):
+    """delete_where (r8): only directories holding matches are
+    rewritten — untouched dirs appear in the new manifest as the SAME
+    directory names (kept by reference, zone maps intact); the
+    pre-delete snapshot still time-travels; NULL predicates keep rows
+    (SQL DELETE semantics); a no-match delete commits nothing."""
+    import json
+    import os
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        _log_dir,
+        delete_where,
+        latest_version,
+        read_table,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    # four single-region appends with zone maps on the key
+    for rk in range(4):
+        write_table(
+            nation.filter(F.col("n_regionkey") == rk),
+            path,
+            stats_cols=["n_nationkey"],
+        )
+    with open(os.path.join(_log_dir(path), "v3.json")) as f:
+        before = json.load(f)
+    n_before = read_table(spark, path).count()
+
+    # delete rows of exactly one region: one dir rewritten, three kept
+    victims = {
+        r.n_nationkey
+        for r in nation.filter(F.col("n_regionkey") == 2).collect()
+    }
+    v, report = delete_where(spark, path, F.col("n_regionkey") == 2)
+    assert v == 4
+    assert report["rows_deleted"] == len(victims) > 0
+    # the region-2 dir held ONLY victims → no survivor dir is written
+    assert report["dirs_rewritten"] == 1 and report["dirs_kept"] == 3
+    with open(os.path.join(_log_dir(path), "v4.json")) as f:
+        after = json.load(f)
+    kept = [d for d in before["dirs"] if d in after["dirs"]]
+    assert len(kept) == 3  # by-reference carry-over, same dir names
+    # kept dirs keep their zone maps verbatim
+    for d in kept:
+        assert after["stats"][d] == before["stats"][d]
+    now = read_table(spark, path)
+    assert now.count() == n_before - len(victims)
+    assert not {r.n_nationkey for r in now.collect()} & victims
+    # pre-delete snapshot intact (time travel)
+    assert read_table(spark, path, version=3).count() == n_before
+    # NULL predicate keeps rows: a predicate NULL on every row = no-op
+    v2, rep2 = delete_where(
+        spark, path, F.when(F.lit(False), True).otherwise(F.lit(None))
+    )
+    assert rep2["rows_deleted"] == 0 and v2 == 4
+    assert latest_version(path) == 4  # no-match delete committed nothing
+
+    # partial-dir delete: survivors of the affected dir land in a NEW dir
+    some = sorted(
+        r.n_nationkey
+        for r in nation.filter(F.col("n_regionkey") == 0).collect()
+    )
+    v3, rep3 = delete_where(
+        spark, path, F.col("n_nationkey") == some[0]
+    )
+    assert v3 == 5 and rep3["rows_deleted"] == 1
+    assert rep3["dirs_rewritten"] == 1 and rep3["dirs_kept"] == 2
+    with open(os.path.join(_log_dir(path), "v5.json")) as f:
+        m5 = json.load(f)
+    assert len(m5["dirs"]) == 3  # 2 kept + 1 survivor dir
+    # the survivor dir re-profiled the same zone column
+    new_dirs = [d for d in m5["dirs"] if d not in after["dirs"]]
+    assert len(new_dirs) == 1
+    assert set(m5["stats"][new_dirs[0]]) == {"n_nationkey"}

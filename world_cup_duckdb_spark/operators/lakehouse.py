@@ -502,6 +502,92 @@ def merge_table(
     return write_table(merged, path, mode="overwrite", meta=meta)
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    meta: dict | None = None,
+) -> tuple[int | None, dict]:
+    """Copy-on-write ``DELETE FROM <table> WHERE predicate`` — the
+    GDPR / right-to-be-forgotten operation a training-data store must
+    support: rewrite ONLY the data directories that actually hold
+    matching rows; every untouched directory carries into the new
+    version BY REFERENCE (no data copied), its zone-map stats intact.
+    ``predicate`` is a Column or a SQL string; rows where it evaluates
+    NULL are KEPT (SQL DELETE semantics).
+
+    Returns ``(version, report)`` — report holds rows_deleted,
+    dirs_rewritten, dirs_kept. A no-match delete commits NOTHING and
+    returns ``(current_version, report)`` (idempotent re-runs don't
+    grow history).
+
+    Scale: ONE pass over the snapshot finds the affected directories
+    (a per-file match count — the collect is O(files-with-matches),
+    manifest-scale metadata, never rows); the rewrite scans only those
+    directories. On a time- or id-clustered table a targeted delete
+    touches a handful of files out of thousands — this is Delta/Iceberg
+    CoW DELETE semantics on the same manifest log write_table commits
+    through, so time travel still serves every pre-delete snapshot
+    until ``vacuum`` retention drops them (true erasure = delete +
+    vacuum, which the docstring of vacuum covers)."""
+    from pyspark.sql import functions as F
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    manifest = _read_manifest(path, v)
+    dirs = manifest["dirs"]
+    old_stats = manifest.get("stats", {})
+    full = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    hits = (
+        full.filter(F.coalesce(pred, F.lit(False)))
+        .groupBy(F.input_file_name().alias("_f"))
+        .count()
+        .collect()
+    )
+    rows_deleted = int(sum(r["count"] for r in hits))
+    report = {
+        "rows_deleted": rows_deleted,
+        "dirs_rewritten": 0,
+        "dirs_kept": len(dirs),
+    }
+    if rows_deleted == 0:
+        return v, report
+    affected = [
+        d for d in dirs if any(f"/{d}/" in r["_f"] for r in hits)
+    ]
+    untouched = [d for d in dirs if d not in affected]
+    report["dirs_rewritten"] = len(affected)
+    report["dirs_kept"] = len(untouched)
+    survivors = spark.read.parquet(
+        *[os.path.join(path, d) for d in affected]
+    ).filter(~F.coalesce(pred, F.lit(False)))
+    version = v + 1
+    new_dirs = list(untouched)
+    stats = {d: old_stats[d] for d in untouched if d in old_stats}
+    # keep the zone-map discipline: re-profile the rewritten dir on the
+    # same columns the old manifest tracked (landed files, not the plan
+    # — see write_table's rationale)
+    stats_cols = sorted(
+        {c for d in affected for c in old_stats.get(d, {})}
+    )
+    if survivors.limit(1).count() > 0:
+        data_dir = f"data-{version:05d}-{uuid.uuid4().hex[:8]}"
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(path, data_dir)
+        )
+        new_dirs.append(data_dir)
+        if stats_cols:
+            landed = spark.read.parquet(os.path.join(path, data_dir))
+            stats[data_dir] = _column_stats(landed, stats_cols)
+    _commit(
+        path, version, new_dirs, "delete",
+        meta=meta, stats=stats or None,
+    )
+    return version, report
+
+
 def diff_versions(
     spark: SparkSession, path: str, old: int, new: int
 ) -> DataFrame:

@@ -700,3 +700,74 @@ def ext_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_nationkey",
     )
+
+
+@register(
+    "ext_gdpr_delete",
+    oracle="""
+    WITH m AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    b AS (
+      SELECT (2 * n) // 4 + ((3 * n) // 4 - (2 * n) // 4) // 2 AS lo,
+             (3 * n) // 4 + (n - (3 * n) // 4) // 2 AS hi
+      FROM m
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS rows_before,
+           CAST((SELECT COUNT(*) FROM documents, b
+                 WHERE doc_id >= lo AND doc_id < hi) AS BIGINT)
+             AS rows_deleted,
+           CAST((SELECT COUNT(*) FROM documents, b
+                 WHERE doc_id < lo OR doc_id >= hi) AS BIGINT) AS rows_after,
+           CAST((SELECT SUM(doc_id) FROM documents, b
+                 WHERE doc_id < lo OR doc_id >= hi) AS BIGINT)
+             AS surviving_id_sum
+    """,
+)
+def ext_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write ``DELETE WHERE`` on a versioned table
+    (operators/lakehouse.py:delete_where) — the GDPR / right-to-be-
+    forgotten operation: documents land in four id-range appends (each
+    with a doc_id zone map), then an id-range delete straddling the
+    third and fourth ranges rewrites ONLY those two directories; the
+    first two carry into the new version by reference, untouched. The
+    oracle recomputes the surviving population from the source table —
+    the hash match proves CoW deletion loses exactly the matching rows
+    and nothing else. Directory-level behavior (reference-kept dirs,
+    pre-delete time travel, no-op idempotence) is pinned in
+    tests/test_lakehouse.py.
+
+    Scale: the match pass reads the snapshot once and collects only
+    per-FILE match counts (manifest-scale); the rewrite scans only
+    affected directories — a targeted delete on a clustered 100 TB
+    table touches a handful of files. True erasure = delete + vacuum
+    (history keeps pre-delete snapshots until retention drops them)."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        delete_where,
+        read_table,
+        write_table,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded: 1 row
+    q = [(i * n) // 4 for i in range(5)]
+    lo = q[2] + (q[3] - q[2]) // 2
+    hi = q[3] + (q[4] - q[3]) // 2
+    loc = _fresh_dir("ext_gdpr_delete")
+    for i in range(4):
+        write_table(
+            d.filter(
+                (F.col("doc_id") >= q[i]) & (F.col("doc_id") < q[i + 1])
+            ),
+            loc,
+            stats_cols=["doc_id"],
+        )
+    rows_before = read_table(spark, loc).count()
+    _, report = delete_where(
+        spark, loc, (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+    after = read_table(spark, loc)
+    return after.agg(
+        F.lit(rows_before).cast("bigint").alias("rows_before"),
+        F.lit(report["rows_deleted"]).cast("bigint").alias("rows_deleted"),
+        F.count(F.lit(1)).cast("bigint").alias("rows_after"),
+        F.sum("doc_id").cast("bigint").alias("surviving_id_sum"),
+    )
