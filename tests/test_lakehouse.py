@@ -753,3 +753,76 @@ def test_delete_where_is_copy_on_write_and_idempotent(spark, nation, tmp_path):
     new_dirs = [d for d in m5["dirs"] if d not in after["dirs"]]
     assert len(new_dirs) == 1
     assert set(m5["stats"][new_dirs[0]]) == {"n_nationkey"}
+
+
+def test_update_where_cow_selectivity_and_ansi_semantics(
+    spark, nation, tmp_path
+):
+    """update_where (r8): directory-level CoW (only dirs with matches
+    rewrite; others carry by reference), assignments evaluate against
+    the PRE-update row (ANSI UPDATE — swap works), zone maps re-profile
+    on the rewritten dir, no-match update commits nothing, unknown
+    assignment columns fail loudly."""
+    import json
+    import os
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        _log_dir,
+        latest_version,
+        read_table,
+        update_where,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    for rk in range(4):
+        write_table(
+            nation.filter(F.col("n_regionkey") == rk),
+            path,
+            stats_cols=["n_nationkey"],
+        )
+    with open(os.path.join(_log_dir(path), "v3.json")) as f:
+        before = json.load(f)
+    # swap-style update confined to one region: n_nationkey += 100 AND
+    # n_name gets the OLD key embedded — both must see pre-update values
+    v, rep = update_where(
+        spark,
+        path,
+        F.col("n_regionkey") == 1,
+        {
+            "n_nationkey": F.col("n_nationkey") + 100,
+            "n_name": F.concat(
+                F.col("n_name"), F.lit("#"), F.col("n_nationkey")
+            ),
+        },
+    )
+    assert v == 4 and rep["dirs_rewritten"] == 1 and rep["dirs_kept"] == 3
+    with open(os.path.join(_log_dir(path), "v4.json")) as f:
+        after = json.load(f)
+    assert len([d for d in before["dirs"] if d in after["dirs"]]) == 3
+    now = read_table(spark, path)
+    touched = now.filter(F.col("n_regionkey") == 1).collect()
+    assert rep["rows_updated"] == len(touched) > 0
+    for r in touched:
+        # name carries the OLD key; key moved by +100 — pre-update reads
+        assert r.n_name.endswith(f"#{r.n_nationkey - 100}")
+    # untouched rows identical
+    assert (
+        now.filter(F.col("n_regionkey") != 1)
+        .exceptAll(nation.filter(F.col("n_regionkey") != 1))
+        .count()
+        == 0
+    )
+    # rewritten dir re-profiled: its zone must cover the shifted keys
+    new_dirs = [d for d in after["dirs"] if d not in before["dirs"]]
+    assert len(new_dirs) == 1
+    mn, mx = after["stats"][new_dirs[0]]["n_nationkey"]
+    assert mn >= 100 and mx >= 100
+    # no-match update commits nothing
+    v2, rep2 = update_where(
+        spark, path, F.col("n_regionkey") == 99, {"n_name": F.lit("x")}
+    )
+    assert rep2["rows_updated"] == 0 and latest_version(path) == 4
+    # unknown column fails loudly
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, path, F.lit(True), {"nope": F.lit(1)})

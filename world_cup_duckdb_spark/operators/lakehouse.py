@@ -588,6 +588,90 @@ def delete_where(
     return version, report
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    meta: dict | None = None,
+) -> tuple[int | None, dict]:
+    """Copy-on-write ``UPDATE <table> SET ... WHERE predicate`` — the
+    sibling of :func:`delete_where`, same directory-level CoW: one
+    snapshot pass finds directories holding matching rows, ONLY those
+    rewrite (matching rows get the assignments applied, their
+    neighbors rewrite verbatim), untouched directories carry by
+    reference. ``assignments`` maps column name → Column/SQL-string
+    expression, evaluated AGAINST THE OLD ROW (ANSI UPDATE: all
+    assignments see the pre-update values, so swap-style updates work).
+    Rows where the predicate is NULL are untouched.
+
+    Returns ``(version, report)`` with rows_updated / dirs_rewritten /
+    dirs_kept; a no-match update commits nothing. Zone maps of the
+    rewritten directory are re-profiled on the manifest's tracked
+    columns (an assignment may move a column's min/max)."""
+    from pyspark.sql import functions as F
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    manifest = _read_manifest(path, v)
+    dirs = manifest["dirs"]
+    old_stats = manifest.get("stats", {})
+    full = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    unknown = set(assignments) - set(full.columns)
+    if unknown:
+        raise ValueError(f"assignments to unknown columns {sorted(unknown)}")
+    hits = (
+        full.filter(F.coalesce(pred, F.lit(False)))
+        .groupBy(F.input_file_name().alias("_f"))
+        .count()
+        .collect()
+    )
+    rows_updated = int(sum(r["count"] for r in hits))
+    report = {
+        "rows_updated": rows_updated,
+        "dirs_rewritten": 0,
+        "dirs_kept": len(dirs),
+    }
+    if rows_updated == 0:
+        return v, report
+    affected = [d for d in dirs if any(f"/{d}/" in r["_f"] for r in hits)]
+    untouched = [d for d in dirs if d not in affected]
+    report["dirs_rewritten"] = len(affected)
+    report["dirs_kept"] = len(untouched)
+    scope = spark.read.parquet(*[os.path.join(path, d) for d in affected])
+    hit = F.coalesce(pred, F.lit(False))
+    # all assignments in ONE select so each sees the pre-update row
+    cols = [
+        F.when(
+            hit,
+            (F.expr(e) if isinstance(e, str) else e).cast(
+                scope.schema[c].dataType
+            ),
+        )
+        .otherwise(F.col(c))
+        .alias(c)
+        if c in assignments
+        else F.col(c)
+        for c, e in [(c, assignments.get(c)) for c in scope.columns]
+    ]
+    rewritten = scope.select(*cols)
+    version = v + 1
+    data_dir = f"data-{version:05d}-{uuid.uuid4().hex[:8]}"
+    rewritten.write.mode("overwrite").parquet(os.path.join(path, data_dir))
+    stats = {d: old_stats[d] for d in untouched if d in old_stats}
+    stats_cols = sorted({c for d in affected for c in old_stats.get(d, {})})
+    if stats_cols:
+        landed = spark.read.parquet(os.path.join(path, data_dir))
+        stats[data_dir] = _column_stats(landed, stats_cols)
+    _commit(
+        path, version, untouched + [data_dir], "update",
+        meta=meta, stats=stats or None,
+    )
+    return version, report
+
+
 def diff_versions(
     spark: SparkSession, path: str, old: int, new: int
 ) -> DataFrame:

@@ -771,3 +771,69 @@ def ext_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("rows_after"),
         F.sum("doc_id").cast("bigint").alias("surviving_id_sum"),
     )
+
+
+@register(
+    "ext_cow_update",
+    oracle="""
+    WITH updated AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '[REDACTED] ' || text ELSE text END AS text
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN text LIKE '[REDACTED]%' THEN 1 END)
+                AS BIGINT) AS n_updated,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM updated
+    """,
+)
+def ext_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write ``UPDATE ... SET ... WHERE`` on a versioned table
+    (operators/lakehouse.py:update_where): documents land in four
+    id-range appends, then every doc_id % 5 == 0 row gets its text
+    prefixed — the redaction-in-place shape of PII remediation. All four
+    directories hold matches here, so all rewrite into one new dir (the
+    directory-LEVEL selectivity is pinned separately in
+    tests/test_lakehouse.py, where a single-region update keeps the
+    other dirs by reference). The oracle recomputes the post-update
+    population from the source — the hash match proves the update hit
+    exactly the matching rows, evaluated assignments against pre-update
+    values, and lost nothing.
+
+    Scale: same CoW contract as delete_where — match pass collects
+    per-file counts (manifest-scale), rewrite scans only affected
+    directories, untouched dirs carry by reference."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        read_table,
+        update_where,
+        write_table,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded: 1 row
+    q = [(i * n) // 4 for i in range(5)]
+    loc = _fresh_dir("ext_cow_update")
+    for i in range(4):
+        write_table(
+            d.filter(
+                (F.col("doc_id") >= q[i]) & (F.col("doc_id") < q[i + 1])
+            ),
+            loc,
+            stats_cols=["doc_id"],
+        )
+    update_where(
+        spark,
+        loc,
+        F.col("doc_id") % 5 == 0,
+        {"text": F.concat(F.lit("[REDACTED] "), F.col("text"))},
+    )
+    after = read_table(spark, loc)
+    return after.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_if(F.col("text").startswith("[REDACTED]"))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
