@@ -207,3 +207,50 @@ def sql_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return positional_join(
         left, right, ["c_custkey"], ["active_custkey"]
     ).select("c_custkey", "c_name", "active_custkey")
+
+
+@register(
+    "sql_macro",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) AS revenue_e4
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``CREATE MACRO`` ↔ Spark 4 SQL scalar UDFs
+    (``CREATE FUNCTION … RETURNS … RETURN expr``): the reusable-
+    expression surface a migrating user's macros land on. The function
+    body is the engine's exact e4-cents revenue term, so the aggregate
+    is order-independent and the oracle (body inlined — DuckDB macros
+    can't be defined inside a single oracle statement; the dialect
+    delta is the definition syntax, the SEMANTICS are what the hash
+    pins) matches bit-for-bit. The sum stays within 2^53, so the
+    double cast is exact in both engines.
+
+    Scale: the SQL UDF inlines into the plan at analysis time — the
+    aggregate runs as ordinary whole-stage-codegen'd expressions, with
+    map-side partial aggregation; a macro costs nothing at runtime."""
+    load_tables(spark, sf_dir)["lineitem"].createOrReplaceTempView(
+        "lineitem"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION rev_e4(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(p * 100) AS BIGINT)
+               * (100 - CAST(ROUND(d * 100) AS BIGINT))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(rev_e4(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS revenue_e4
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
