@@ -337,3 +337,47 @@ def sql_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
         """
     )
+
+
+@register(
+    "sql_rank_family",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    WINDOW w AS (ORDER BY COUNT(*) DESC, n_name)
+    """,
+)
+def sql_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking-function family in one named window —
+    RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST / NTILE — over the
+    per-nation supplier census. PERCENT_RANK and CUME_DIST return
+    doubles, but both engines compute the identical ratio of the same
+    small integers, so the hash pins them exactly. Aggregates inside
+    the window's ORDER BY (COUNT(*) DESC) exercise the agg-then-window
+    phase ordering both planners must agree on.
+
+    Scale: the window runs over the ≤|nations| aggregate, never fact
+    rows — the safe (bounded-partition) window class."""
+    for t in ("supplier", "nation"):
+        load_tables(spark, sf_dir)[t].createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(RANK() OVER w AS INT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CUME_DIST() OVER w AS cdist,
+               CAST(NTILE(4) OVER w AS INT) AS quartile
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        WINDOW w AS (ORDER BY COUNT(*) DESC, n_name)
+        """
+    )
