@@ -622,3 +622,71 @@ def test_streaming_neardup_equals_batch_twin(spark, sf_dir, staged_docs):
     assert got == want and want
     # sanity: the re-crawl guarantees dups exist and novel docs exist
     assert any(r[2] for r in want) and any(not r[2] for r in want)
+
+
+def test_streaming_neardup_state_survives_restart(
+    spark, sf_dir, tmp_path_factory
+):
+    """Stronger than cross-batch: cross-RUN state recovery. Run 1
+    indexes a corpus of novel documents and stops; a re-crawl lands
+    AFTER the query stopped; run 2 (same checkpoint) must flag every
+    re-crawled document against the bucket hubs recovered from run 1's
+    STATE STORE — not against anything in its own input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from world_cup_duckdb_spark.streaming.neardup import (
+        neardup_flags,
+        read_document_stream,
+        streaming_neardup_band_matches,
+    )
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path_factory.mktemp("nd_src")
+    out = str(tmp_path_factory.mktemp("nd_out"))
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        src / "batch0.parquet",
+    )
+
+    def run_once():
+        q = (
+            streaming_neardup_band_matches(
+                read_document_stream(spark, str(src), max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # run 1: index the originals
+    recrawl = docs.copy()
+    recrawl["doc_id"] = recrawl["doc_id"] + 1000
+    pq.write_table(
+        pa.Table.from_pandas(recrawl, preserve_index=False),
+        src / "batch1.parquet",
+    )
+    run_once()  # run 2: only batch1 is new; state comes from the store
+    flags = {
+        r.doc_id: r
+        for r in neardup_flags(spark.read.parquet(out)).collect()
+    }
+    assert len(flags) == 200
+    for d in range(1000, 1100):
+        # every re-crawled doc matches a RUN-1 hub (an original id)
+        assert flags[d].is_dup, d
+        assert flags[d].matched_doc is not None and flags[d].matched_doc < 100
