@@ -151,3 +151,30 @@ def test_decode_audio_real_roundtrips_wav():
 
     with _pytest.raises(ValueError):
         decode_audio_real(b"ID3\x04...mp3")
+
+
+def test_wav_codec_roundtrip_and_corrupt_rejection(spark):
+    """encode_wav → decode_audio_real is sample-exact through real RIFF
+    bytes (features recomputed from the raw samples agree), and corrupt
+    or non-WAV payloads fail with the documented ValueError contract —
+    a garbled corpus row must never decode into silent garbage."""
+    import pytest as _pytest
+
+    from world_cup_duckdb_spark.operators.multimodal import (
+        decode_audio_real,
+        encode_wav,
+    )
+
+    samples = [((i * 37) % 512) - 256 for i in range(100)]
+    payload = encode_wav(16000, samples)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    sr, n, ch, zc, sabs = decode_audio_real(payload)
+    assert (sr, n, ch) == (16000, 100, 1)
+    assert sabs == sum(abs(s) for s in samples)
+    assert zc == sum(
+        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+    )
+    with _pytest.raises(ValueError, match="WAV"):
+        decode_audio_real(b"ID3\x04not audio we can parse")
+    with _pytest.raises(ValueError, match="WAV"):
+        decode_audio_real(payload[:20])  # truncated header

@@ -367,3 +367,90 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("WAV missing fmt chunk")
     n_samples = n_data // (chans * (bits // 8)) if chans and bits else 0
     return rate, chans, n_samples
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Encode 16-bit mono PCM as a REAL RIFF/WAVE file via the stdlib
+    ``wave`` module — like :func:`encode_ppm` for images, a genuine
+    standardized container written with no external codec library."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack("<%dh" % len(samples), *samples))
+    return buf.getvalue()
+
+
+def decode_audio_real(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL audio decode: parse RIFF/WAVE bytes (header + PCM frames)
+    and return (sample_rate, n_samples, n_channels, zero_crossings,
+    sum_abs). The features are INTEGER arithmetic over the decoded
+    samples — sign-flip count under the >=0 convention and Σ|s| — so a
+    cross-engine oracle can recompute them exactly from the generative
+    formula. Compressed codecs (MP3/FLAC/...) raise ``ValueError``:
+    wiring soundfile/librosa at this exact seam is the documented
+    integration point — batching, schema, and fan-out are unchanged by
+    that swap (same contract as :func:`decode_image_real`)."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            raw = w.readframes(n)
+        samples = struct.unpack("<%dh" % (n * ch), raw)
+    except (wave.Error, struct.error, EOFError) as e:
+        raise ValueError(f"not a decodable WAV payload: {e}") from e
+    zc = sum(
+        1
+        for a, b in zip(samples, samples[1:])
+        if (a >= 0) != (b >= 0)
+    )
+    return sr, n, ch, zc, sum(abs(s) for s in samples)
+
+
+def decode_audio_batches(mm_wav: DataFrame) -> DataFrame:
+    """Decode REAL WAV payloads via mapInPandas using
+    :func:`decode_audio_real` — (doc_id, payload) in, parsed header
+    fields + integer features out."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            decoded = [decode_audio_real(bytes(b)) for b in pdf["payload"]]
+            cols = list(zip(*decoded)) if decoded else [[]] * 5
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(
+                        cols[0], dtype="int32", index=pdf.index
+                    ),
+                    "n_samples": pd.Series(
+                        cols[1], dtype="int64", index=pdf.index
+                    ),
+                    "n_channels": pd.Series(
+                        cols[2], dtype="int32", index=pdf.index
+                    ),
+                    "zero_crossings": pd.Series(
+                        cols[3], dtype="int64", index=pdf.index
+                    ),
+                    "sum_abs": pd.Series(
+                        cols[4], dtype="int64", index=pdf.index
+                    ),
+                }
+            )
+
+    return mm_wav.mapInPandas(
+        batches,
+        "doc_id bigint, sample_rate int, n_samples bigint, "
+        "n_channels int, zero_crossings bigint, sum_abs bigint",
+    )

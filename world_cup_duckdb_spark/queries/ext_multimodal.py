@@ -220,3 +220,83 @@ def ext_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ppm = docs.mapInPandas(encode_batches, "doc_id bigint, payload binary")
     return decode_media_real(ppm)
+
+
+@register(
+    "ext_mm_audio_real",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    s AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS i
+      FROM d
+    ),
+    v AS (
+      SELECT doc_id, n, i,
+             ((doc_id * 31 + i * 97) % 2048) - 1024 AS v
+      FROM s
+    ),
+    lagged AS (
+      SELECT doc_id, n, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(1 AS INT) AS n_channels,
+           CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                                   AND (v >= 0) <> (prev >= 0)
+                              THEN 1 END), 0) AS BIGINT) AS zero_crossings,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def ext_mm_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end — the WAV twin of
+    ``ext_mm_decode_real``: each sampled document becomes a GENUINE
+    RIFF/WAVE PCM16 file (operators/multimodal.py:encode_wav, stdlib
+    wave module — no codec stub), samples generated by a deterministic
+    integer formula; ``decode_audio_batches`` then parses the header
+    AND the PCM frames back FROM THE BYTES inside an Arrow mapInPandas
+    batch and computes integer features over the decoded samples
+    (zero-crossing count, Σ|s|). The oracle recomputes the features
+    from the same generative formula directly — a hash match therefore
+    proves the encode→decode round trip through a real audio container
+    is sample-exact, not a metadata echo.
+
+    Scale: 1-in-50 sample bounds payload volume; both maps are narrow
+    (no shuffle) and scale with input splits; per-row payload is ≤128
+    samples ≈ 300 bytes. Swapping soundfile/librosa in for compressed
+    codecs changes only decode_audio_real's body (documented seam)."""
+    from world_cup_duckdb_spark.operators.multimodal import (
+        decode_audio_batches,
+        encode_wav,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+    )
+
+    def encode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                samples = [
+                    ((did * 31 + i * 97) % 2048) - 1024 for i in range(n)
+                ]
+                payloads.append(encode_wav(8000, samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    wav = docs.mapInPandas(encode_batches, "doc_id bigint, payload binary")
+    return decode_audio_batches(wav)
