@@ -178,3 +178,25 @@ def test_wav_codec_roundtrip_and_corrupt_rejection(spark):
         decode_audio_real(b"ID3\x04not audio we can parse")
     with _pytest.raises(ValueError, match="WAV"):
         decode_audio_real(payload[:20])  # truncated header
+
+
+def test_ppm_stream_codec_roundtrip_and_garble_rejection(spark):
+    """decode_ppm_stream segments a real concatenated-P6 stream into
+    exact frames (dims + byte checksums), and garbled streams — wrong
+    magic, truncated body — fail with the documented ValueError."""
+    import pytest as _pytest
+
+    from world_cup_duckdb_spark.operators.multimodal import (
+        decode_ppm_stream,
+        encode_ppm,
+    )
+
+    b0 = bytes((j * 3) % 256 for j in range(4 * 2 * 3))
+    b1 = bytes((j * 5 + 1) % 256 for j in range(2 * 3 * 3))
+    stream = encode_ppm(4, 2, b0) + encode_ppm(2, 3, b1)
+    frames = decode_ppm_stream(stream)
+    assert frames == [(4, 2, sum(b0)), (2, 3, sum(b1))]
+    with _pytest.raises(ValueError, match="P6"):
+        decode_ppm_stream(b"RIFF not a ppm")
+    with _pytest.raises(ValueError, match="garbled|truncated"):
+        decode_ppm_stream(stream[:-5])  # truncated last frame body

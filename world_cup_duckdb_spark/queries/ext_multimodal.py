@@ -300,3 +300,80 @@ def ext_mm_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wav = docs.mapInPandas(encode_batches, "doc_id bigint, payload binary")
     return decode_audio_batches(wav)
+
+
+@register(
+    "ext_mm_video_real",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+    f AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS frame_idx
+      FROM d
+    ),
+    dims AS (
+      SELECT doc_id, frame_idx,
+             8 + doc_id % 5 AS w, 8 + frame_idx % 3 AS h
+      FROM f
+    ),
+    px AS (
+      SELECT doc_id, frame_idx, w, h,
+             unnest(range(0, w * h * 3)) AS j
+      FROM dims
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM((doc_id + frame_idx * 13 + j * 7) % 256) AS BIGINT)
+             AS pix_sum
+    FROM px
+    GROUP BY doc_id, frame_idx, w, h
+    """,
+)
+def ext_mm_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame (video-shaped) decode — the 1→N upgrade of
+    ``ext_mm_frames``'s synthetic fan-out: each sampled document becomes
+    a GENUINE concatenated-P6 stream (1 + doc_id % 4 frames, per-frame
+    dims and pixel bytes from deterministic integer formulas), and
+    ``decode_video_batches`` parses the stream frame by frame FROM THE
+    BYTES — header dims, body length, next-frame offset — emitting one
+    row per decoded frame with an exact integer pixel checksum. The
+    oracle recomputes dims and checksums from the generative formulas;
+    the hash match proves the frame segmentation and every decoded body
+    byte, not just metadata. Compressed video is the documented ffmpeg
+    seam (same ValueError contract as the image/audio paths).
+
+    Scale: 1-in-50 sample; narrow maps (no shuffle); the 1→N fan-out
+    grows the OUTPUT, not any shuffle — the batch-growing shape
+    ext_mm_frames already pins."""
+    from world_cup_duckdb_spark.operators.multimodal import (
+        decode_video_batches,
+        encode_ppm,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+    )
+
+    def encode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                stream = b""
+                for f in range(1 + did % 4):
+                    w, h = 8 + did % 5, 8 + f % 3
+                    body = bytes(
+                        (did + f * 13 + j * 7) % 256
+                        for j in range(w * h * 3)
+                    )
+                    stream += encode_ppm(w, h, body)
+                payloads.append(stream)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    stream = docs.mapInPandas(encode_batches, "doc_id bigint, payload binary")
+    return decode_video_batches(stream)
