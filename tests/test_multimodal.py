@@ -154,30 +154,30 @@ def test_decode_audio_real_roundtrips_wav():
 
 
 def test_wav_codec_roundtrip_and_corrupt_rejection(spark):
-    """encode_wav → decode_audio_real is sample-exact through real RIFF
+    """encode_wav_pcm16 → decode_wav_samples is sample-exact through real RIFF
     bytes (features recomputed from the raw samples agree), and corrupt
     or non-WAV payloads fail with the documented ValueError contract —
     a garbled corpus row must never decode into silent garbage."""
     import pytest as _pytest
 
     from world_cup_duckdb_spark.operators.multimodal import (
-        decode_audio_real,
-        encode_wav,
+        decode_wav_samples,
+        encode_wav_pcm16,
     )
 
     samples = [((i * 37) % 512) - 256 for i in range(100)]
-    payload = encode_wav(16000, samples)
+    payload = encode_wav_pcm16(16000, samples)
     assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
-    sr, n, ch, zc, sabs = decode_audio_real(payload)
+    sr, n, ch, zc, sabs = decode_wav_samples(payload)
     assert (sr, n, ch) == (16000, 100, 1)
     assert sabs == sum(abs(s) for s in samples)
     assert zc == sum(
         1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
     )
     with _pytest.raises(ValueError, match="WAV"):
-        decode_audio_real(b"ID3\x04not audio we can parse")
+        decode_wav_samples(b"ID3\x04not audio we can parse")
     with _pytest.raises(ValueError, match="WAV"):
-        decode_audio_real(payload[:20])  # truncated header
+        decode_wav_samples(payload[:20])  # truncated header
 
 
 def test_ppm_stream_codec_roundtrip_and_garble_rejection(spark):

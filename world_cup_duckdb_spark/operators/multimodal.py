@@ -369,10 +369,11 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, int]:
     return rate, chans, n_samples
 
 
-def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
-    """Encode 16-bit mono PCM as a REAL RIFF/WAVE file via the stdlib
-    ``wave`` module — like :func:`encode_ppm` for images, a genuine
-    standardized container written with no external codec library."""
+def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """Encode 16-bit mono PCM SAMPLES as a REAL RIFF/WAVE file via the
+    stdlib ``wave`` module. Complements :func:`encode_wav` (the raw
+    chunk-level writer above): this one takes integer samples, which is
+    what the sample-exact feature path needs."""
     import io
     import struct
     import wave
@@ -386,16 +387,19 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     return buf.getvalue()
 
 
-def decode_audio_real(payload: bytes) -> tuple[int, int, int, int, int]:
-    """REAL audio decode: parse RIFF/WAVE bytes (header + PCM frames)
-    and return (sample_rate, n_samples, n_channels, zero_crossings,
-    sum_abs). The features are INTEGER arithmetic over the decoded
-    samples — sign-flip count under the >=0 convention and Σ|s| — so a
-    cross-engine oracle can recompute them exactly from the generative
-    formula. Compressed codecs (MP3/FLAC/...) raise ``ValueError``:
-    wiring soundfile/librosa at this exact seam is the documented
-    integration point — batching, schema, and fan-out are unchanged by
-    that swap (same contract as :func:`decode_image_real`)."""
+def decode_wav_samples(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL audio decode AT SAMPLE LEVEL: parse RIFF/WAVE bytes (header
+    + PCM frames) and return (sample_rate, n_samples, n_channels,
+    zero_crossings, sum_abs). Goes deeper than
+    :func:`decode_audio_real` (header-only chunk walk above): the PCM
+    frames themselves are decoded, and the features are INTEGER
+    arithmetic over the decoded samples — sign-flip count under the
+    >=0 convention and Σ|s| — so a cross-engine oracle can recompute
+    them exactly from the generative formula. Compressed codecs
+    (MP3/FLAC/...) raise ``ValueError``: wiring soundfile/librosa at
+    this exact seam is the documented integration point — batching,
+    schema, and fan-out are unchanged by that swap (same contract as
+    :func:`decode_image_real`)."""
     import io
     import struct
     import wave
@@ -419,14 +423,14 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, int, int, int]:
 
 def decode_audio_batches(mm_wav: DataFrame) -> DataFrame:
     """Decode REAL WAV payloads via mapInPandas using
-    :func:`decode_audio_real` — (doc_id, payload) in, parsed header
+    :func:`decode_wav_samples` — (doc_id, payload) in, parsed header
     fields + integer features out."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in it:
-            decoded = [decode_audio_real(bytes(b)) for b in pdf["payload"]]
+            decoded = [decode_wav_samples(bytes(b)) for b in pdf["payload"]]
             cols = list(zip(*decoded)) if decoded else [[]] * 5
             yield pd.DataFrame(
                 {

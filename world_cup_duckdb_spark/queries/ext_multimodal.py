@@ -257,7 +257,7 @@ def ext_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_mm_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end — the WAV twin of
     ``ext_mm_decode_real``: each sampled document becomes a GENUINE
-    RIFF/WAVE PCM16 file (operators/multimodal.py:encode_wav, stdlib
+    RIFF/WAVE PCM16 file (operators/multimodal.py:encode_wav_pcm16, stdlib
     wave module — no codec stub), samples generated by a deterministic
     integer formula; ``decode_audio_batches`` then parses the header
     AND the PCM frames back FROM THE BYTES inside an Arrow mapInPandas
@@ -270,10 +270,10 @@ def ext_mm_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: 1-in-50 sample bounds payload volume; both maps are narrow
     (no shuffle) and scale with input splits; per-row payload is ≤128
     samples ≈ 300 bytes. Swapping soundfile/librosa in for compressed
-    codecs changes only decode_audio_real's body (documented seam)."""
+    codecs changes only decode_wav_samples's body (documented seam)."""
     from world_cup_duckdb_spark.operators.multimodal import (
         decode_audio_batches,
-        encode_wav,
+        encode_wav_pcm16,
     )
 
     docs = (
@@ -293,7 +293,7 @@ def ext_mm_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 samples = [
                     ((did * 31 + i * 97) % 2048) - 1024 for i in range(n)
                 ]
-                payloads.append(encode_wav(8000, samples))
+                payloads.append(encode_wav_pcm16(8000, samples))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
