@@ -59,8 +59,15 @@ def main() -> None:
     # disables entirely.
     cooldown = float(os.environ.get("BENCH_COOLDOWN_SEC", "15"))
     load_gate = float(os.environ.get("BENCH_COOLDOWN_LOAD", "4"))
+    # os.getloadavg is Unix-only (ADVICE r8); without it there is no
+    # load signal, so fall back to the fixed settle the gate replaced.
+    _load = (
+        (lambda: os.getloadavg()[0])
+        if hasattr(os, "getloadavg")
+        else (lambda: float("inf"))
+    )
     waited = 0.0
-    while waited < cooldown and os.getloadavg()[0] > load_gate:
+    while waited < cooldown and _load() > load_gate:
         time.sleep(1.0)
         waited += 1.0
 

@@ -826,3 +826,62 @@ def test_update_where_cow_selectivity_and_ansi_semantics(
     # unknown column fails loudly
     with pytest.raises(ValueError, match="unknown columns"):
         update_where(spark, path, F.lit(True), {"nope": F.lit(1)})
+
+
+def test_update_where_lossy_cast_fails_loudly(spark, nation, tmp_path):
+    """ADVICE r8: under Spark's default non-ANSI casts an incompatible
+    assignment would silently write NULL into every matched row.
+    update_where must raise BEFORE committing, leave the table at its
+    pre-update version, and still accept a losslessly castable string."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        latest_version,
+        read_table,
+        update_where,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(nation, path)
+    with pytest.raises(ValueError, match="NULL matched rows"):
+        update_where(
+            spark,
+            path,
+            F.col("n_regionkey") == 1,
+            {"n_nationkey": F.lit("not-a-number")},
+        )
+    assert latest_version(path) == 0  # nothing committed
+    # a string that casts losslessly to INT is fine (validates, commits)
+    v, rep = update_where(
+        spark, path, F.col("n_nationkey") == 3, {"n_nationkey": F.lit("777")}
+    )
+    assert v == 1 and rep["rows_updated"] == 1
+    assert (
+        read_table(spark, path).filter(F.col("n_nationkey") == 777).count()
+        == 1
+    )
+    # assigning literal NULL is legitimate (expression null, not a lossy
+    # cast) and must NOT trip the guard
+    v2, rep2 = update_where(
+        spark,
+        path,
+        F.col("n_nationkey") == 777,
+        {"n_name": F.lit(None).cast("string")},
+    )
+    assert v2 == 2 and rep2["rows_updated"] == 1
+
+
+def test_affected_dirs_matches_root_relative_segment():
+    """ADVICE r8: dir classification anchors on the path RELATIVE to the
+    table root. A root that itself contains a segment equal to a
+    data-dir name must not mark every dir affected."""
+    from world_cup_duckdb_spark.operators.lakehouse import _affected_dirs
+
+    dirs = ["data-00000-aa", "data-00001-bb"]
+    root = "/tmp/data-00001-bb/table"  # adversarial nested layout
+    hits = [{"_f": f"file:{root}/data-00000-aa/part-0.parquet"}]
+    assert _affected_dirs(hits, dirs, root) == ["data-00000-aa"]
+    # unanchorable file name (scheme mangling): falls back to the
+    # over-matching substring test for that file only — over-rewrite,
+    # never a missed one
+    weird = [{"_f": "mangled://data-00001-bb/part-0.parquet"}]
+    assert _affected_dirs(weird, dirs, root) == ["data-00001-bb"]

@@ -787,3 +787,30 @@ def test_positional_join_pads_and_guards(spark):
         positional_join(left.withColumnRenamed("l", "_pos"), right, ["k"], ["r"])
     with _pytest.raises(ValueError, match="ambiguous"):
         positional_join(left, right.withColumnRenamed("r", "k"), ["k"], ["k"])
+
+
+def test_distributed_ops_reject_reserved_columns(spark):
+    """ADVICE r8: the distributed_* decompositions add-then-drop internal
+    scratch columns (_pid/_localmax/...); a pre-existing column with the
+    same name would be silently overwritten — they must raise instead,
+    matching positional_join's _pos guard."""
+    import pytest as _pytest
+
+    from world_cup_duckdb_spark.operators.relational import (
+        distributed_row_number,
+        distributed_running_max,
+        distributed_running_sum,
+    )
+
+    base = spark.range(5).withColumn("v", F.col("id") * 2)
+    for clash in ("_pid", "_localmax"):
+        df = base.withColumn(clash, F.lit(1))
+        with _pytest.raises(ValueError, match="reserved"):
+            distributed_running_max(df, ["id"], "v")
+    with _pytest.raises(ValueError, match="reserved"):
+        distributed_running_sum(base.withColumn("_w", F.lit(1)), ["id"], "v")
+    with _pytest.raises(ValueError, match="reserved"):
+        distributed_row_number(base.withColumn("_total", F.lit(1)), ["id"])
+    # clean inputs still work end-to-end
+    got = distributed_running_max(base, ["id"], "v", "m", n_ranges=4)
+    assert got.filter(F.col("id") == 4).collect()[0]["m"] == 6

@@ -690,3 +690,33 @@ def test_streaming_neardup_state_survives_restart(
         # every re-crawled doc matches a RUN-1 hub (an original id)
         assert flags[d].is_dup, d
         assert flags[d].matched_doc is not None and flags[d].matched_doc < 100
+
+
+def test_update_bucket_empty_batch_without_state_is_safe():
+    """ADVICE r8: the grouped callback may fire with zero rows and no
+    existing state (future timeout configs / empty pandas chunks). hub
+    stays None — the guard must skip state.update instead of raising
+    TypeError(int(None)) and killing the streaming query."""
+    import pandas as pd
+
+    from world_cup_duckdb_spark.streaming.neardup import _update_bucket
+
+    class _FakeState:
+        exists = False
+        updated = None
+
+        def update(self, t):
+            self.updated = t
+
+    st = _FakeState()
+    out = list(_update_bucket((7,), iter([pd.DataFrame({"doc_id": []})]), st))
+    assert len(out) == 1 and len(out[0]) == 0
+    assert st.updated is None  # no state written for an empty bucket
+    # and a normal batch still records the hub
+    st2 = _FakeState()
+    out2 = list(
+        _update_bucket((7,), iter([pd.DataFrame({"doc_id": [5, 3]})]), st2)
+    )
+    assert st2.updated == (3,)
+    got = out2[0].set_index("doc_id")["matched_doc"]
+    assert pd.isna(got[3]) and got[5] == 3

@@ -502,6 +502,29 @@ def merge_table(
     return write_table(merged, path, mode="overwrite", meta=meta)
 
 
+def _affected_dirs(hits, dirs: list[str], path: str) -> list[str]:
+    """Data dirs (first path segment UNDER the table root) that own at
+    least one matched file. Matching on the root-relative segment — not
+    a substring test — so a table root that itself contains a segment
+    equal to a data-dir name (nested layouts) can't mark every dir
+    affected and trigger a full rewrite (ADVICE r8). File names come
+    from ``input_file_name()`` (URI form, e.g. ``file:/root/.../dir/
+    part-*.parquet``), so we anchor on the root path plus '/'."""
+    marker = path.rstrip("/") + "/"
+    owners: set[str] = set()
+    for r in hits:
+        fname = r["_f"]
+        i = fname.find(marker)
+        if i < 0:
+            # URI-encoding or scheme mangling defeated the anchor; fall
+            # back to the (over-)matching substring test for THIS file
+            # only — over-rewrite, never a missed rewrite.
+            owners.update(d for d in dirs if f"/{d}/" in fname)
+            continue
+        owners.add(fname[i + len(marker):].split("/", 1)[0])
+    return [d for d in dirs if d in owners]
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -554,9 +577,7 @@ def delete_where(
     }
     if rows_deleted == 0:
         return v, report
-    affected = [
-        d for d in dirs if any(f"/{d}/" in r["_f"] for r in hits)
-    ]
+    affected = _affected_dirs(hits, dirs, path)
     untouched = [d for d in dirs if d not in affected]
     report["dirs_rewritten"] = len(affected)
     report["dirs_kept"] = len(untouched)
@@ -636,25 +657,58 @@ def update_where(
     }
     if rows_updated == 0:
         return v, report
-    affected = [d for d in dirs if any(f"/{d}/" in r["_f"] for r in hits)]
+    affected = _affected_dirs(hits, dirs, path)
     untouched = [d for d in dirs if d not in affected]
     report["dirs_rewritten"] = len(affected)
     report["dirs_kept"] = len(untouched)
     scope = spark.read.parquet(*[os.path.join(path, d) for d in affected])
     hit = F.coalesce(pred, F.lit(False))
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in assignments.items()
+    }
+    # FAIL-LOUD CAST CONTRACT (ADVICE r8): under Spark's default
+    # non-ANSI casts an incompatible assignment (e.g. a non-numeric
+    # string into an INT column) silently writes NULL into every
+    # matched row. Validate BEFORE rewriting: count matched rows where
+    # an assignment evaluates non-null but its cast to the column type
+    # is null (try_cast) — any hit means the cast is lossy-to-NULL and
+    # we raise instead of corrupting the table. Cost: one aggregate
+    # over the affected (manifest-pruned) directories only.
+    bad_row = (
+        scope.filter(hit)
+        .agg(
+            *[
+                F.sum(
+                    (
+                        ex.isNotNull()
+                        & ex.try_cast(scope.schema[c].dataType).isNull()
+                    ).cast("int")
+                ).alias(c)
+                for c, ex in exprs.items()
+            ]
+        )
+        .collect()[0]
+    )
+    bad_cols = {c: int(bad_row[c] or 0) for c in exprs}
+    if any(bad_cols.values()):
+        raise ValueError(
+            "update_where: assignment would silently NULL matched rows "
+            "under a lossy cast: "
+            + ", ".join(
+                f"{c} ({n} rows, target {scope.schema[c].dataType.simpleString()})"
+                for c, n in bad_cols.items()
+                if n
+            )
+        )
     # all assignments in ONE select so each sees the pre-update row
     cols = [
-        F.when(
-            hit,
-            (F.expr(e) if isinstance(e, str) else e).cast(
-                scope.schema[c].dataType
-            ),
-        )
+        F.when(hit, exprs[c].cast(scope.schema[c].dataType))
         .otherwise(F.col(c))
         .alias(c)
         if c in assignments
         else F.col(c)
-        for c, e in [(c, assignments.get(c)) for c in scope.columns]
+        for c in scope.columns
     ]
     rewritten = scope.select(*cols)
     version = v + 1

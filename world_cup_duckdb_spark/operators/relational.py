@@ -169,6 +169,21 @@ def surrogate_key_distributed(
     )
 
 
+def _guard_reserved(df: DataFrame, *names: str) -> None:
+    """Reject inputs that already carry one of the operator's internal
+    scratch columns. The distributed_* decompositions add-then-drop
+    columns like ``_pid``/``_localmax``; a pre-existing column with the
+    same name would be silently overwritten and dropped — wrong results
+    with no error (ADVICE r8; same contract as positional_join's
+    ``_pos`` guard)."""
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has reserved internal column(s) {clash}; "
+            "rename them before calling this operator"
+        )
+
+
 def _norm_order(order_by: Sequence[str | Column]) -> list[Column]:
     """Normalize order keys: bare column names get ANSI asc-nulls-last
     (Spark's asc default is nulls-FIRST; DuckDB/Postgres rank nulls
@@ -289,6 +304,7 @@ def distributed_row_number(
     and equals the ANSI window exactly; among tied keys the numbering is
     arbitrary, same as any ROW_NUMBER over a non-total order.
     """
+    _guard_reserved(df, "_pid", "_local", "_offset", "_total")
     ranged, offsets = _ranged_offsets(df, order_by, n_ranges)
     w_local = Window.partitionBy("_pid").orderBy(*_norm_order(order_by))
     return (
@@ -324,6 +340,7 @@ def distributed_ntile(
     ``/`` + ``floor`` — double division loses exactness once counts
     approach 2^53, which the 100 TB design point can reach (ADVICE r7).
     """
+    _guard_reserved(df, "_pid", "_local", "_offset", "_total")
     ranged, offsets = _ranged_offsets(df, order_by, n_ranges)
     w_local = Window.partitionBy("_pid").orderBy(*_norm_order(order_by))
     i = F.col("_offset") + F.col("_local")
@@ -373,6 +390,7 @@ def distributed_running_sum(
     instead of NULL). Every registry caller feeds a non-null expression;
     new callers must ``coalesce`` or filter first.
     """
+    _guard_reserved(df, "_pid", "_w", "_localsum", "_offset", "_total")
     val = F.col(value) if isinstance(value, str) else value
     ranged, offsets = _ranged_offsets(
         df.withColumn("_w", val), order_by, n_ranges, weight=F.col("_w")
@@ -421,6 +439,7 @@ def distributed_running_max(
     on the full order key (an exclusive frame is order-sensitive among
     ties); with a total order the result is deterministic and exact.
     """
+    _guard_reserved(df, "_pid", "_v", "_localmax", "_prevmax", "_pm")
     val = F.col(value) if isinstance(value, str) else value
     ranged = _ranged(df.withColumn("_v", val), order_by, n_ranges)
     per_part = ranged.groupBy("_pid").agg(F.max("_v").alias("_pm"))

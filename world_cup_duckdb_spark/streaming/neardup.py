@@ -100,7 +100,12 @@ def _update_bucket(
         out_match.append(hub if hub is not None and hub < d else None)
         if hub is None or d < hub:
             hub = d
-    state.update((int(hub),))
+    # hub stays None only when the callback fired with zero rows AND no
+    # existing state (possible under future timeout configs / empty
+    # pandas chunks) — int(None) would kill the streaming query, and
+    # there is nothing to record anyway (ADVICE r8).
+    if hub is not None:
+        state.update((int(hub),))
     yield pd.DataFrame(
         {
             "doc_id": pd.array(out_doc, dtype="int64"),
