@@ -808,3 +808,40 @@ def test_job_floor_pins_flagship_and_bloom(spark, sf_dir):
             assert jobs <= max_jobs, f"{name}: {jobs} jobs > pin {max_jobs}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bounded_one_partition_survives_optimizer(spark):
+    """VERDICT r8 item 4: documented-bounded global windows partition by
+    functions.bounded_one_partition so WindowExec's no-partition warning
+    stays a TRUE alarm for corpus-grain regressions. The helper only
+    works while Catalyst does NOT fold it out of the partition spec
+    (lit(1), aliased literals, and hash*0 are all folded — measured) —
+    pin that the optimized plan still carries a non-empty spec, and
+    that results equal the bare global window's."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark.functions import bounded_one_partition
+
+    df = spark.range(50).withColumn("v", F.col("id") % 7)
+    w_bare = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    w_safe = (
+        Window.partitionBy(bounded_one_partition("id"))
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bare = df.withColumn("s", F.sum("v").over(w_bare))
+    safe = df.withColumn("s", F.sum("v").over(w_safe))
+    # identical results (constant key: every row in ONE partition)
+    assert sorted(map(tuple, safe.collect())) == sorted(
+        map(tuple, bare.collect())
+    )
+    p = plan(safe)
+    # the constant key survives optimization: the exchange hashes on it
+    # (all rows -> one partition) instead of collapsing to the empty
+    # spec whose execution would re-emit the warning
+    assert "Exchange SinglePartition" not in p, p
+    assert "hashpartitioning" in p, p
+    head = p.split(") Window")[1].split("\n\n")[0]
+    # window spec is non-empty: partition expressions precede the order
+    assert "windowspecdefinition(_w" in head.replace(" ", ""), head

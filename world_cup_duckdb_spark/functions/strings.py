@@ -103,3 +103,37 @@ def hex_nibble(hexcol: Column, pos: int) -> Column:
     return (
         F.instr(F.lit("0123456789abcdef"), F.substring(hexcol, pos, 1)) - 1
     ).cast("int")
+
+
+def bounded_one_partition(anchor):
+    """Constant-zero, NON-FOLDABLE window partition key for windows that
+    are deliberately global over a BOUNDED relation (per-group stats,
+    25-row dims...).
+
+    Why not ``Window.partitionBy()``: an empty partition spec makes
+    WindowExec emit its "No Partition Defined" warning on every
+    execution. For the handful of documented-bounded global windows in
+    this engine the warning is noise — and noise that masks the one
+    case where the warning is a REAL alarm, a corpus-grain window
+    regressing to a single task (VERDICT r8 item 4). Partitioning by a
+    constant keeps execution equivalent (every row hashes to the same
+    partition; one shuffle to one partition either way) while freeing
+    the warning to mean only trouble.
+
+    Why not ``F.lit(1)`` or an aliased literal column: Catalyst's
+    ConstantFolding/FoldablePropagation strip foldable expressions from
+    the partition spec, restoring the empty spec and the warning
+    (measured on Spark 4.1: both forms produce the IDENTICAL
+    SinglePartition plan of the bare global window, warning included).
+    ``hash(anchor) * 0`` is ALSO stripped — hash is non-nullable, so the
+    multiply-by-zero simplification folds it to literal 0. The surviving
+    form is ``pmod(hash(anchor), 1)``: it references a column (not
+    foldable), has no zero-product shortcut, evaluates to 0 for every
+    row (x mod 1 = 0; hash never returns NULL — null input hashes to
+    the seed), and costs one hash+mod per row of the bounded relation.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = anchor if isinstance(anchor, Column) else F.col(anchor)
+    return F.pmod(F.hash(c), F.lit(1))

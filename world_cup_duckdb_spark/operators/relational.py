@@ -12,6 +12,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from world_cup_duckdb_spark.functions.strings import (
+    bounded_one_partition as _one,
+)
+
 
 def diagonal_union(frames: Sequence[DataFrame]) -> DataFrame:
     """Union-by-name of differently-shaped frames; missing columns → null.
@@ -149,8 +153,12 @@ def surrogate_key_distributed(
         eager=True
     )
     counts = indexed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # bounded (<= n_ranges count rows) global window: constant partition
+    # key so WindowExec's no-partition warning stays a true alarm for
+    # corpus-grain windows (see functions.bounded_one_partition)
     w = (
-        Window.orderBy("_pid")
+        Window.partitionBy(_one("_pid"))
+        .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
@@ -276,8 +284,12 @@ def _ranged_offsets(
     ranged = _ranged(df, order_by, n_ranges)
     part = F.count(F.lit(1)) if weight is None else F.sum(weight)
     counts = ranged.groupBy("_pid").agg(part.alias("_n"))
-    w_run = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_pid").rowsBetween(
+    w_run = (
+        Window.partitionBy(_one("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(_one("_pid")).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = counts.select(
@@ -443,7 +455,11 @@ def distributed_running_max(
     val = F.col(value) if isinstance(value, str) else value
     ranged = _ranged(df.withColumn("_v", val), order_by, n_ranges)
     per_part = ranged.groupBy("_pid").agg(F.max("_v").alias("_pm"))
-    w_run = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = (
+        Window.partitionBy(_one("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = per_part.select(
         "_pid", F.max("_pm").over(w_run).alias("_prevmax")
     )

@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from world_cup_duckdb_spark.functions.strings import (
+    bounded_one_partition as _one,
+)
+
 #: 2^32 — the md5-prefix coin space (first 8 hex digits).
 COIN_SPACE = 4294967296.0
 
@@ -88,7 +92,10 @@ def temperature_mix(
     # stats.agg(max) sub-plan re-scans and re-shuffles the full input
     # (the two subtrees pick up different pushed filters, so Spark
     # cannot reuse the exchange), doubling the stats pass at scale.
-    w_all = Window.partitionBy()
+    # bounded O(#groups) stats relation: constant partition key keeps
+    # the plan single-partition-equivalent without WindowExec's
+    # no-partition warning (functions.bounded_one_partition)
+    w_all = Window.partitionBy(_one(group_col))
     ratio = F.max("_c").over(w_all).cast("double") / F.col("_c").cast(
         "double"
     )

@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from world_cup_duckdb_spark.functions.strings import (
+    bounded_one_partition as _one,
+)
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
@@ -64,7 +67,9 @@ def ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy()
+    # bounded (<=9 digit rows) global window: constant partition key,
+    # keeps WindowExec's no-partition warning a true alarm (VERDICT r8)
+    w = Window.partitionBy(_one("digit"))
     obs = F.col("n").cast("double") / F.sum("n").over(w)
     # digit 0 (an o_totalprice < 1) has no Benford expectation: NULL,
     # like the oracle's 1.0/0 — unguarded it's an ANSI DIVIDE_BY_ZERO
@@ -304,7 +309,8 @@ def ext_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("customers")
     )
     nation = t["nation"].select("n_nationkey", "n_name")
-    w = Window.partitionBy()
+    # bounded (25-row nation) global windows: constant partition key
+    w = Window.partitionBy(_one("n_name"))
     q = (
         c.join(F.broadcast(nation), c.c_nationkey == nation.n_nationkey)
         .select(
@@ -323,7 +329,11 @@ def ext_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = q.select(
         "*",
         F.row_number()
-        .over(Window.orderBy(F.col("rem").desc(), "n_name"))
+        .over(
+            Window.partitionBy(_one("n_name")).orderBy(
+                F.col("rem").desc(), "n_name"
+            )
+        )
         .alias("rn"),
         (F.lit(_SEATS) - F.sum("base_seats").over(w)).alias("deficit"),
     )

@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.operators.sketch import misra_gries_candidates
+from world_cup_duckdb_spark.functions.strings import (
+    bounded_one_partition as _one,
+)
 from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
@@ -203,7 +206,8 @@ def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("o"))
     wr = Window.partitionBy("p")
     wc = Window.partitionBy("s")
-    wa = Window.partitionBy()
+    # bounded (priority x status cells) global total: constant partition
+    wa = Window.partitionBy(_one("p"))
     e = (F.col("rt") * F.col("ct")).cast("double") / F.col("tot")
     m = cells.select(
         "p",
@@ -528,8 +532,13 @@ def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("dur").agg(
         F.sum("died").alias("d"), F.count(F.lit(1)).alias("x")
     )
-    wall = Window.partitionBy()
-    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded (one row per distinct rounded duration) global windows
+    wall = Window.partitionBy(_one("dur"))
+    wprev = (
+        Window.partitionBy(_one("dur"))
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     risk = grouped.select(
         "dur",
         "d",
@@ -550,8 +559,10 @@ def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("logterm"),
         F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("hit_zero"),
     )
-    cum = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = (
+        Window.partitionBy(_one("dur"))
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return km.select(
         (F.col("dur") / F.lit(3_600_000_000.0)).alias("t_hours"),

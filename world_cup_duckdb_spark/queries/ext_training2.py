@@ -12,6 +12,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.operators.relational import distributed_ntile
+from world_cup_duckdb_spark.functions.strings import (
+    bounded_one_partition as _one,
+)
 from world_cup_duckdb_spark.queries import register
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
@@ -288,10 +291,13 @@ def token_budget_census(docs: DataFrame, budget_frac: float) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("bucket_tokens"),
         )
     )
-    run = Window.orderBy(F.desc("bucket")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # bounded (one row per decile bucket) global windows
+    run = (
+        Window.partitionBy(_one("bucket"))
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    whole = Window.partitionBy()
+    whole = Window.partitionBy(_one("bucket"))
     c = b.select(
         "bucket",
         "n_docs",
