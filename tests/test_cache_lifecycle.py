@@ -96,3 +96,34 @@ def test_ranged_offsets_checkpoint_blocks_release_with_query_scope(
     REGISTRY["op17_filter_eq"].fn(spark, sf_dir)
     assert not tracking._RELEASERS
     assert rdd_storage_count() <= base
+
+
+def test_ranged_private_release_handle_resolves(spark):
+    """VERDICT r8 advisory 1, made explicit: _ranged frees its eager
+    localCheckpoint blocks through a PRIVATE JVM path
+    (``queryExecution().analyzed().rdd()``), try/except-guarded with a
+    silent leak-until-GC fallback. This pin makes that degradation
+    LOUD: if a Spark upgrade changes the analyzed-plan shape so the
+    handle stops resolving, the releaser-count assertion fails here —
+    before a long driver session discovers it as storage-memory churn.
+    """
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark import tracking
+    from world_cup_duckdb_spark.operators.relational import _ranged
+
+    release_tracked_persists()
+    spark.catalog.clearCache()
+    sc = spark.sparkContext._jsc.sc()
+    before_releasers = len(tracking._RELEASERS)
+    base = len(sc.getRDDStorageInfo())
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 13)
+    _ranged(df, ["v", "id"], 4)  # eager localCheckpoint materializes now
+    assert len(sc.getRDDStorageInfo()) > base, "no live checkpoint blocks"
+    assert len(tracking._RELEASERS) == before_releasers + 1, (
+        "private JVM release path queryExecution().analyzed().rdd() no "
+        "longer resolves — checkpoint blocks would silently leak until GC"
+    )
+    tracking.release_all()
+    assert len(sc.getRDDStorageInfo()) <= base, "release hook did not free"
