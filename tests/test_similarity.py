@@ -251,3 +251,52 @@ def test_kmeans_invariants_and_convergence(spark, sf_dir):
         num, den = finals.get(cid, ([0] * 64, 0))
         finals[cid] = ([a + b for a, b in zip(num, pdf[vid])], den + 1)
     assert sse(finals, assign) <= sse(seeds, seed_assign) + 1e-9
+
+
+def test_ivf_serve_from_persisted_index_equals_in_memory(spark, emb, tmp_path):
+    """ivf_topk_from_index must be bit-identical to ivf_topk: same centroid
+    pick, same fold arithmetic, through a parquet round trip."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        ivf_index_persist,
+        ivf_topk_from_index,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    loc = str(tmp_path / "ivf")
+    ivf_index_persist(emb, loc, n_lists=16)
+    served = sorted(tuple(r) for r in
+                    ivf_topk_from_index(spark, loc, q, k=5, n_probe=4).collect())
+    direct = sorted(tuple(r) for r in
+                    ivf_topk(q, emb, k=5, n_lists=16, n_probe=4).collect())
+    assert served == direct and len(served) > 0
+
+
+def test_ivf_serve_scan_prunes_unprobed_partitions(spark, emb, tmp_path):
+    """The persisted-index serve path must carry the probed lists as a
+    STATIC partition predicate — PartitionFilters with a literal
+    ``list_id IN`` on the assigned scan — so unprobed directories are
+    pruned before I/O. If this pin breaks, the serve path has regressed
+    to a full-index scan."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        ivf_index_persist,
+        ivf_topk_from_index,
+    )
+
+    q = emb.filter(F.col("vec_id") < 3)
+    loc = str(tmp_path / "ivf")
+    ivf_index_persist(emb, loc, n_lists=16)
+    out = ivf_topk_from_index(spark, loc, q, k=5, n_probe=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "list_id" in ln
+    ]
+    assert any("list_id IN" in ln or "list_id#" in ln for ln in scan_lines), plan
+    # With 3 queries × 2 probes, at most 6 of 16 lists can be probed —
+    # the literal isin must carry strictly fewer than n_lists values.
+    import re
+
+    in_vals = re.findall(r"list_id.*?IN \(([^)]*)\)", plan)
+    assert in_vals and len(in_vals[0].split(",")) <= 6, plan

@@ -681,3 +681,88 @@ def semantic_dedup_census(
         )
         .select("list_id", "n_vecs", "n_dropped")
     )
+
+
+def ivf_index_persist(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index at ``path`` so query batches amortize the
+    build: ``centroids/`` (n_lists rows) and ``assigned/`` hive-partitioned
+    by ``list_id`` — the at-rest layout that lets a probe read ONLY its
+    lists' directories. At 100 TB this is the difference between an index
+    and a recomputation: the O(N·n_lists) assignment scan happens once per
+    index build, and every subsequent query batch touches n_probe/n_lists
+    of the data via static partition pruning (PartitionFilters at the
+    scan, pinned in tests/test_similarity.py)."""
+    import os
+
+    centroids, assigned = ivf_index(corpus, n_lists, id_col, vec_col)
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "assigned"))
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF top-k from a persisted index (ivf_index_persist) without
+    recomputing assignments. The probed list ids are collected to the
+    driver — bounded by n_lists (16 here; an index has few coarse lists
+    by construction, never corpus-scale) — and re-applied as a LITERAL
+    isin predicate on the partition column, so Catalyst prunes unprobed
+    ``list_id=…`` directories statically: the scan's PartitionFilters
+    carry ``list_id IN (…)`` and unprobed partitions cost zero I/O.
+    Result is bit-identical to ivf_topk on the same corpus (same centroid
+    pick, same fold arithmetic); equality is pytest-pinned."""
+    import os
+
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q_scored = F.broadcast(q).crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", "list_id",
+        cosine(F.col("qv"), F.col("centroid")).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    # Bounded collect: at most n_lists distinct ids (the index's coarse
+    # list count), independent of corpus and query-batch size.
+    probe_ids = sorted(
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    )
+    assigned = spark.read.parquet(os.path.join(path, "assigned")).filter(
+        F.col("list_id").isin(probe_ids)
+    )
+    cand = (
+        F.broadcast(probes).join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

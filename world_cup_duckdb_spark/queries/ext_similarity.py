@@ -788,3 +788,96 @@ def ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nxt[int(r["cluster_id"])] = (num, int(r["den"]))
             cents = nxt
     return assigned.select("vec_id", "cluster_id")
+
+
+@register(
+    "ext_ann_ivf_persist",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(embedding AS DOUBLE[])[i]
+                    * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+      FROM embeddings
+    ),
+    picked AS (
+      SELECT vec_id AS cid FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    centroids AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) AS INT) AS list_id,
+             e.v AS centroid, e.nrm AS cnrm
+      FROM picked JOIN e ON e.vec_id = picked.cid
+    ),
+    assign_scored AS (
+      SELECT e.vec_id AS vid, c.list_id,
+             list_sum(list_transform(range(1, len(c.centroid) + 1),
+                                     i -> c.centroid[i] * e.v[i]))
+               / (c.cnrm * e.nrm) AS c_sim
+      FROM e CROSS JOIN centroids c
+    ),
+    assigned AS (
+      SELECT vid, list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vid ORDER BY c_sim DESC, list_id) AS rn
+        FROM assign_scored
+      ) WHERE rn = 1
+    )
+    SELECT list_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(vid) AS BIGINT) AS sum_vid
+    FROM assigned GROUP BY list_id
+    """,
+)
+def ext_ann_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD + PERSIST (operators/similarity.py:
+    ivf_index_persist): assignments written hive-partitioned by list_id,
+    centroids alongside — the amortized at-rest layout a 100 TB embedding
+    store needs (build once, every query batch prunes to its probed
+    lists). The returned per-list census (count + id-sum) is computed by
+    RE-READING the persisted files, so the oracle hash-checks what
+    actually landed on disk, not the pre-write plan. Round-trip
+    losslessness and the pruned serve path are pinned in
+    tests/test_similarity.py."""
+    import os
+
+    from world_cup_duckdb_spark.operators.similarity import ivf_index_persist
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    loc = _fresh_dir("ivf-index")
+    ivf_index_persist(emb, loc, n_lists=16)
+    return (
+        spark.read.parquet(os.path.join(loc, "assigned"))
+        .groupBy(F.col("list_id").cast("int").alias("list_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vid").alias("sum_vid"),
+        )
+    )
+
+
+@register("ext_ann_ivf_query", oracle=_IVF_SQL)
+def ext_ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k SERVED FROM THE PERSISTED INDEX (operators/similarity.py:
+    ivf_topk_from_index): centroids read back, probes chosen per query,
+    and the assigned-corpus scan pruned to the probed lists via a literal
+    partition predicate — the scan's PartitionFilters carry
+    ``list_id IN (…)`` so unprobed directories cost zero I/O (plan-pinned
+    in tests/test_similarity.py). Shares ext_ann_ivf's oracle verbatim:
+    the serve path is bit-identical to the in-memory build (same md5
+    centroid pick, same double-fold cosines), which the hash check
+    proves end-to-end through a parquet round trip."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        ivf_index_persist,
+        ivf_topk_from_index,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    loc = _fresh_dir("ivf-serve")
+    ivf_index_persist(emb, loc, n_lists=16)
+    return ivf_topk_from_index(
+        spark, loc, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4
+    )
