@@ -183,6 +183,51 @@ def time_queries(
     return out
 
 
+def minhash_mass_ledger(spark: SparkSession, sf_dir: str) -> dict:
+    """Output-mass accounting for the LSH pair path (VERDICT r8 item 3).
+
+    Wall growth alone can't distinguish "the plan degraded" from "the
+    adversarial corpus legitimately asks for more output": near-identical
+    replicas share every band, so the DISTINCT-pair result grows
+    QUADRATICALLY in replica count (a group of g copies is C(g,2) pairs)
+    while the data grows linearly. This ledger separates the two by
+    measuring the join's actual work alongside the wall:
+
+      docs          — corpus rows (with the re-crawl copies the query adds)
+      band_rows     — LSH band table rows (linear in docs by construction)
+      buckets       — distinct (band, band_key) groups
+      pair_mass     — Σ C(min(bucket, 64), 2): rows the capped bucket join
+                      EMITS before DISTINCT — the true join output mass
+      distinct_pairs— the query's result rows
+
+    If wall growth ≤ pair-mass growth, the residual is candidate-pair
+    output, not plan degradation; if wall outgrows pair mass, the plan
+    (exchange shape, spill, skew) is the suspect.
+    """
+    from world_cup_duckdb_spark.operators.dedup import minhash_bands, with_recrawl
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.sources.catalog import table
+
+    d = with_recrawl(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    bands = minhash_bands(d, num_hashes=8, band_size=2)
+    sizes = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    capped = F.least(F.col("n"), F.lit(64))
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum("n").alias("band_rows"),
+        F.sum((capped * (capped - 1) / 2).cast("bigint")).alias("pair_mass"),
+    ).collect()[0]
+    return {
+        "docs": d.count(),
+        "band_rows": int(agg["band_rows"]),
+        "buckets": int(agg["buckets"]),
+        "pair_mass": int(agg["pair_mass"]),
+        "distinct_pairs": REGISTRY["ext_dedup_minhash"].fn(spark, sf_dir).count(),
+    }
+
+
 def run_check(
     spark: SparkSession,
     sf_dir: str,
@@ -222,6 +267,9 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--keep", action="store_true",
                     help="keep the staged scratch tables")
+    ap.add_argument("--mass", action="store_true",
+                    help="also print the minhash output-mass ledger "
+                         "(base vs scaled) — see minhash_mass_ledger")
     args = ap.parse_args()
 
     from world_cup_duckdb_spark import get_spark
@@ -242,6 +290,23 @@ def main() -> None:
             scratch,
         )
         print(json.dumps(report))
+        if args.mass:
+            base_led = minhash_mass_ledger(
+                spark, os.path.join(scratch, "base"))
+            scaled_led = minhash_mass_ledger(
+                spark, os.path.join(scratch, f"x{args.replication}"))
+            mq = report["queries"].get("ext_dedup_minhash", {})
+            print(json.dumps({
+                "metric": "minhash_mass_ledger",
+                "replication": args.replication,
+                "base": base_led,
+                "scaled": scaled_led,
+                "growth": {
+                    k: round(scaled_led[k] / base_led[k], 2)
+                    for k in base_led if base_led[k]
+                },
+                "wall_growth": mq.get("growth"),
+            }))
         worst = max(
             (q["growth"] or 0) for q in report["queries"].values()
         )
