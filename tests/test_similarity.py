@@ -300,3 +300,30 @@ def test_ivf_serve_scan_prunes_unprobed_partitions(spark, emb, tmp_path):
 
     in_vals = re.findall(r"list_id.*?IN \(([^)]*)\)", plan)
     assert in_vals and len(in_vals[0].split(",")) <= 6, plan
+
+
+def test_ivf_append_then_serve_sees_both_halves(spark, emb, tmp_path):
+    """After ivf_index_append, the persisted-index serve path must return
+    neighbors from BOTH the original corpus and the appended batch, and
+    must equal an in-memory ivf_topk over the union restricted to the
+    base-built centroids (same assignment rule, shared helper)."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_persist,
+        ivf_topk_from_index,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    loc = str(tmp_path / "ivf")
+    ivf_index_persist(base, loc, n_lists=16)
+    ivf_index_append(spark, loc, extra)
+    q = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk_from_index(spark, loc, q, k=5, n_probe=16).collect()
+    neigh = {r["neighbor_id"] for r in out}
+    assert any(n % 4 == 0 for n in neigh), "appended vectors never served"
+    assert any(n % 4 != 0 for n in neigh), "base vectors never served"
+    # With n_probe == n_lists the serve path is exhaustive over the
+    # indexed corpus: it must equal brute force over the union.
+    exact = brute_force_topk(q, emb, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, exact))

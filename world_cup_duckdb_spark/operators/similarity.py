@@ -362,19 +362,28 @@ def ivf_index(
         "centroid",
     )
     c = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
+    return centroids, _assign_to_centroids(centroids, c)
+
+
+def _assign_to_centroids(centroids: DataFrame, c: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of (vid, v) rows: broadcast cross-score
+    against the n_lists centroids + a max_by hash-aggregate argmax
+    (map-side partials, one uniform vid shuffle of pre-reduced rows) —
+    O(N·n_lists) map-side work, no window over corpus rows. Shared by the
+    initial build (ivf_index) and incremental appends (ivf_index_append)
+    so both paths assign by the IDENTICAL rule."""
     scored = F.broadcast(centroids).crossJoin(c).select(
         "vid", "v", "list_id", cosine(F.col("centroid"), F.col("v")).alias("c_sim")
     )
     # argmax(list) per vector: max_by over (c_sim, -list_id) replaces a
     # row_number window — a hash aggregate with map-side partials instead
     # of a partition-wide sort.
-    assigned = scored.groupBy("vid").agg(
+    return scored.groupBy("vid").agg(
         F.any_value("v").alias("v"),
         F.max_by(
             "list_id", F.struct(F.col("c_sim"), (-F.col("list_id")).alias("neg"))
         ).alias("list_id"),
     ).select("vid", "v", "list_id")
-    return centroids, assigned
 
 
 def ivf_topk(
@@ -765,4 +774,37 @@ def ivf_topk_from_index(
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted IVF index (ivf_index_persist):
+    assign ONLY the new vectors against the saved centroids (broadcast
+    cross-score + argmax — O(new·n_lists), the appended batch's cost,
+    never a corpus recompute) and append them into the hive-partitioned
+    ``assigned/`` layout. Parquet appends add files to existing
+    ``list_id=…`` directories without touching old ones, so a running
+    reader never sees a half-replaced partition, and the serve path
+    (ivf_topk_from_index) picks up appended vectors with the same static
+    partition pruning. Because _assign_to_centroids is shared with the
+    initial build, build-then-append is bit-identical to building over
+    the union corpus with the same centroids — the equivalence the
+    ext_ann_ivf_append oracle hash-checks."""
+    import os
+
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    c = new_vectors.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+    )
+    (
+        _assign_to_centroids(centroids, c)
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "assigned"))
     )

@@ -881,3 +881,81 @@ def ext_ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_from_index(
         spark, loc, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4
     )
+
+
+@register(
+    "ext_ann_ivf_append",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(embedding AS DOUBLE[])[i]
+                    * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+      FROM embeddings
+    ),
+    picked AS (
+      SELECT vec_id AS cid FROM embeddings
+      WHERE vec_id % 4 <> 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    centroids AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) AS INT) AS list_id,
+             e.v AS centroid, e.nrm AS cnrm
+      FROM picked JOIN e ON e.vec_id = picked.cid
+    ),
+    assign_scored AS (
+      SELECT e.vec_id AS vid, c.list_id,
+             list_sum(list_transform(range(1, len(c.centroid) + 1),
+                                     i -> c.centroid[i] * e.v[i]))
+               / (c.cnrm * e.nrm) AS c_sim
+      FROM e CROSS JOIN centroids c
+    ),
+    assigned AS (
+      SELECT vid, list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vid ORDER BY c_sim DESC, list_id) AS rn
+        FROM assign_scored
+      ) WHERE rn = 1
+    )
+    SELECT list_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN vid % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_appended,
+           CAST(SUM(vid) AS BIGINT) AS sum_vid
+    FROM assigned GROUP BY list_id
+    """,
+)
+def ext_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (operators/similarity.py:
+    ivf_index_append): build+persist on 3/4 of the corpus, then APPEND
+    the held-out 1/4 — assigned against the SAVED centroids only, cost
+    O(new·n_lists), no recompute of the existing index — as new files
+    inside the hive-partitioned layout. The per-list census (total,
+    appended-only count, id-sum) is computed by re-reading the layout,
+    and the oracle recomputes the equivalent single-shot assignment of
+    the FULL corpus against base-picked centroids: hash-equality proves
+    build-then-append ≡ build-over-union, i.e. appends change WHAT is
+    indexed, never HOW. Serve-after-append is pinned in
+    tests/test_similarity.py."""
+    import os
+
+    from world_cup_duckdb_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_persist,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    loc = _fresh_dir("ivf-append")
+    ivf_index_persist(emb.filter(F.col("vec_id") % 4 != 0), loc, n_lists=16)
+    ivf_index_append(spark, loc, emb.filter(F.col("vec_id") % 4 == 0))
+    return (
+        spark.read.parquet(os.path.join(loc, "assigned"))
+        .groupBy(F.col("list_id").cast("int").alias("list_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("vid") % 4 == 0).cast("bigint")).alias("n_appended"),
+            F.sum("vid").alias("sum_vid"),
+        )
+    )
