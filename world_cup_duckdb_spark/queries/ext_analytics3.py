@@ -44,20 +44,25 @@ _HOUR_US = 3_600_000_000
       FROM b WHERE lo <= hi
     ),
     u AS (
-      -- evt_us is null WHEN value is null: the carried (pv, pts) pair
+      -- evt_us is null WHEN value is null: the carried (pc, pts) pair
       -- must come from the SAME observation, or a null-valued event
-      -- would desynchronize the slope's anchor timestamp from its value
-      SELECT user_id, us, 0 AS tag, event_id, value,
+      -- would desynchronize the slope's anchor timestamp from its value.
+      -- value is carried in exact CENTS (the column is 2-decimal money):
+      -- integer arithmetic downstream is engine-exact, where a double
+      -- mul-add is FMA-contractable in a C engine but never in the JVM
+      -- (2-ulp divergence observed at sf0.1: 2 of 1,047,914 rows).
+      SELECT user_id, us, 0 AS tag, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
              CASE WHEN value IS NOT NULL THEN us END AS evt_us FROM e
       UNION ALL
       SELECT user_id, us, 1 AS tag, -1 AS event_id,
-             NULL::DOUBLE AS value, NULL::BIGINT AS evt_us FROM g
+             NULL::BIGINT AS vc, NULL::BIGINT AS evt_us FROM g
     ),
     w AS (
       SELECT user_id, us, tag,
-             last_value(value IGNORE NULLS) OVER prv AS pv,
+             last_value(vc IGNORE NULLS) OVER prv AS pc,
              last_value(evt_us IGNORE NULLS) OVER prv AS pts,
-             first_value(value IGNORE NULLS) OVER nxt AS nv,
+             first_value(vc IGNORE NULLS) OVER nxt AS nc,
              first_value(evt_us IGNORE NULLS) OVER nxt AS nts
       FROM u
       WINDOW
@@ -66,12 +71,15 @@ _HOUR_US = 3_600_000_000
         nxt AS (PARTITION BY user_id ORDER BY us, tag, event_id
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
     )
+    -- exact int64 numerator, ONE int64->double conversion each side of
+    -- ONE IEEE divide: bit-identical in any IEEE-754 engine
     SELECT user_id, make_timestamp(us) AS ts,
-           ROUND(CASE WHEN nts IS NULL THEN pv
-                      ELSE pv + (nv - pv) * ((us - pts) / CAST(nts - pts AS DOUBLE))
-                 END, 9) AS v
+           CASE WHEN nts IS NULL THEN CAST(pc AS DOUBLE) / 100.0
+                ELSE CAST(pc * (nts - us) + nc * (us - pts) AS DOUBLE)
+                     / CAST((nts - pts) * 100 AS DOUBLE)
+           END AS v
     FROM w
-    WHERE tag = 1 AND pv IS NOT NULL
+    WHERE tag = 1 AND pc IS NOT NULL
     """,
 )
 def ext_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,11 +97,19 @@ def ext_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id; grid size is bounded by the time range
     (hours), not the event count, and both window frames plus the sort
-    share that single exchange. Determinism: grid timestamps and segment
-    widths are exact integer microseconds; (us-pts)/(nts-pts) is one IEEE
-    divide of exact integers; the mul-add is ROUND()ed to 9 to absorb any
-    fused-multiply-add difference between engines. Ties at the same
-    microsecond order by (tag, event_id), both non-null everywhere."""
+    share that single exchange. Determinism: values are carried as exact
+    integer CENTS (2-decimal column) and timestamps as exact integer
+    microseconds, so the interpolation numerator pc·(nts−us)+nc·(us−pts)
+    is exact int64 arithmetic; the only floating-point op is ONE IEEE
+    divide after ONE int64→double conversion per side — bit-identical in
+    any IEEE-754 engine. The earlier double mul-add form diverged by one
+    ulp on 2 of 1,047,914 rows at sf0.1 (C engines may contract a*b+c to
+    FMA; the JVM never does), which a ROUND(…,9) cannot absorb when the
+    boundary lands on the round digit. int64 headroom: |cents| ≤ ~10⁶ and
+    segment gaps ≤ ~10¹² µs keep the numerator < 2⁶³ by >5 orders of
+    magnitude; a multi-year-gap corpus would need the numerator in
+    DECIMAL(38). Ties at the same microsecond order by (tag, event_id),
+    both non-null everywhere."""
     e = load_tables(spark, sf_dir)["events"].select(
         "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
     )
@@ -108,15 +124,18 @@ def ext_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.lit(_HOUR_US))).alias("us"),
     )
     u = e.select(
-        "user_id", "us", F.lit(0).alias("tag"), "event_id", "value",
-        # null evt_us for null-valued events: (pv, pts) and (nv, nts)
+        "user_id", "us", F.lit(0).alias("tag"), "event_id",
+        # exact integer cents — see the oracle comment: int64 arithmetic
+        # is engine-exact where a double mul-add can FMA-contract
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        # null evt_us for null-valued events: (pc, pts) and (nc, nts)
         # must be carried as synchronized pairs from the same observation
         F.when(F.col("value").isNotNull(), F.col("us")).alias("evt_us"),
     ).unionAll(
         g.select(
             "user_id", "us", F.lit(1).alias("tag"),
             F.lit(-1).alias("event_id"),
-            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("bigint").alias("vc"),
             F.lit(None).cast("bigint").alias("evt_us"),
         )
     )
@@ -131,27 +150,24 @@ def ext_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = u.select(
         "user_id", "us", "tag",
-        F.last("value", ignorenulls=True).over(prv).alias("pv"),
+        F.last("vc", ignorenulls=True).over(prv).alias("pc"),
         F.last("evt_us", ignorenulls=True).over(prv).alias("pts"),
-        F.first("value", ignorenulls=True).over(nxt).alias("nv"),
+        F.first("vc", ignorenulls=True).over(nxt).alias("nc"),
         F.first("evt_us", ignorenulls=True).over(nxt).alias("nts"),
     )
+    num = (
+        F.col("pc") * (F.col("nts") - F.col("us"))
+        + F.col("nc") * (F.col("us") - F.col("pts"))
+    ).cast("double")
+    den = ((F.col("nts") - F.col("pts")) * 100).cast("double")
     return (
-        w.filter((F.col("tag") == 1) & F.col("pv").isNotNull())
+        w.filter((F.col("tag") == 1) & F.col("pc").isNotNull())
         .select(
             "user_id",
             F.timestamp_micros("us").alias("ts"),
-            F.round(
-                F.when(F.col("nts").isNull(), F.col("pv")).otherwise(
-                    F.col("pv")
-                    + (F.col("nv") - F.col("pv"))
-                    * (
-                        (F.col("us") - F.col("pts"))
-                        / (F.col("nts") - F.col("pts")).cast("double")
-                    )
-                ),
-                9,
-            ).alias("v"),
+            F.when(
+                F.col("nts").isNull(), F.col("pc").cast("double") / 100.0
+            ).otherwise(num / den).alias("v"),
         )
     )
 
