@@ -327,3 +327,29 @@ def test_ivf_append_then_serve_sees_both_halves(spark, emb, tmp_path):
     # indexed corpus: it must equal brute force over the union.
     exact = brute_force_topk(q, emb, k=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, exact))
+
+
+def test_pq_serve_from_persisted_index_equals_in_memory(spark, emb, tmp_path):
+    """pq_topk_from_index must be bit-identical to pq_topk (integer
+    arithmetic end-to-end) through the parquet round trip, and its
+    corpus-side scan must read ONLY the compressed codes relation —
+    raw embeddings never appear on the serve path."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        pq_index_persist,
+        pq_topk,
+        pq_topk_from_index,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    loc = str(tmp_path / "pq")
+    pq_index_persist(emb, loc, m=4, k=16, dims=64)
+    out = pq_topk_from_index(spark, loc, q, k_neighbors=5, m=4, dims=64)
+    served = sorted(tuple(r) for r in out.collect())
+    direct = sorted(
+        tuple(r) for r in pq_topk(q, emb, k_neighbors=5, m=4, k=16, dims=64).collect()
+    )
+    assert served == direct and len(served) > 0
+    # Serve-path scan contract: the only file sources are the index's
+    # codebook/codes directories (queries arrive as a DataFrame).
+    files = out.inputFiles()
+    assert files and all(("/pq/codes" in f) or ("/pq/codebook" in f) for f in files), files

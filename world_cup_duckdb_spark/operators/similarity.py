@@ -808,3 +808,74 @@ def ivf_index_append(
         .partitionBy("list_id")
         .parquet(os.path.join(path, "assigned"))
     )
+
+
+def pq_index_persist(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    k: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index at ``path``: ``codebook/`` (M·K rows of
+    integer centroids — broadcast-sized by construction) and ``codes/``
+    (the compressed corpus: one (vid, m, code) byte-ish triple per
+    sub-space, ~M small ints per vector instead of ``dims`` floats).
+    At 100 TB the codes relation IS the ANN-serving copy of the corpus —
+    a ~64×-smaller scan than raw embeddings — and the codebook training
+    cost is paid once per build, amortized across every query batch
+    (ext_ann_pq_query serves from these files without recomputation)."""
+    import os
+
+    codebook, codes = pq_index(corpus, m, k, dims, id_col, vec_col)
+    codebook.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+
+
+def pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    m: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k served from a persisted PQ index (pq_index_persist):
+    per-query distance tables are computed against the READ-BACK codebook
+    (broadcast — M·K rows) and the corpus scan reads ONLY the compressed
+    codes relation; raw embeddings are never touched on the serve path.
+    Integer arithmetic end-to-end, so results are bit-identical to
+    pq_topk on the same corpus (pytest-pinned)."""
+    import os
+
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m} sub-spaces")
+    d_sub = dims // m
+    codebook = spark.read.parquet(os.path.join(path, "codebook"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    qsubs = _pq_subvectors(queries, id_col, "query_id", vec_col, m, d_sub)
+    qd2 = qsubs.join(F.broadcast(codebook), "m").select(
+        F.col("query_id"),
+        F.col("m").alias("qm"),
+        F.col("c").alias("qc"),
+        _int_sq_dist("sub", "cent").alias("qd2"),
+    )
+    pairs = codes.join(
+        F.broadcast(qd2),
+        (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qc")),
+    )
+    adc = (
+        pairs.groupBy("query_id", "vid")
+        .agg(F.sum("qd2").cast("bigint").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("vid"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank", "adc_dist")
+    )

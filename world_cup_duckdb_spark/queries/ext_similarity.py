@@ -959,3 +959,102 @@ def ext_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vid").alias("sum_vid"),
         )
     )
+
+
+_PQ_SQL = _REG["ext_ann_pq"].oracle
+
+
+@register(
+    "ext_ann_pq_persist",
+    oracle="""
+    WITH micro AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, CAST(mm.m AS INT) AS m,
+             list_slice(e, mm.m * 16 + 1, mm.m * 16 + 16) AS sub
+      FROM micro CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm
+    ),
+    cb_dim AS (
+      SELECT m,
+             CAST(CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 16 AS INT) AS c,
+             generate_subscripts(sub, 1) AS j, unnest(sub) AS x
+      FROM subs
+    ),
+    cb AS (
+      SELECT m, c, j,
+             CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+               AS cx
+      FROM cb_dim GROUP BY m, c, j
+    ),
+    cent AS (SELECT m, c, list(cx ORDER BY j) AS cent FROM cb GROUP BY m, c),
+    scored AS (
+      SELECT s.vec_id AS vid, s.m, t.c,
+             list_sum(list_transform(
+               range(1, len(s.sub) + 1),
+               i -> (s.sub[i] - t.cent[i]) * (s.sub[i] - t.cent[i]))) AS d2
+      FROM subs s JOIN cent t ON s.m = t.m
+    ),
+    codes AS (
+      SELECT vid, m, c AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, m ORDER BY d2, c) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT m, code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(vid) AS BIGINT) AS sum_vid
+    FROM codes GROUP BY m, code
+    """,
+)
+def ext_ann_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index BUILD + PERSIST (operators/similarity.py:
+    pq_index_persist): integer codebook + compressed codes written to
+    parquet — the ~64×-smaller ANN-serving copy of the corpus. The
+    returned per-(sub-space, code) census re-reads the persisted codes,
+    so the oracle (the codes CTE chain of ext_ann_pq, then the census)
+    hash-checks what landed on disk through the round trip — codebook
+    training, argmin encoding, and the files themselves."""
+    import os
+
+    from world_cup_duckdb_spark.operators.similarity import pq_index_persist
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    loc = _fresh_dir("pq-index")
+    pq_index_persist(emb, loc, m=4, k=16, dims=64)
+    return (
+        spark.read.parquet(os.path.join(loc, "codes"))
+        .groupBy("m", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vid").alias("sum_vid"),
+        )
+    )
+
+
+@register("ext_ann_pq_query", oracle=_PQ_SQL)
+def ext_ann_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k SERVED FROM THE PERSISTED PQ INDEX (operators/
+    similarity.py:pq_topk_from_index): the corpus-side scan on the serve
+    path reads ONLY the compressed codes parquet — never raw embeddings
+    — and the read-back codebook broadcasts to price each query's
+    distance tables. Shares ext_ann_pq's oracle verbatim: integer
+    arithmetic end-to-end means the serve path is bit-identical to the
+    in-memory build through the parquet round trip."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        pq_index_persist,
+        pq_topk_from_index,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    loc = _fresh_dir("pq-serve")
+    pq_index_persist(emb, loc, m=4, k=16, dims=64)
+    return pq_topk_from_index(
+        spark, loc, emb.filter(F.col("vec_id") < 10), k_neighbors=5, m=4, dims=64
+    )
