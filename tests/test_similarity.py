@@ -353,3 +353,72 @@ def test_pq_serve_from_persisted_index_equals_in_memory(spark, emb, tmp_path):
     # codebook/codes directories (queries arrive as a DataFrame).
     files = out.inputFiles()
     assert files and all(("/pq/codes" in f) or ("/pq/codebook" in f) for f in files), files
+
+
+def test_streaming_ivf_maintenance_foreachbatch(spark, emb, tmp_path):
+    """Streaming index maintenance: new embedding batches arriving on a
+    file stream are folded into the persisted IVF index by foreachBatch →
+    ivf_index_append. After the stream drains, the index must equal a
+    batch build-then-append over the same vectors (same census per list),
+    and the serve path must return appended vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from world_cup_duckdb_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_persist,
+        ivf_topk_from_index,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0).toPandas()
+    loc = str(tmp_path / "ivf")
+    ivf_index_persist(base, loc, n_lists=16)
+
+    # Stage the appends as 2 files so availableNow produces micro-batches.
+    src = tmp_path / "incoming"
+    src.mkdir()
+    half = (len(extra) + 1) // 2
+    for i, chunk in enumerate((extra.iloc[:half], extra.iloc[half:])):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            src / f"batch_{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(emb.schema).parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: ivf_index_append(spark, loc, bdf)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["list_id"], r["n"]): r["s"]
+        for r in spark.read.parquet(loc + "/assigned")
+        .groupBy(F.col("list_id").cast("int").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vid").alias("s"))
+        .collect()
+    }
+    # Reference: batch build + one-shot append into a second location.
+    loc2 = str(tmp_path / "ivf_ref")
+    ivf_index_persist(base, loc2, n_lists=16)
+    ivf_index_append(spark, loc2, emb.filter(F.col("vec_id") % 4 == 0))
+    want = {
+        (r["list_id"], r["n"]): r["s"]
+        for r in spark.read.parquet(loc2 + "/assigned")
+        .groupBy(F.col("list_id").cast("int").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vid").alias("s"))
+        .collect()
+    }
+    assert got == want and got
+    q2 = emb.filter(F.col("vec_id") < 10)
+    neigh = {
+        r["neighbor_id"]
+        for r in ivf_topk_from_index(spark, loc, q2, k=5, n_probe=16).collect()
+    }
+    assert any(n % 4 == 0 for n in neigh), "stream-appended vectors never served"
