@@ -845,3 +845,17 @@ def test_bounded_one_partition_survives_optimizer(spark):
     head = p.split(") Window")[1].split("\n\n")[0]
     # window spec is non-empty: partition expressions precede the order
     assert "windowspecdefinition(_w" in head.replace(" ", ""), head
+
+
+def test_importance_weights_scoring_pass_is_exchange_free(spark, sf_dir):
+    """ext_importance_weights' RESCORING plan (the returned DataFrame)
+    must be a map-only scan + TakeOrderedAndProject: the ratio table is a
+    collected literal, the per-doc importance an in-row fold, the top-50
+    per-partition heaps — zero exchanges, zero corpus-grain windows. If
+    an Exchange or Window appears here, the scoring pass has regressed
+    to a shuffle."""
+    df = REGISTRY["ext_importance_weights"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange" not in p, p
+    assert "Window" not in p, p

@@ -161,3 +161,132 @@ def ext_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(
         d, id_col="doc_id", n_epochs=_N_EPOCHS, n_shards=_N_SHARDS
     )
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+#: DSIR feature space: hashed-token buckets. 64 keeps the per-bucket
+#: ratio table literal-broadcastable and the census oracle small; a
+#: production run uses 10k–100k buckets — nothing below changes except
+#: this constant (the collect is O(B), never corpus).
+_DSIR_BUCKETS = 64
+#: Fixed-point scale for the integer likelihood ratio.
+_DSIR_SCALE = 1_000_000
+#: The "target distribution" sources (the quality corpus DSIR reweights
+#: the raw crawl toward). Deterministic subset of the fixture's sources.
+_DSIR_TARGET = ("src0", "src1", "src2", "src3", "src4")
+
+
+@register(
+    "ext_importance_weights",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(term), 1, 8))::BIGINT
+                  % {_DSIR_BUCKETS} AS INT) AS bucket
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+    ),
+    cr AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY 1),
+    ct AS (SELECT bucket, COUNT(*) AS c FROM b
+           WHERE source IN {str(tuple(_DSIR_TARGET))} GROUP BY 1),
+    lr AS (
+      SELECT cr.bucket,
+             ((COALESCE(ct.c, 0) + 1) * {_DSIR_SCALE}) // (cr.c + 1) AS lr
+      FROM cr LEFT JOIN ct USING (bucket)
+    )
+    SELECT doc_id, CAST(SUM(lr.lr) AS BIGINT) AS importance
+    FROM b JOIN lr USING (bucket)
+    GROUP BY doc_id
+    ORDER BY importance DESC, doc_id
+    LIMIT 50
+    """,
+)
+def ext_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw-corpus document by how much
+    its hashed-token distribution looks like a TARGET corpus (here the
+    src0–src4 slice standing in for the quality corpus), so the
+    selection can keep the raw documents most target-like. Two passes,
+    both bounded: (1) per-bucket token counts for raw and target — two
+    hash aggregates whose map-side partials reduce to ≤ 64 rows each;
+    (2) a map-only rescoring of every document against the 64-entry
+    ratio table, collected to the driver (bounded by the bucket count,
+    NEVER corpus size) and re-emitted as a literal array, so the scoring
+    pass is pure in-row expression work — transform(tokens → ratio) +
+    an int64 fold — with ZERO doc-grain exchanges before the final
+    top-50 TakeOrderedAndProject (per-partition heaps, no global sort,
+    no corpus-grain window).
+
+    Determinism (the ext_linear_interp lesson applied in advance): DSIR's
+    log-likelihood-ratio sum is engine-divergent (libm log + unordered
+    float summation), so the ratio is kept in fixed-point INTEGER form —
+    lr[b] = ((ct[b]+1)·10⁶) div (cr[b]+1), Laplace-smoothed, with the
+    doc-constant normalizer (Σtarget+B)/(Σraw+B) dropped (affine in
+    every document's score: rank-preserving, so the SELECTION is
+    unchanged) — and each document's importance is an exact int64 sum
+    of per-token table lookups: bit-identical in any engine.
+
+    Scale: two corpus scans (DSIR is two-pass by nature), both map-side;
+    state is O(buckets). At 100 TB raise _DSIR_BUCKETS and ship the
+    ratio table as a broadcast join instead of a literal — same plan
+    shape, same arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    bkt = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("term"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+            % _DSIR_BUCKETS
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    cr = bkt.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    ct = (
+        bkt.filter(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    lr_rows = (
+        cr.join(ct, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(
+                f"((coalesce(tc, 0) + 1) * {_DSIR_SCALE}) div (c + 1)"
+            ).alias("lr"),
+        )
+        .collect()  # bounded: ≤ _DSIR_BUCKETS rows of two ints
+    )
+    table_lr = {r["bucket"]: r["lr"] for r in lr_rows}
+    lr_arr = F.array(
+        *[F.lit(int(table_lr.get(i, 0))).cast("bigint")
+          for i in range(_DSIR_BUCKETS)]
+    )
+    score = F.aggregate(
+        F.transform(
+            F.split("text", " "),
+            lambda t: F.element_at(
+                lr_arr,
+                (
+                    (
+                        F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                        .cast("bigint")
+                        % _DSIR_BUCKETS
+                    ).cast("int")
+                    + 1
+                ),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        d.select("doc_id", score.alias("importance"))
+        .orderBy(F.desc("importance"), F.asc("doc_id"))
+        .limit(50)
+    )
