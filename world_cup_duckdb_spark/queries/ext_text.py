@@ -928,3 +928,119 @@ def ext_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@register(
+    "ext_weak_label_vote",
+    oracle="""
+    WITH lf AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 500 THEN 1
+                  WHEN n_chars < 100 THEN -1 ELSE 0 END AS lf_length,
+             CASE WHEN len(list_distinct(string_split(text, ' '))) * 10
+                       >= len(string_split(text, ' ')) * 6 THEN 1
+                  WHEN len(list_distinct(string_split(text, ' '))) * 10
+                       < len(string_split(text, ' ')) * 3 THEN -1
+                  ELSE 0 END AS lf_diversity,
+             CASE WHEN len(regexp_extract_all(text, '[0-9]')) * 10
+                       > n_chars * 3 THEN -1 ELSE 0 END AS lf_digits
+      FROM documents
+    ),
+    voted AS (
+      SELECT doc_id, lf_length, lf_diversity, lf_digits,
+             CASE WHEN lf_length + lf_diversity + lf_digits > 0 THEN 1
+                  WHEN lf_length + lf_diversity + lf_digits < 0 THEN -1
+                  ELSE 0 END AS majority
+      FROM lf
+    ),
+    stacked AS (
+      SELECT doc_id, 'length' AS lf, lf_length AS vote, majority FROM voted
+      UNION ALL
+      SELECT doc_id, 'diversity', lf_diversity, majority FROM voted
+      UNION ALL
+      SELECT doc_id, 'digits', lf_digits, majority FROM voted
+    )
+    SELECT lf,
+           CAST(SUM(CASE WHEN vote = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(SUM(CASE WHEN vote = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop,
+           CAST(SUM(CASE WHEN vote = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_abstain,
+           CAST(SUM(CASE WHEN vote <> 0 AND vote = majority
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_majority,
+           CAST(SUM(CASE WHEN vote <> 0 AND majority <> 0
+                         AND vote <> majority THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conflict
+    FROM stacked GROUP BY lf
+    """,
+)
+def ext_weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision vote aggregation (Snorkel-style programmatic
+    labeling, Ratner et al., VLDB 2018): three deterministic labeling
+    functions vote keep(+1)/drop(−1)/abstain(0) on every document —
+    length (n_chars thresholds), token diversity (distinct/total ratio
+    as an INTEGER cross-multiplication, no float division), digit
+    density (digit count vs n_chars, same trick) — and the per-LF
+    diagnostic report (coverage, agreement with the simple-majority
+    label, conflicts) is what a pipeline owner reads before trusting a
+    label model. This is the bootstrap stage for the quality-classifier
+    training data that feeds `ext_quality_filter_pipeline`.
+
+    Scale: LF evaluation is pure map-side row expressions; the stack is
+    a 3× map-side unpivot; the report is one hash aggregate to 3 rows.
+    Determinism: every rule is integer comparisons (ratios as
+    cross-multiplications), so votes, majorities, and counts are exact
+    in both engines."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    lf_length = (
+        F.when(F.col("n_chars") >= 500, 1)
+        .when(F.col("n_chars") < 100, -1)
+        .otherwise(0)
+    )
+    lf_diversity = (
+        F.when(F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 6, 1)
+        .when(F.size(F.array_distinct(toks)) * 10 < F.size(toks) * 3, -1)
+        .otherwise(0)
+    )
+    lf_digits = F.when(
+        F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")) * 10
+        > F.col("n_chars") * 3,
+        -1,
+    ).otherwise(0)
+    voted = d.select(
+        lf_length.alias("lf_length"),
+        lf_diversity.alias("lf_diversity"),
+        lf_digits.alias("lf_digits"),
+    ).withColumn(
+        "majority",
+        F.when(
+            F.col("lf_length") + F.col("lf_diversity") + F.col("lf_digits") > 0, 1
+        )
+        .when(
+            F.col("lf_length") + F.col("lf_diversity") + F.col("lf_digits") < 0, -1
+        )
+        .otherwise(0),
+    )
+    stacked = voted.selectExpr(
+        "stack(3, 'length', lf_length, 'diversity', lf_diversity,"
+        " 'digits', lf_digits) AS (lf, vote)",
+        "majority",
+    )
+    return stacked.groupBy("lf").agg(
+        F.sum((F.col("vote") == 1).cast("bigint")).alias("n_keep"),
+        F.sum((F.col("vote") == -1).cast("bigint")).alias("n_drop"),
+        F.sum((F.col("vote") == 0).cast("bigint")).alias("n_abstain"),
+        F.sum(
+            ((F.col("vote") != 0) & (F.col("vote") == F.col("majority")))
+            .cast("bigint")
+        ).alias("n_agree_majority"),
+        F.sum(
+            (
+                (F.col("vote") != 0)
+                & (F.col("majority") != 0)
+                & (F.col("vote") != F.col("majority"))
+            ).cast("bigint")
+        ).alias("n_conflict"),
+    )
