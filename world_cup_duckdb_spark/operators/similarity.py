@@ -879,3 +879,76 @@ def pq_topk_from_index(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", F.col("vid").alias("neighbor_id"), "rank", "adc_dist")
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the k corpus
+    vectors most cosine-similar to it whose ``label_col`` DIFFERS from
+    the anchor's — the negatives that sit closest to the decision
+    boundary, which is what contrastive/embedding training samples from
+    (in-batch random negatives are too easy; the hard ones carry the
+    gradient signal).
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label, rank,
+    cos_sim); rank is per-anchor, ties broken (cos_sim DESC,
+    neighbor_id ASC).
+
+    Scale: identical shape to :func:`brute_force_topk` — the anchor set
+    is broadcast (small by the same contract), the corpus streams, and
+    the label-mismatch predicate is applied INSIDE the broadcast
+    nested-loop join BEFORE the dot product, so same-label pairs are
+    discarded for the price of an int compare, never scored. Per-vector
+    norms are precomputed on each side. For an unbounded anchor set,
+    route through the bucketed LSH/IVF paths with the same label
+    predicate pushed into the bucket join."""
+    from world_cup_duckdb_spark.operators.scale import spread_for_cpu_work
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double(vec_col).alias("qv"),
+        F.sqrt(norm2(as_double(vec_col))).alias("_qn"),
+    )
+    c = spread_for_cpu_work(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double(vec_col).alias("cv"),
+        F.sqrt(norm2(as_double(vec_col))).alias("_cn"),
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.when(
+                denom != 0.0, dot(F.col("qv"), F.col("cv")) / denom
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            "cos_sim",
+        )
+    )

@@ -328,6 +328,7 @@ from world_cup_duckdb_spark.queries import (  # noqa: E402,F401
     ext_optim,
     ext_pipeline,
     ext_regression,
+    ext_retrieval,
     ext_rollups,
     ext_scale,
     ext_similarity,

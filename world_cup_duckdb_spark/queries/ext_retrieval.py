@@ -1,0 +1,360 @@
+"""Retrieval & curation batch (EXTENSION): hybrid lexical+semantic
+retrieval with reciprocal-rank fusion, contrastive hard-negative mining,
+and a KMV-sketch source-overlap matrix.
+
+These are the retrieval-side companions to the dedup/ANN families: RRF
+is how a training-data search stack actually combines BM25-style and
+embedding arms (Cormack et al., SIGIR 2009 — rank-only fusion, no score
+calibration needed); hard negatives are what contrastive embedding
+training mines from a corpus; the KMV overlap matrix is the sketch-sized
+answer to "how much do two crawl sources overlap?" that the exact
+token-cosine matrix (ext_source_similarity) answers at vocabulary cost.
+
+Scale shape: every query-side relation is bounded by contract
+(broadcast); corpus passes are single-scan map-side reductions; the
+overlap matrix's downstream cost is |sources|²·k rows — independent of
+corpus size, which is the entire point of sketching.
+
+Determinism: ranks are integers with total tie-breaks; RRF scores are
+sums of exactly two IEEE divides in fixed written order; KMV uses
+md5-hex ordering (binary collation in both engines); all counts are
+exact integers until a final divide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from world_cup_duckdb_spark.operators.similarity import (
+    brute_force_topk,
+    hard_negative_topk,
+)
+from world_cup_duckdb_spark.queries import register, tracked_persist
+from world_cup_duckdb_spark.sources.catalog import load_tables
+
+_N_QUERIES = 8  # bounded query set: doc_id/vec_id < 8
+_ARM_K = 20  # per-arm candidate depth
+_RRF_K = 60  # standard RRF dampening constant (Cormack et al.)
+_FUSED_K = 5  # fused results returned per query
+_KMV_K = 128  # per-source signature size
+
+
+@register(
+    "ext_hybrid_rrf",
+    oracle=f"""
+    WITH qt AS (
+      SELECT DISTINCT doc_id AS query_id, t AS token
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents WHERE doc_id < {_N_QUERIES})
+      WHERE t <> ''
+    ),
+    ct AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    lexcnt AS (
+      SELECT q.query_id, c.doc_id AS neighbor_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM qt q JOIN ct c USING (token)
+      WHERE c.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, neighbor_id, CAST(rnk AS INT) AS lex_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY n_shared DESC, neighbor_id) AS rnk
+            FROM lexcnt)
+      WHERE rnk <= {_ARM_K}
+    ),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_sum(list_transform(
+                    range(1, len(embedding) + 1),
+                    i -> CAST(embedding AS DOUBLE[])[i]
+                         * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_sum(list_transform(
+                    range(1, len(embedding) + 1),
+                    i -> CAST(embedding AS DOUBLE[])[i]
+                         * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+          FROM embeddings),
+    sem AS (
+      SELECT query_id, neighbor_id, CAST(rnk AS INT) AS sem_rank
+      FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                                  i -> q.v[i] * c.v[i]))
+                          / (q.nrm * c.nrm) DESC,
+                          c.neighbor_id) AS rnk
+        FROM qv q CROSS JOIN cv c
+        WHERE q.query_id <> c.neighbor_id
+      )
+      WHERE rnk <= {_ARM_K}
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, lex_rank, sem_rank,
+             COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex_rank),
+                      CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + sem_rank),
+                        CAST(0 AS DOUBLE)) AS rrf_score
+      FROM lex FULL JOIN sem USING (query_id, neighbor_id)
+    )
+    SELECT query_id, neighbor_id, lex_rank, sem_rank, rrf_score,
+           CAST(rnk AS INT) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY rrf_score DESC, neighbor_id) AS rnk
+          FROM fused)
+    WHERE rnk <= {_FUSED_K}
+    """,
+)
+def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical arm
+    (distinct-token overlap against an inverted index — the set-overlap
+    core of BM25 candidate generation) and a semantic arm (exact cosine
+    top-k over embeddings) each rank {_ARM_K} candidates per query;
+    RRF fuses them rank-only — score = Σ 1/(60+rank) over the arms a
+    candidate appears in — and the top {_FUSED_K} fused results ship.
+    This is the standard first stage of a RAG / training-data search
+    stack (rank fusion needs no cross-arm score calibration).
+
+    Scale: the query side is bounded by contract on BOTH arms and rides
+    a broadcast; the corpus is touched exactly twice, each a single
+    scan — the token arm dedups tokens IN-ROW (array_distinct before
+    explode: no corpus-grain distinct shuffle) and reduces via one
+    (query, doc) count aggregate; the vector arm is brute_force_topk
+    (per-partition scoring, rank window sees |Q|·|C| scored rows only
+    through the window's own partial top-k). The fusion join is
+    |Q|·{_ARM_K} vs |Q|·{_ARM_K} — trivial at any corpus size. A
+    production form drops high-document-frequency tokens from the
+    inverted index (stopword pruning) to bound posting lists; at this
+    fixture scale every token participates so the oracle can mirror
+    exactly.
+
+    Determinism: arm ranks are integer-tie-broken by neighbor_id; the
+    RRF score is lex-term + sem-term in fixed order (each one IEEE
+    divide of exact ints); fused rank tie-breaks (score DESC,
+    neighbor_id)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+
+    # Lexical arm: in-row token dedup, then one inverted-index join.
+    toks = F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    qt = (
+        d.filter(F.col("doc_id") < _N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), toks)
+        .filter(F.col("token") != "")
+    )
+    ct = d.select("doc_id", toks).filter(F.col("token") != "")
+    lexcnt = (
+        ct.join(F.broadcast(qt), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("n_shared"), F.asc("neighbor_id")
+    )
+    lex = (
+        lexcnt.withColumn("lex_rank", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("lex_rank") <= _ARM_K)
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+
+    # Semantic arm: exact cosine top-k (broadcast queries, corpus streams).
+    sem = brute_force_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_ARM_K
+    ).select("query_id", "neighbor_id", F.col("rank").alias("sem_rank"))
+
+    fused = lex.join(sem, ["query_id", "neighbor_id"], "full").withColumn(
+        "rrf_score",
+        F.coalesce(
+            F.lit(1).cast("double") / (F.lit(_RRF_K) + F.col("lex_rank")),
+            F.lit(0).cast("double"),
+        )
+        + F.coalesce(
+            F.lit(1).cast("double") / (F.lit(_RRF_K) + F.col("sem_rank")),
+            F.lit(0).cast("double"),
+        ),
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_fused).cast("int"))
+        .filter(F.col("fused_rank") <= _FUSED_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "lex_rank",
+            "sem_rank",
+            "rrf_score",
+            "fused_rank",
+        )
+    )
+
+
+@register(
+    "ext_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      CAST(embedding AS DOUBLE[]) AS qv,
+                      sqrt(list_sum(list_transform(
+                        range(1, len(embedding) + 1),
+                        i -> CAST(embedding AS DOUBLE[])[i]
+                             * CAST(embedding AS DOUBLE[])[i]))) AS qn
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 CAST(embedding AS DOUBLE[]) AS cv,
+                 sqrt(list_sum(list_transform(
+                   range(1, len(embedding) + 1),
+                   i -> CAST(embedding AS DOUBLE[])[i]
+                        * CAST(embedding AS DOUBLE[])[i]))) AS cn
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             list_sum(list_transform(range(1, len(qv) + 1),
+                                     i -> qv[i] * cv[i])) / (qn * cn)
+               AS cos_sim
+      FROM q CROSS JOIN c
+      WHERE neighbor_label <> query_label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           CAST(rnk AS INT) AS rank, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for 10 anchor vectors, the 5
+    most cosine-similar corpus vectors carrying a DIFFERENT label — the
+    near-boundary negatives a contrastive embedding trainer samples
+    (random in-batch negatives are too easy to carry gradient signal).
+    Label-mismatch is filtered BEFORE scoring inside the broadcast
+    nested-loop join (operators/similarity.py:hard_negative_topk)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return hard_negative_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "ext_source_overlap_kmv",
+    oracle=f"""
+    WITH sig AS (
+      SELECT source, h
+      FROM (
+        SELECT source, h, ROW_NUMBER() OVER (
+                 PARTITION BY source ORDER BY h) AS rn
+        FROM (SELECT DISTINCT source, md5(t) AS h
+              FROM (SELECT source,
+                           unnest(list_distinct(string_split(text, ' '))) AS t
+                    FROM documents)
+              WHERE t <> '')
+      ) WHERE rn <= {_KMV_K}
+    ),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM sig) a
+      JOIN (SELECT DISTINCT source FROM sig) b ON a.source < b.source
+    ),
+    u AS (
+      SELECT source_a, source_b, h,
+             MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM (
+        SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM p JOIN sig s ON s.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.h, 0, 1
+        FROM p JOIN sig s ON s.source = p.source_b
+      ) GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source_a, source_b ORDER BY h) AS rn
+      FROM u
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_union_k,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_intersect,
+           CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS jaccard_est
+    FROM ranked WHERE rn <= {_KMV_K}
+    GROUP BY 1, 2
+    """,
+)
+def ext_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap (Jaccard) estimation from KMV sketches:
+    each source keeps the {_KMV_K} lexicographically-smallest md5 hashes
+    of its distinct tokens; for a pair, the k smallest hashes of the
+    signature UNION are examined and the fraction present in BOTH
+    signatures estimates J(A,B) (Beyer et al., SIGMOD 2007). This is the
+    sketch-sized answer to "how much do two crawl sources overlap" — the
+    exact cosine matrix (ext_source_similarity) costs a vocabulary
+    self-join; this costs |sources|²·k rows downstream of ONE corpus
+    pass, independent of corpus size.
+
+    Scale: token dedup is in-row (array_distinct before explode), the
+    (source, hash) vocabulary reduce is the single corpus-grain shuffle,
+    and the per-source bottom-k window runs on vocabulary-sized input
+    (at extreme vocabularies, swap in a two-phase bottom-k: per-partition
+    slice, then the same window on |sources|·k·partitions rows). All
+    pair arithmetic is on ≤ 2k-row relations per pair.
+
+    Determinism: md5-hex ordering is binary collation in both engines;
+    distinct hashes make every rank total; the only float op is the
+    final count/count divide."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    sig_full = (
+        d.select("source", toks)
+        .filter(F.col("t") != "")
+        .select("source", F.md5("t").alias("h"))
+        .distinct()
+    )
+    w_sig = Window.partitionBy("source").orderBy(F.asc("h"))
+    sig = (
+        sig_full.withColumn("rn", F.row_number().over(w_sig))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+        .transform(tracked_persist)
+    )
+    srcs = sig.select("source").distinct()
+    p = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("source_b"))))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    ea = p.join(
+        F.broadcast(sig), F.col("source") == F.col("source_a")
+    ).select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    eb = p.join(
+        F.broadcast(sig), F.col("source") == F.col("source_b")
+    ).select("source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = (
+        ea.unionByName(eb)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("source_a", "source_b").orderBy(F.asc("h"))
+    return (
+        u.withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_union_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_intersect"),
+            (
+                F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("jaccard_est"),
+        )
+    )

@@ -930,6 +930,46 @@ def ext_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The three deterministic labeling functions shared by the weak-label
+# keys (vote report + chance-corrected agreement): keep(+1)/drop(−1)/
+# abstain(0) on length, token diversity, and digit density. Ratios are
+# integer cross-multiplications so votes are exact in both engines.
+def _weak_lfs():
+    toks = F.split("text", " ")
+    lf_length = (
+        F.when(F.col("n_chars") >= 500, 1)
+        .when(F.col("n_chars") < 100, -1)
+        .otherwise(0)
+    )
+    lf_diversity = (
+        F.when(F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 6, 1)
+        .when(F.size(F.array_distinct(toks)) * 10 < F.size(toks) * 3, -1)
+        .otherwise(0)
+    )
+    lf_digits = F.when(
+        F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")) * 10
+        > F.col("n_chars") * 3,
+        -1,
+    ).otherwise(0)
+    return lf_length, lf_diversity, lf_digits
+
+
+# DuckDB mirror of _weak_lfs, shared by the weak-label oracles.
+_LF_SQL = """
+      SELECT doc_id,
+             CASE WHEN n_chars >= 500 THEN 1
+                  WHEN n_chars < 100 THEN -1 ELSE 0 END AS lf_length,
+             CASE WHEN len(list_distinct(string_split(text, ' '))) * 10
+                       >= len(string_split(text, ' ')) * 6 THEN 1
+                  WHEN len(list_distinct(string_split(text, ' '))) * 10
+                       < len(string_split(text, ' ')) * 3 THEN -1
+                  ELSE 0 END AS lf_diversity,
+             CASE WHEN len(regexp_extract_all(text, '[0-9]')) * 10
+                       > n_chars * 3 THEN -1 ELSE 0 END AS lf_digits
+      FROM documents
+"""
+
+
 @register(
     "ext_weak_label_vote",
     oracle="""
@@ -993,22 +1033,7 @@ def ext_weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplications), so votes, majorities, and counts are exact
     in both engines."""
     d = load_tables(spark, sf_dir)["documents"]
-    toks = F.split("text", " ")
-    lf_length = (
-        F.when(F.col("n_chars") >= 500, 1)
-        .when(F.col("n_chars") < 100, -1)
-        .otherwise(0)
-    )
-    lf_diversity = (
-        F.when(F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 6, 1)
-        .when(F.size(F.array_distinct(toks)) * 10 < F.size(toks) * 3, -1)
-        .otherwise(0)
-    )
-    lf_digits = F.when(
-        F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")) * 10
-        > F.col("n_chars") * 3,
-        -1,
-    ).otherwise(0)
+    lf_length, lf_diversity, lf_digits = _weak_lfs()
     voted = d.select(
         lf_length.alias("lf_length"),
         lf_diversity.alias("lf_diversity"),
@@ -1043,4 +1068,126 @@ def ext_weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("vote") != F.col("majority"))
             ).cast("bigint")
         ).alias("n_conflict"),
+    )
+
+
+@register(
+    "ext_agreement_kappa",
+    oracle=f"""
+    WITH lf AS ({_LF_SQL}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN lf_length = lf_diversity THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree_ld,
+             CAST(SUM(CASE WHEN lf_length = lf_digits THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree_lg,
+             CAST(SUM(CASE WHEN lf_diversity = lf_digits THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree_dg,
+             CAST(SUM(CASE WHEN lf_length = -1 THEN 1 ELSE 0 END) AS BIGINT) AS l_m1,
+             CAST(SUM(CASE WHEN lf_length = 0 THEN 1 ELSE 0 END) AS BIGINT) AS l_z,
+             CAST(SUM(CASE WHEN lf_length = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l_p1,
+             CAST(SUM(CASE WHEN lf_diversity = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d_m1,
+             CAST(SUM(CASE WHEN lf_diversity = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_z,
+             CAST(SUM(CASE WHEN lf_diversity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d_p1,
+             CAST(SUM(CASE WHEN lf_digits = -1 THEN 1 ELSE 0 END) AS BIGINT) AS g_m1,
+             CAST(SUM(CASE WHEN lf_digits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g_z,
+             CAST(SUM(CASE WHEN lf_digits = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g_p1
+      FROM lf
+    ),
+    stacked AS (
+      SELECT 'length' AS lf_a, 'diversity' AS lf_b, n_docs,
+             agree_ld AS n_agree,
+             l_m1 * d_m1 + l_z * d_z + l_p1 * d_p1 AS pe_num
+      FROM agg
+      UNION ALL
+      SELECT 'length', 'digits', n_docs, agree_lg,
+             l_m1 * g_m1 + l_z * g_z + l_p1 * g_p1
+      FROM agg
+      UNION ALL
+      SELECT 'diversity', 'digits', n_docs, agree_dg,
+             d_m1 * g_m1 + d_z * g_z + d_p1 * g_p1
+      FROM agg
+    ),
+    probs AS (
+      SELECT lf_a, lf_b, n_docs, n_agree,
+             CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+             CAST(pe_num AS DOUBLE)
+               / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS pe
+      FROM stacked
+    )
+    SELECT lf_a, lf_b, n_docs, n_agree, po, pe,
+           (po - pe) / (CAST(1 AS DOUBLE) - pe) AS kappa
+    FROM probs
+    """,
+)
+def ext_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa between the three weak-supervision labeling
+    functions (same LFs as ext_weak_label_vote, votes in {-1, 0, +1}
+    treated as three categories including abstain): chance-corrected
+    agreement kappa = (po - pe) / (1 - pe), where po is observed
+    agreement and pe the product-of-marginals chance agreement. This is
+    the diagnostic that tells a labeling-pipeline owner whether two LFs
+    are redundant (kappa near 1), independent signals (near 0), or
+    systematically opposed (negative) — raw agreement (ext_weak_label_
+    vote's n_agree_majority) can't distinguish chance from signal.
+
+    Scale: one corpus pass folds every vote into a SINGLE 13-counter
+    hash-aggregate row (map-side partials; nothing corpus-sized ever
+    shuffles); the 3 pair rows are a stack over that row. Determinism:
+    all counters and the pe numerators are exact integers; po and pe are
+    each ONE IEEE divide, kappa one subtract/divide in fixed written
+    order — bit-identical cross-engine."""
+    d = load_tables(spark, sf_dir)["documents"]
+    lf_length, lf_diversity, lf_digits = _weak_lfs()
+    votes = d.select(
+        lf_length.alias("vl"), lf_diversity.alias("vd"), lf_digits.alias("vg")
+    )
+
+    def _marg(col: str, tag: str):
+        return [
+            F.count_if(F.col(col) == j).cast("bigint").alias(f"{tag}_{n}")
+            for j, n in ((-1, "m1"), (0, "z"), (1, "p1"))
+        ]
+
+    agg = votes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("vl") == F.col("vd")).cast("bigint").alias("agree_ld"),
+        F.count_if(F.col("vl") == F.col("vg")).cast("bigint").alias("agree_lg"),
+        F.count_if(F.col("vd") == F.col("vg")).cast("bigint").alias("agree_dg"),
+        *_marg("vl", "l"),
+        *_marg("vd", "d"),
+        *_marg("vg", "g"),
+    )
+    stacked = agg.selectExpr(
+        "n_docs",
+        "stack(3,"
+        " 'length', 'diversity', agree_ld,"
+        "   l_m1 * d_m1 + l_z * d_z + l_p1 * d_p1,"
+        " 'length', 'digits', agree_lg,"
+        "   l_m1 * g_m1 + l_z * g_z + l_p1 * g_p1,"
+        " 'diversity', 'digits', agree_dg,"
+        "   d_m1 * g_m1 + d_z * g_z + d_p1 * g_p1"
+        ") AS (lf_a, lf_b, n_agree, pe_num)",
+    )
+    probs = stacked.select(
+        "lf_a",
+        "lf_b",
+        "n_docs",
+        "n_agree",
+        (F.col("n_agree").cast("double") / F.col("n_docs").cast("double"))
+        .alias("po"),
+        (
+            F.col("pe_num").cast("double")
+            / (F.col("n_docs").cast("double") * F.col("n_docs").cast("double"))
+        ).alias("pe"),
+    )
+    return probs.select(
+        "lf_a",
+        "lf_b",
+        "n_docs",
+        "n_agree",
+        "po",
+        "pe",
+        ((F.col("po") - F.col("pe")) / (F.lit(1).cast("double") - F.col("pe")))
+        .alias("kappa"),
     )
