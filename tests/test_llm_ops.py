@@ -872,3 +872,136 @@ def test_lsh_bucket_cap_keeps_pair_output_linear(spark):
         assert all(e.doc_a == 0 for e in star)
     finally:
         bands.unpersist()
+
+
+def test_hard_negatives_labels_differ_and_ranks_total(spark, sf_dir):
+    """Every mined hard negative must carry a label different from its
+    anchor's, ranks must be exactly 1..k per anchor, and cos_sim must be
+    non-increasing in rank (ties broken by neighbor_id, so equal sims
+    are fine but an increase is a sort bug)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = REGISTRY["ext_hard_negatives"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_label != r.query_label, r
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1)), (q, rs)
+        sims = [r.cos_sim for r in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:])), (q, sims)
+
+
+def test_rrf_score_is_sum_of_arm_reciprocals(spark, sf_dir):
+    """rrf_score must equal 1/(60+lex_rank) + 1/(60+sem_rank) with a
+    missing arm contributing exactly 0, and fused_rank must order by
+    (rrf_score DESC, neighbor_id ASC) within each query."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = REGISTRY["ext_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank is not None else 0.0) + (
+            1.0 / (60 + r.sem_rank) if r.sem_rank is not None else 0.0
+        )
+        assert r.rrf_score == want, (r, want)
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.fused_rank)
+        keys = [(-r.rrf_score, r.neighbor_id) for r in rs]
+        assert keys == sorted(keys), (q, rs)
+
+
+def test_kmv_overlap_estimates_true_token_jaccard(spark, sf_dir):
+    """The KMV jaccard_est must (a) satisfy the sketch invariants
+    (n_intersect <= n_union_k <= k, estimate in [0,1], one row per
+    unordered source pair) and (b) land within the sketch's standard
+    error envelope of the EXACT distinct-token Jaccard computed the
+    slow way (k=128 -> se ~ 1/sqrt(128) ~ 0.09; we allow 3 se)."""
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.sources.catalog import load_tables
+
+    est = {
+        (r.source_a, r.source_b): r
+        for r in REGISTRY["ext_source_overlap_kmv"].fn(spark, sf_dir).collect()
+    }
+    assert est
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+        .collect()
+    )
+    sets = {}
+    for r in toks:
+        sets.setdefault(r.source, set()).add(r.t)
+    srcs = sorted(sets)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    assert set(est) == expected_pairs
+    for (a, b), row in est.items():
+        assert 0 <= row.n_intersect <= row.n_union_k <= 128, row
+        assert 0.0 <= row.jaccard_est <= 1.0, row
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        exact = inter / union
+        assert abs(row.jaccard_est - exact) <= 3 / (128**0.5), (
+            a,
+            b,
+            row.jaccard_est,
+            exact,
+        )
+
+
+def test_agreement_kappa_matches_driver_side_recompute(spark, sf_dir):
+    """kappa must equal the textbook (po - pe) / (1 - pe) recomputed
+    driver-side from the raw per-document votes (same LFs), bit-exact —
+    the aggregate plan may fold counters in any order because they are
+    integers; the float ops happen once, in fixed order, at the end."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.queries.ext_text import _weak_lfs
+    from world_cup_duckdb_spark.sources.catalog import load_tables
+
+    got = {
+        (r.lf_a, r.lf_b): r
+        for r in REGISTRY["ext_agreement_kappa"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == {
+        ("length", "diversity"),
+        ("length", "digits"),
+        ("diversity", "digits"),
+    }
+    d = load_tables(spark, sf_dir)["documents"]
+    lfl, lfd, lfg = _weak_lfs()
+    votes = d.select(
+        lfl.alias("l"), lfd.alias("d"), lfg.alias("g")
+    ).collect()
+    n = len(votes)
+    for a, b in got:
+        ca, cb = {"length": "l", "diversity": "d", "digits": "g"}[a], {
+            "length": "l",
+            "diversity": "d",
+            "digits": "g",
+        }[b]
+        agree = sum(1 for v in votes if v[ca] == v[cb])
+        pe_num = sum(
+            sum(1 for v in votes if v[ca] == j)
+            * sum(1 for v in votes if v[cb] == j)
+            for j in (-1, 0, 1)
+        )
+        po = agree / n
+        pe = pe_num / (n * n)
+        row = got[(a, b)]
+        assert row.n_docs == n and row.n_agree == agree, row
+        assert row.po == po and row.pe == pe, row
+        assert row.kappa == (po - pe) / (1.0 - pe), row

@@ -859,3 +859,69 @@ def test_importance_weights_scoring_pass_is_exchange_free(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange" not in p, p
     assert "Window" not in p, p
+
+
+def test_agreement_kappa_is_one_exchange_no_window(spark, sf_dir):
+    """ext_agreement_kappa folds every vote into a SINGLE 13-counter
+    aggregate row: exactly one Exchange (partial -> final agg), the 3
+    pair rows a Generate (stack) over that row, no Window and no join
+    anywhere. A second exchange or a window means the kappa computation
+    has regressed to corpus-grain reshuffling."""
+    p = plan(REGISTRY["ext_agreement_kappa"].fn(spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree, tree
+    assert "Join" not in tree, tree
+    assert "Generate" in tree, tree
+
+
+def test_hard_negatives_label_filter_inside_broadcast_join(spark, sf_dir):
+    """ext_hard_negatives must (a) broadcast the bounded anchor side of
+    the nested-loop join, (b) apply the label-mismatch predicate INSIDE
+    the join condition (no Filter node above the join scoring full
+    same-label pairs first), and (c) take the per-anchor top-k with a
+    partial WindowGroupLimit BEFORE the rank exchange so only k rows per
+    partition per anchor shuffle."""
+    p = plan(REGISTRY["ext_hard_negatives"].fn(spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    assert "BroadcastNestedLoopJoin Cross BuildLeft" in p, tree
+    # label predicate is in the join condition, not a post-join Filter
+    join_detail = p.split("BroadcastNestedLoopJoin")[-1]
+    assert "query_label" in join_detail and "neighbor_label" in join_detail, p
+    # partial top-k below the exchange, final above it
+    assert tree.count("WindowGroupLimit") == 2, tree
+    pre, post = tree.split(" Exchange", 1)
+    assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post, tree
+
+
+def test_source_overlap_kmv_pair_joins_are_broadcast(spark, sf_dir):
+    """ext_source_overlap_kmv's pair-expansion joins run on the
+    persisted |sources|*k signature relation and must all be broadcast
+    (BroadcastHashJoin for the signature attach, BroadcastNestedLoopJoin
+    for the bounded source-pair cross) — a SortMergeJoin here would mean
+    a corpus-independent relation is being shuffle-joined. The per-source
+    bottom-k window must carry a WindowGroupLimit (rank never sorts the
+    full vocabulary per source beyond the group limit)."""
+    p = plan(REGISTRY["ext_source_overlap_kmv"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_hybrid_rrf_inverted_index_join_is_broadcast(spark, sf_dir):
+    """ext_hybrid_rrf's lexical arm joins the corpus token stream
+    against the bounded query-token side, which must ride a broadcast
+    (the corpus is the streaming side of a BroadcastHashJoin); token
+    dedup must be in-row (Generate over array_distinct directly above
+    the parquet scans — no corpus-grain distinct exchange below the
+    join). The fusion join runs on |Q|*K rows, so its physical form is
+    left to Catalyst."""
+    p = plan(REGISTRY["ext_hybrid_rrf"].fn(spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    # lexical-arm block: between the first BroadcastHashJoin and its
+    # BroadcastExchange build side, the probe side is Generate->Filter->
+    # Scan with no Exchange (dedup happened in-row)
+    probe = tree.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in probe, probe
+    assert "Generate" in probe, probe
