@@ -358,3 +358,203 @@ def ext_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_est"),
         )
     )
+
+
+# DCG gain table 1/log2(rank+1) for ranks 1..{_ARM_K}, computed ONCE in
+# Python and embedded as the SAME decimal literals in both the Spark
+# plan and the DuckDB oracle. This sidesteps cross-engine libm: Spark's
+# log2 is Math.log(x)/Math.log(2) while DuckDB's is std::log2 — they can
+# disagree by an ulp, but two engines parsing one literal cannot.
+import math as _math
+
+_GAIN = [1.0 / _math.log2(r + 1) for r in range(1, _ARM_K + 1)]
+_IDCG_PREFIX = []
+_acc = 0.0
+for _g in _GAIN:
+    _acc = _acc + _g
+    _IDCG_PREFIX.append(_acc)
+_GAIN_SQL = "[" + ", ".join(f"CAST('{g!r}' AS DOUBLE)" for g in _GAIN) + "]"
+_IDCG_SQL = "[" + ", ".join(f"CAST('{g!r}' AS DOUBLE)" for g in _IDCG_PREFIX) + "]"
+_TRUTH_K = 5  # ground-truth depth (semantic top-k judged "relevant")
+
+
+@register(
+    "ext_retrieval_metrics",
+    oracle=f"""
+    WITH qt AS (
+      SELECT DISTINCT doc_id AS query_id, t AS token
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents WHERE doc_id < {_N_QUERIES})
+      WHERE t <> ''
+    ),
+    ct AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    lexcnt AS (
+      SELECT q.query_id, c.doc_id AS neighbor_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM qt q JOIN ct c USING (token)
+      WHERE c.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, neighbor_id, CAST(rnk AS INT) AS lex_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY n_shared DESC, neighbor_id) AS rnk
+            FROM lexcnt)
+      WHERE rnk <= {_ARM_K}
+    ),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_sum(list_transform(
+                    range(1, len(embedding) + 1),
+                    i -> CAST(embedding AS DOUBLE[])[i]
+                         * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_sum(list_transform(
+                    range(1, len(embedding) + 1),
+                    i -> CAST(embedding AS DOUBLE[])[i]
+                         * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+          FROM embeddings),
+    truth AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                                  i -> q.v[i] * c.v[i]))
+                          / (q.nrm * c.nrm) DESC,
+                          c.neighbor_id) AS rnk
+        FROM qv q CROSS JOIN cv c
+        WHERE q.query_id <> c.neighbor_id
+      )
+      WHERE rnk <= {_TRUTH_K}
+    ),
+    nrel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM truth GROUP BY 1
+    ),
+    hits AS (
+      SELECT t.query_id, list_sort(list(l.lex_rank)) AS ranks
+      FROM truth t JOIN lex l
+        ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+      GROUP BY 1
+    ),
+    per_q AS (
+      SELECT n.query_id, n.n_rel,
+             COALESCE(h.ranks, []) AS ranks
+      FROM nrel n LEFT JOIN hits h ON h.query_id = n.query_id
+    )
+    SELECT query_id, n_rel,
+           CAST(len(ranks) AS BIGINT) AS n_hit,
+           CAST(ranks[1] AS INT) AS first_hit_rank,
+           CAST(len(ranks) AS DOUBLE) / CAST(n_rel AS DOUBLE) AS recall_at_k,
+           CASE WHEN len(ranks) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(1 AS DOUBLE) / ranks[1] END AS mrr,
+           CASE WHEN len(ranks) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(list_reduce(
+                       list_transform(ranks, r -> ({_GAIN_SQL})[r]),
+                       (x, y) -> x + y) AS DOUBLE) END AS dcg,
+           ({_IDCG_SQL})[n_rel] AS idcg,
+           CASE WHEN len(ranks) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(list_reduce(
+                       list_transform(ranks, r -> ({_GAIN_SQL})[r]),
+                       (x, y) -> x + y) AS DOUBLE) END
+             / ({_IDCG_SQL})[n_rel] AS ndcg
+    FROM per_q
+    """,
+)
+def ext_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: judge the LEXICAL arm (token-overlap
+    top-{_ARM_K}, the BM25-candidate stage of ext_hybrid_rrf) against the
+    SEMANTIC arm's exact cosine top-{_TRUTH_K} as ground truth, per query:
+    recall@k, MRR (reciprocal rank of the first relevant hit), and
+    nDCG@k — the standard offline eval triple for a retrieval stack
+    (how well does the cheap lexical stage surface what the expensive
+    semantic stage would).
+
+    Scale: both arms are the bounded-query-side primitives (broadcast
+    queries, single corpus scans); everything after the arms runs on
+    |Q|·k rows. The judged join is truth(|Q|·{_TRUTH_K}) vs
+    lex(|Q|·{_ARM_K}).
+
+    Determinism: the DCG gain table 1/log2(rank+1) is computed ONCE in
+    Python and embedded as the same decimal literals in the Spark plan
+    and the oracle (cross-engine libm log2 can differ by an ulp; a
+    shared literal cannot); per-query gains fold in ascending-rank
+    order on both sides, with Spark's 0.0-seeded fold exactly equal to
+    DuckDB's unseeded first-element fold because 0.0 + g == g. IDCG is
+    a literal prefix-sum lookup, and MRR/recall are single divides of
+    exact integers."""
+    d = load_tables(spark, sf_dir)["documents"]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+
+    toks = F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    qt = (
+        d.filter(F.col("doc_id") < _N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), toks)
+        .filter(F.col("token") != "")
+    )
+    ct = d.select("doc_id", toks).filter(F.col("token") != "")
+    lexcnt = (
+        ct.join(F.broadcast(qt), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("n_shared"), F.asc("neighbor_id")
+    )
+    lex = (
+        lexcnt.withColumn("lex_rank", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("lex_rank") <= _ARM_K)
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+    truth = brute_force_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_TRUTH_K
+    ).select("query_id", "neighbor_id")
+
+    nrel = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    hits = (
+        truth.join(lex, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("lex_rank")).alias("ranks"))
+    )
+    gain_arr = F.array(*[F.lit(g).cast("double") for g in _GAIN])
+    idcg_arr = F.array(*[F.lit(g).cast("double") for g in _IDCG_PREFIX])
+    per_q = nrel.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_rel",
+        F.coalesce(F.col("ranks"), F.array().cast("array<int>")).alias("ranks"),
+    )
+    dcg = F.aggregate(
+        "ranks",
+        F.lit(0.0).cast("double"),
+        lambda acc, r: acc + F.element_at(gain_arr, r),
+    )
+    return per_q.select(
+        "query_id",
+        "n_rel",
+        F.size("ranks").cast("bigint").alias("n_hit"),
+        F.try_element_at("ranks", F.lit(1)).cast("int").alias(
+            "first_hit_rank"
+        ),
+        (F.size("ranks").cast("double") / F.col("n_rel").cast("double")).alias(
+            "recall_at_k"
+        ),
+        F.when(F.size("ranks") == 0, F.lit(0.0).cast("double"))
+        .otherwise(
+            F.lit(1.0).cast("double") / F.try_element_at("ranks", F.lit(1))
+        )
+        .alias("mrr"),
+        dcg.alias("dcg"),
+        F.element_at(idcg_arr, F.col("n_rel").cast("int")).alias("idcg"),
+        (dcg / F.element_at(idcg_arr, F.col("n_rel").cast("int"))).alias("ndcg"),
+    )
