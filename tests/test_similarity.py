@@ -422,3 +422,95 @@ def test_streaming_ivf_maintenance_foreachbatch(spark, emb, tmp_path):
         for r in ivf_topk_from_index(spark, loc, q2, k=5, n_probe=16).collect()
     }
     assert any(n % 4 == 0 for n in neigh), "stream-appended vectors never served"
+
+
+def test_ivf_delete_tombstone_compact_equivalence(spark, emb, tmp_path):
+    """The three states of the delete lifecycle must serve identical
+    results: (1) tombstone-masked (delete recorded, files untouched),
+    (2) compacted (victims folded out of the files), and (3) an index
+    whose assigned relation was built directly on the surviving corpus
+    with the SAME centroids. Compaction must rewrite ONLY the affected
+    list partitions — untouched directories keep their exact files —
+    and must clear the tombstones."""
+    import os
+
+    from world_cup_duckdb_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_persist,
+        ivf_topk_from_index,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    loc = str(tmp_path / "ivf")
+    ivf_index_persist(emb, loc, n_lists=16)
+
+    def _files():
+        out = {}
+        root = os.path.join(loc, "assigned")
+        for d in os.listdir(root):
+            if d.startswith("list_id="):
+                full = os.path.join(root, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = _files()
+    ivf_index_delete(spark, loc, emb.filter(F.col("vec_id") < 5))
+    masked = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, loc, q, k=5, n_probe=4).collect()
+    )
+    assert os.path.isdir(os.path.join(loc, "tombstones"))
+    affected = ivf_index_compact(spark, loc)
+    assert 0 < len(affected) <= 5  # 5 victims touch at most 5 lists
+    assert not os.path.isdir(os.path.join(loc, "tombstones"))
+    compacted = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, loc, q, k=5, n_probe=4).collect()
+    )
+    assert masked == compacted and len(compacted) > 0
+
+    # untouched partitions keep their exact files (same names + mtimes)
+    after = _files()
+    untouched = [
+        d for d in before
+        if int(d.split("=")[1]) not in affected
+    ]
+    assert untouched  # the delete must not have touched every list
+    for d in untouched:
+        assert after[d] == before[d], d
+    # no tombstoned vid survives in the files
+    remaining = {
+        r["vid"]
+        for r in spark.read.parquet(os.path.join(loc, "assigned")).collect()
+    }
+    assert all(v >= 5 for v in remaining)
+
+    # rebuild-on-survivors with the same centroid rule is NOT generally
+    # the same index (centroid pick depends on the corpus) — instead
+    # assign the surviving corpus against the SAVED centroids and check
+    # the file contents match that reference assignment exactly.
+    from world_cup_duckdb_spark.operators.similarity import (
+        _assign_to_centroids,
+        as_double,
+    )
+
+    centroids = spark.read.parquet(os.path.join(loc, "centroids"))
+    surv = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("vid"), as_double("embedding").alias("v")
+    )
+    ref = {
+        (r["vid"], r["list_id"])
+        for r in _assign_to_centroids(centroids, surv).collect()
+    }
+    got = {
+        (r["vid"], r["list_id"])
+        for r in spark.read.parquet(os.path.join(loc, "assigned"))
+        .select("vid", F.col("list_id").cast("int").alias("list_id"))
+        .collect()
+    }
+    assert got == ref

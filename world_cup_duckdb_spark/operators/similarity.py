@@ -758,6 +758,14 @@ def ivf_topk_from_index(
     assigned = spark.read.parquet(os.path.join(path, "assigned")).filter(
         F.col("list_id").isin(probe_ids)
     )
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is not None:
+        # Deleted vectors are masked at serve time by a broadcast
+        # anti-join against the bounded tombstone set — the pre-compaction
+        # read path of ivf_index_delete.
+        assigned = assigned.join(
+            F.broadcast(tomb.select("vid")), "vid", "left_anti"
+        )
     cand = (
         F.broadcast(probes).join(assigned, "list_id")
         .filter(F.col("query_id") != F.col("vid"))
@@ -775,6 +783,96 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def _ivf_tombstones(spark, path: str):
+    """Read the index's tombstone relation if any deletes are pending,
+    else None. The existence probe is a local-filesystem check; on an
+    object store or HDFS the same probe is one FileSystem.exists call —
+    either way it is index-metadata-sized, never a data scan."""
+    import os
+
+    t = os.path.join(path, "tombstones")
+    if not os.path.isdir(t) or not any(
+        f.endswith(".parquet") for f in os.listdir(t)
+    ):
+        return None
+    return spark.read.parquet(t)
+
+
+def ivf_index_delete(
+    spark,
+    path: str,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Delete vectors from a persisted IVF index WITHOUT rewriting data:
+    record (vid, list_id) tombstones under ``tombstones/``. The delete-id
+    set is bounded by contract (a delete batch, not a corpus) and rides a
+    broadcast against ONE scan of the assigned relation to capture each
+    victim's list — so the later compaction knows exactly which
+    partitions to rewrite without a second corpus pass. Repeated deletes
+    append. The serve path (ivf_topk_from_index) masks tombstoned
+    vectors with a broadcast anti-join until ivf_index_compact folds
+    them out of the files. This is the standard lakehouse
+    delete-vector/merge-on-read pattern applied to an ANN index: deletes
+    are O(batch) immediately visible, rewrite cost deferred and bounded
+    to affected partitions."""
+    import os
+
+    ids = delete_ids.select(F.col(id_col).alias("vid")).distinct()
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    (
+        assigned.join(F.broadcast(ids), "vid")
+        .select("vid", F.col("list_id").cast("int").alias("list_id"))
+        .write.mode("append")
+        .parquet(os.path.join(path, "tombstones"))
+    )
+
+
+def ivf_index_compact(spark, path: str) -> list:
+    """Fold pending tombstones into the files: rewrite ONLY the
+    ``list_id=…`` partitions that contain tombstoned vectors (their ids
+    were captured at delete time, so the affected-list set is a bounded
+    collect of the tombstone relation — no corpus scan to locate them),
+    then clear the tombstones. Survivors are fully written to a
+    staging directory BEFORE any old partition is removed (write-new,
+    swap, clean — a crash before the swap leaves the tombstoned index
+    intact and serving correctly). Untouched partitions are never
+    read, never rewritten. Returns the affected list ids.
+
+    After compaction, serve results are bit-identical to the
+    tombstone-masked serve and to an index built on the surviving
+    corpus with the same centroids (pinned in tests/test_similarity.py).
+    """
+    import os
+    import shutil
+
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is None:
+        return []
+    affected = sorted(
+        r["list_id"] for r in tomb.select("list_id").distinct().collect()
+    )
+    root = os.path.join(path, "assigned")
+    staging = os.path.join(path, "assigned_compacting")
+    survivors = (
+        spark.read.parquet(root)
+        .filter(F.col("list_id").isin(affected))
+        .join(F.broadcast(tomb.select("vid")), "vid", "left_anti")
+        .select("vid", "v", F.col("list_id").cast("int").alias("list_id"))
+    )
+    survivors.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+    for lid in affected:
+        old = os.path.join(root, f"list_id={lid}")
+        new = os.path.join(staging, f"list_id={lid}")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(new):
+            shutil.move(new, old)
+        # a fully-deleted list simply loses its directory
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return affected
 
 
 def ivf_index_append(

@@ -961,6 +961,49 @@ def ext_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_DELETE_SQL = _IVF_SQL.replace(
+    "WHERE p.query_id <> a.vid",
+    "WHERE p.query_id <> a.vid AND a.vid % 7 <> 3",
+)
+assert "a.vid % 7 <> 3" in _IVF_DELETE_SQL  # replace anchor still present
+
+
+@register("ext_ann_ivf_delete", oracle=_IVF_DELETE_SQL)
+def ext_ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index DELETE lifecycle (operators/similarity.py:
+    ivf_index_delete / ivf_index_compact): tombstone every vector with
+    vec_id % 7 == 3 — O(delete-batch) metadata, immediately masked at
+    serve time by a broadcast anti-join — then COMPACT, which rewrites
+    ONLY the list partitions holding victims (their list ids were
+    captured at delete time, so compaction never scans to find them)
+    and clears the tombstones. Serves top-5 for the 10 query vectors
+    from the compacted files.
+
+    The oracle is ext_ann_ivf's full pipeline with the deleted vids
+    removed from the CANDIDATE set only — centroids, assignments and
+    probes are unchanged because deletion must not silently re-shape
+    the index. The tombstone-masked serve, the compacted serve, and a
+    rebuild on the surviving corpus with the same centroids are all
+    bit-identical (pinned in tests/test_similarity.py, along with
+    untouched partitions keeping their files byte-for-byte)."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_persist,
+        ivf_topk_from_index,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    loc = _fresh_dir("ivf-delete")
+    ivf_index_persist(emb, loc, n_lists=16)
+    ivf_index_delete(spark, loc, emb.filter(F.col("vec_id") % 7 == 3))
+    ivf_index_compact(spark, loc)
+    return ivf_topk_from_index(
+        spark, loc, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4
+    )
+
+
 _PQ_SQL = _REG["ext_ann_pq"].oracle
 
 
