@@ -925,3 +925,16 @@ def test_hybrid_rrf_inverted_index_join_is_broadcast(spark, sf_dir):
     probe = tree.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
     assert "Exchange" not in probe, probe
     assert "Generate" in probe, probe
+
+
+def test_url_dedup_is_map_then_one_exchange(spark, sf_dir):
+    """ext_url_dedup's canonicalization must stay pure map-side string
+    work feeding ONE canonical-url exchange (partial -> final count
+    aggregate). A second exchange, a window, a join, or a Python
+    boundary here means the canonicalizer stopped being the cheapest
+    stage of the dedup funnel."""
+    p = plan(REGISTRY["ext_url_dedup"].fn(spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree and "Join" not in tree, tree
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -1204,3 +1204,172 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_stats("by_doc_id", "doc_id").unionByName(
         mode_stats("by_cluster", "cluster_id")
     )
+
+
+@register(
+    "ext_url_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
+             || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END
+             || CAST(doc_id % 20 AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '.Example.ORG' ELSE '.example.org' END
+             || '/page/' || CAST(doc_id % 25 AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+                     WHEN doc_id % 4 = 1
+                     THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x'
+                     WHEN doc_id % 4 = 2
+                     THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host0,
+             regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+               '/$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(host0, '^www\\.', '') AS host,
+             path,
+             COALESCE(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS cq
+      FROM parts
+    ),
+    final AS (
+      SELECT doc_id,
+             'https://' || host || path
+             || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      FROM canon
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM final
+    GROUP BY canonical_url
+    HAVING COUNT(*) >= 2
+    """,
+)
+def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-side dedup stage that runs
+    BEFORE any content hashing: the same page arrives under many raw
+    spellings (scheme/host case, a www prefix, a trailing slash, utm_*
+    tracking params, param order, fragments), and canonicalizing the URL
+    collapses them without reading a byte of content. Groups with >= 2
+    raw variants are reported with the kept (min) doc_id and the number
+    dropped.
+
+    The corpus has no natural URLs, so both engines synthesize the same
+    deterministically-messy URL from doc_id first (the ext_url_filter
+    enrichment pattern) — six orthogonal mod-cycles make every
+    canonicalization rule fire on real rows.
+
+    Scale: canonicalization is pure map-side string work (regexp parts,
+    a filtered+sorted param list, no UDF); the ONE shuffle is the
+    canonical-url group-by, which is also the dedup answer. Canonical
+    keys are short strings with near-uniform spread — no skew, no
+    second pass. At 100 TB this is strictly cheaper than any content
+    dedup and runs first in the funnel.
+
+    Determinism: pure string algebra + integer counts; param sort is
+    lexicographic on ASCII in both engines."""
+    d = load_tables(spark, sf_dir)["documents"]
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(
+                F.lit("https://")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Site")).otherwise(
+                F.lit("site")
+            ),
+            (F.col("doc_id") % 20).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".Example.ORG")).otherwise(
+                F.lit(".example.org")
+            ),
+            F.lit("/page/"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&id="),
+                    (F.col("doc_id") % 10).cast("string"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit("?id="),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit("&utm_campaign=x"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit("?id="), (F.col("doc_id") % 10).cast("string")
+                ),
+            )
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#section2")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    parts = raw.select(
+        "doc_id",
+        F.lower(
+            F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+        ).alias("host0"),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            r"/$",
+            "",
+        ).alias("path"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query"),
+    )
+    canon = parts.select(
+        "doc_id",
+        F.regexp_replace("host0", r"^www\.", "").alias("host"),
+        "path",
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split("query", "&"),
+                    lambda x: (x != "") & ~x.startswith("utm_"),
+                )
+            ),
+            "&",
+        ).alias("cq"),
+    )
+    final = canon.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(F.col("cq") == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.col("cq"))
+            ),
+        ).alias("canonical_url"),
+    )
+    return (
+        final.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
