@@ -1005,3 +1005,28 @@ def test_agreement_kappa_matches_driver_side_recompute(spark, sf_dir):
         assert row.n_docs == n and row.n_agree == agree, row
         assert row.po == po and row.pe == pe, row
         assert row.kappa == (po - pe) / (1.0 - pe), row
+
+
+def test_domain_reweight_weights_are_a_floored_distribution(spark, sf_dir):
+    """Domain weights must (a) be a probability distribution (sum to 1
+    within one fold's rounding), (b) give every domain at least the
+    uniform floor's share (no starved domain), (c) be monotone in
+    excess loss: a domain with higher positive excess gets a strictly
+    larger weight, and zero-excess domains all get exactly the floor
+    share."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    rows = REGISTRY["ext_domain_reweight"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.weight for r in rows)
+    assert abs(total - 1.0) < 1e-12
+    floor_w = min(r.w_raw for r in rows)
+    assert floor_w >= 0.1
+    by_excess = sorted(rows, key=lambda r: max(r.excess, 0.0))
+    for a, b in zip(by_excess, by_excess[1:]):
+        if max(b.excess, 0.0) > max(a.excess, 0.0):
+            assert b.weight > a.weight, (a, b)
+        elif max(a.excess, 0.0) == 0.0 == max(b.excess, 0.0):
+            assert a.weight == b.weight
+    for r in rows:
+        assert r.target_tokens_ppm == int(r.weight * 1_000_000 // 1), r

@@ -290,3 +290,126 @@ def ext_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("importance"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+@register(
+    "ext_domain_reweight",
+    oracle="""
+    WITH per_domain AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(sum_chars) AS BIGINT) AS t_chars,
+             CAST(SUM(sum_tokens) AS BIGINT) AS t_tokens
+      FROM per_domain
+    ),
+    scored AS (
+      SELECT p.source, p.n_docs, p.sum_chars, p.sum_tokens,
+             CAST(p.sum_chars AS DOUBLE) / CAST(p.sum_tokens AS DOUBLE)
+               AS loss_cpt,
+             CAST(p.sum_chars AS DOUBLE) / CAST(p.sum_tokens AS DOUBLE)
+               - CAST(t.t_chars AS DOUBLE) / CAST(t.t_tokens AS DOUBLE)
+               AS excess
+      FROM per_domain p CROSS JOIN tot t
+    ),
+    raw AS (
+      SELECT *,
+             CASE WHEN excess > CAST(0 AS DOUBLE) THEN excess
+                  ELSE CAST(0 AS DOUBLE) END + CAST('0.1' AS DOUBLE)
+               AS w_raw
+      FROM scored
+    ),
+    norm AS (
+      SELECT CAST(list_reduce(
+               list_transform(
+                 list_sort(list([source, CAST(w_raw AS VARCHAR)])),
+                 p -> CAST(p[2] AS DOUBLE)),
+               (x, y) -> x + y) AS DOUBLE) AS w_sum
+      FROM raw
+    )
+    SELECT r.source, r.n_docs, r.sum_chars, r.sum_tokens, r.loss_cpt,
+           r.excess, r.w_raw,
+           r.w_raw / n.w_sum AS weight,
+           CAST(floor(r.w_raw / n.w_sum * CAST(1000000 AS DOUBLE))
+                AS BIGINT) AS target_tokens_ppm
+    FROM raw r CROSS JOIN norm n
+    """,
+)
+def ext_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-loss domain reweighting (DoReMi-flavored, Xie et al. 2023):
+    per training domain (``source``), measure a reference loss proxy —
+    chars-per-token, an exact-integer compressibility stand-in for a
+    reference model's bits-per-token — compare it to the corpus-wide
+    baseline, and upweight domains with POSITIVE excess (harder than
+    average under the proxy), with a uniform floor of 0.1 so no domain
+    starves. Weights normalize to 1 and ship as parts-per-million of a
+    token budget — the table a mixture sampler (ext_corpus_mix /
+    ext_temperature_mix) consumes directly.
+
+    Scale: one corpus pass folds to |domains| rows of exact int64
+    counters (map-side partials); everything after runs on the bounded
+    domain relation. The weight normalization — the only cross-row
+    float sum — folds the ≤|domains| raw weights in SOURCE-ASCENDING
+    order on both engines (sorted collect + seeded fold; DuckDB's
+    unseeded list_reduce equals the 0.0-seeded fold because 0.0+x==x),
+    so the divide-by-total is bit-identical. The w_raw doubles round-trip
+    through VARCHAR in the oracle's sort step losslessly (shortest-repr
+    parse is exact).
+
+    Determinism: integer counters until exactly four float ops per
+    domain (two divides, one subtract, one add), then one fixed-order
+    fold and one divide."""
+    d = table(spark, sf_dir, "documents")
+    per_domain = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("sum_tokens"),
+    )
+    tot = per_domain.agg(
+        F.sum("sum_chars").cast("bigint").alias("t_chars"),
+        F.sum("sum_tokens").cast("bigint").alias("t_tokens"),
+    )
+    loss = F.col("sum_chars").cast("double") / F.col("sum_tokens").cast("double")
+    base = F.col("t_chars").cast("double") / F.col("t_tokens").cast("double")
+    scored = per_domain.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        "sum_tokens",
+        loss.alias("loss_cpt"),
+        (loss - base).alias("excess"),
+    )
+    raw = scored.withColumn(
+        "w_raw",
+        F.when(F.col("excess") > 0.0, F.col("excess")).otherwise(
+            F.lit(0.0).cast("double")
+        )
+        + F.lit(0.1).cast("double"),
+    )
+    # Fixed-order total: fold the bounded per-domain weights in
+    # source-ascending order (sort_array on (source, w) structs), so the
+    # float sum has ONE accumulation order in both engines.
+    norm = raw.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "w_raw"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["w_raw"],
+        ).alias("w_sum")
+    )
+    return raw.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        "sum_tokens",
+        "loss_cpt",
+        "excess",
+        "w_raw",
+        (F.col("w_raw") / F.col("w_sum")).alias("weight"),
+        F.floor(F.col("w_raw") / F.col("w_sum") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("target_tokens_ppm"),
+    )
