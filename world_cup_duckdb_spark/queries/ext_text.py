@@ -1191,3 +1191,167 @@ def ext_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("po") - F.col("pe")) / (F.lit(1).cast("double") - F.col("pe")))
         .alias("kappa"),
     )
+
+
+@register(
+    "ext_corpus_datacard",
+    oracle="""
+    WITH g AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks,
+             CAST(SUM(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT)
+               AS digits,
+             CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+             CAST(SUM(CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_long
+      FROM documents GROUP BY source, lang
+    ),
+    tots AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(chars) AS BIGINT) AS chars,
+             CAST(SUM(toks) AS BIGINT) AS toks,
+             CAST(SUM(digits) AS BIGINT) AS digits,
+             CAST(SUM(n_short) AS BIGINT) AS n_short,
+             CAST(SUM(n_long) AS BIGINT) AS n_long
+      FROM g
+    ),
+    srcmax AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_src FROM (
+        SELECT SUM(n_docs) AS n FROM g GROUP BY source)
+    ),
+    langmax AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_lang FROM (
+        SELECT SUM(n_docs) AS n FROM g GROUP BY lang)
+    ),
+    dup AS (
+      SELECT CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+             CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))
+    )
+    SELECT section, metric, value FROM (
+      SELECT 'size' AS section, 'n_docs' AS metric,
+             CAST(n_docs AS DOUBLE) AS value FROM tots
+      UNION ALL SELECT 'size', 'n_sources', CAST(n_sources AS DOUBLE) FROM tots
+      UNION ALL SELECT 'size', 'n_langs', CAST(n_langs AS DOUBLE) FROM tots
+      UNION ALL SELECT 'size', 'total_chars', CAST(chars AS DOUBLE) FROM tots
+      UNION ALL SELECT 'size', 'total_tokens', CAST(toks AS DOUBLE) FROM tots
+      UNION ALL SELECT 'length', 'mean_chars_per_doc',
+                 CAST(chars AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM tots
+      UNION ALL SELECT 'length', 'pct_short_lt100',
+                 CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM tots
+      UNION ALL SELECT 'length', 'pct_long_ge1000',
+                 CAST(n_long AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM tots
+      UNION ALL SELECT 'quality', 'mean_tokens_per_doc',
+                 CAST(toks AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM tots
+      UNION ALL SELECT 'quality', 'digit_char_pct',
+                 CAST(digits AS DOUBLE) / CAST(chars AS DOUBLE) FROM tots
+      UNION ALL SELECT 'dup', 'n_dup_groups',
+                 CAST(n_dup_groups AS DOUBLE) FROM dup
+      UNION ALL SELECT 'dup', 'n_dup_docs', CAST(n_dup_docs AS DOUBLE) FROM dup
+      UNION ALL SELECT 'dup', 'exact_dup_rate',
+                 CAST(d.n_dup_docs AS DOUBLE) / CAST(gl.n_docs AS DOUBLE)
+                 FROM dup d CROSS JOIN tots gl
+      UNION ALL SELECT 'mix', 'top_source_share',
+                 CAST(s.max_src AS DOUBLE) / CAST(gl.n_docs AS DOUBLE)
+                 FROM srcmax s CROSS JOIN tots gl
+      UNION ALL SELECT 'mix', 'top_lang_share',
+                 CAST(l.max_lang AS DOUBLE) / CAST(gl.n_docs AS DOUBLE)
+                 FROM langmax l CROSS JOIN tots gl
+    )
+    """,
+)
+def ext_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the one-table summary a dataset release ships
+    with (Gebru et al., "Datasheets for Datasets") — size, length
+    distribution, quality proxies, exact-duplication, and mixture
+    concentration, as tall (section, metric, value) rows.
+
+    Scale: TWO corpus passes total. Pass 1 groups by (source, lang) —
+    a bounded-cardinality hash aggregate with map-side partials carrying
+    SIX integer counters; every downstream number (global counters,
+    per-source and per-lang concentration maxima, distinct counts)
+    derives from that ≤|sources|·|langs| relation without touching the
+    corpus again. Pass 2 is the md5(text) exact-dup group count (uniform
+    hash keys, the ext_dedup_exact shuffle). No corpus-grain window, no
+    join on corpus rows, no Python.
+
+    Determinism: all counters are exact int64 (< 2^53, so the double
+    casts are lossless); each ratio is ONE IEEE divide of two exact
+    integers."""
+    d = load_tables(spark, sf_dir)["documents"]
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks"),
+        F.sum(F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")))
+        .cast("bigint")
+        .alias("digits"),
+        F.count_if(F.col("n_chars") < 100).cast("bigint").alias("n_short"),
+        F.count_if(F.col("n_chars") >= 1000).cast("bigint").alias("n_long"),
+    )
+    glob = g.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("chars").cast("bigint").alias("chars"),
+        F.sum("toks").cast("bigint").alias("toks"),
+        F.sum("digits").cast("bigint").alias("digits"),
+        F.sum("n_short").cast("bigint").alias("n_short"),
+        F.sum("n_long").cast("bigint").alias("n_long"),
+    )
+    srcmax = (
+        g.groupBy("source")
+        .agg(F.sum("n_docs").alias("n"))
+        .agg(F.max("n").cast("bigint").alias("max_src"))
+    )
+    langmax = (
+        g.groupBy("lang")
+        .agg(F.sum("n_docs").alias("n"))
+        .agg(F.max("n").cast("bigint").alias("max_lang"))
+    )
+    dup = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count_if(F.col("c") >= 2).cast("bigint").alias("n_dup_groups"),
+            F.sum(F.col("c") - 1).cast("bigint").alias("n_dup_docs"),
+        )
+    )
+    one = (
+        glob.crossJoin(F.broadcast(srcmax))
+        .crossJoin(F.broadcast(langmax))
+        .crossJoin(F.broadcast(dup))
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    rows = [
+        ("size", "n_docs", dd("n_docs")),
+        ("size", "n_sources", dd("n_sources")),
+        ("size", "n_langs", dd("n_langs")),
+        ("size", "total_chars", dd("chars")),
+        ("size", "total_tokens", dd("toks")),
+        ("length", "mean_chars_per_doc", dd("chars") / dd("n_docs")),
+        ("length", "pct_short_lt100", dd("n_short") / dd("n_docs")),
+        ("length", "pct_long_ge1000", dd("n_long") / dd("n_docs")),
+        ("quality", "mean_tokens_per_doc", dd("toks") / dd("n_docs")),
+        ("quality", "digit_char_pct", dd("digits") / dd("chars")),
+        ("dup", "n_dup_groups", dd("n_dup_groups")),
+        ("dup", "n_dup_docs", dd("n_dup_docs")),
+        ("dup", "exact_dup_rate", dd("n_dup_docs") / dd("n_docs")),
+        ("mix", "top_source_share", dd("max_src") / dd("n_docs")),
+        ("mix", "top_lang_share", dd("max_lang") / dd("n_docs")),
+    ]
+    stacked = None
+    for section, metric, val in rows:
+        piece = one.select(
+            F.lit(section).alias("section"),
+            F.lit(metric).alias("metric"),
+            val.alias("value"),
+        )
+        stacked = piece if stacked is None else stacked.unionByName(piece)
+    return stacked
