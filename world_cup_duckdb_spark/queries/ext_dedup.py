@@ -1373,3 +1373,106 @@ def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "ext_dedup_threshold_sweep",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 3
+                  THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                                    i -> substr(text, i, 3)))
+                  ELSE [] END AS sh
+      FROM documents WHERE doc_id < 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+               AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+              >= CAST('0.05' AS DOUBLE)
+    ),
+    grid AS (SELECT unnest([CAST('0.1' AS DOUBLE), CAST('0.2' AS DOUBLE),
+                            CAST('0.3' AS DOUBLE), CAST('0.4' AS DOUBLE),
+                            CAST('0.5' AS DOUBLE), CAST('0.6' AS DOUBLE),
+                            CAST('0.7' AS DOUBLE), CAST('0.8' AS DOUBLE),
+                            CAST('0.9' AS DOUBLE)]) AS threshold),
+    surviving AS (
+      SELECT g.threshold, p.doc_a, p.doc_b
+      FROM grid g JOIN pairs p ON p.jaccard >= g.threshold
+    ),
+    docs AS (
+      SELECT threshold, doc_a AS doc FROM surviving
+      UNION
+      SELECT threshold, doc_b FROM surviving
+    )
+    SELECT g.threshold,
+           COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(dc.n_docs_affected, 0) AS n_docs_affected
+    FROM grid g
+    LEFT JOIN (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM surviving GROUP BY threshold) p USING (threshold)
+    LEFT JOIN (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_docs_affected
+               FROM docs GROUP BY threshold) dc USING (threshold)
+    """,
+)
+def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: how many near-duplicate pairs (and
+    how many documents) a Jaccard threshold of 0.1 … 0.9 would flag —
+    the table a pipeline owner reads to PICK the threshold before
+    running corpus-wide dedup (too low over-merges distinct docs, too
+    high misses templated near-dups; the knee of this curve is the
+    usual operating point).
+
+    Scale: the expensive part — exact char-3-gram Jaccard — runs ONCE
+    per candidate pair at the lowest threshold (0.05 floor), exactly
+    like the verify stage of the LSH pipeline (quadratic work confined
+    to the bounded doc_id < 100 subset here, to LSH candidates in
+    production — same contract as ext_dedup_ngram_jaccard); the
+    9-threshold sweep is then a broadcast grid join against the
+    already-scored pair relation, never a re-score. Zero-count
+    thresholds still emit rows (left joins against the grid), so the
+    curve has no holes.
+
+    Determinism: Jaccard is one divide of exact set cardinalities;
+    thresholds are shared string-cast literals; counts are integers."""
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_pairs(d, threshold=0.05).transform(tracked_persist)
+    grid = spark.range(1, 10).select(
+        (F.col("id").cast("double") / F.lit(10.0)).alias("threshold")
+    )
+    surviving = F.broadcast(grid).join(
+        pairs, pairs["jaccard"] >= F.col("threshold")
+    )
+    n_pairs = surviving.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs = (
+        surviving.select("threshold", F.col("doc_a").alias("doc"))
+        .union(surviving.select("threshold", F.col("doc_b")))
+        .distinct()
+    )
+    n_docs = docs.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_affected")
+    )
+    return (
+        grid.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias(
+                "n_pairs"
+            ),
+            F.coalesce(
+                F.col("n_docs_affected"), F.lit(0).cast("bigint")
+            ).alias("n_docs_affected"),
+        )
+    )

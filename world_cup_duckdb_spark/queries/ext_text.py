@@ -1355,3 +1355,63 @@ def ext_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stacked = piece if stacked is None else stacked.unionByName(piece)
     return stacked
+
+
+from world_cup_duckdb_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_LANGID_SQL = _REG["ext_lang_id"].oracle
+
+
+@register(
+    "ext_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_LANGID_SQL}),
+    cm AS (
+      SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY lang, pred_lang
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS gold_total FROM cm
+      GROUP BY lang
+    )
+    SELECT c.lang, c.pred_lang, c.n_docs, t.gold_total,
+           CAST(c.n_docs AS DOUBLE) / CAST(t.gold_total AS DOUBLE) AS share,
+           c.lang = c.pred_lang AS is_correct
+    FROM cm c JOIN tot t ON t.lang = c.lang
+    """,
+)
+def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the stopword-evidence classifier
+    (ext_lang_id, reused verbatim — same staged projections, same argmax
+    tie order) judged against the corpus's GOLD ``lang`` labels, as
+    (gold, predicted) cells with per-gold share. This is the eval table
+    a pipeline owner reads before trusting the lang filter at corpus
+    scale: which languages leak into which, and what fraction of each
+    gold language the heuristic recovers.
+
+    Scale: the classifier pass is the existing one-scan map-side
+    pipeline; the confusion reduce is a ≤|langs|²-key hash aggregate
+    with map-side partials, and the per-gold totals join runs on the
+    bounded cell relation. Determinism: integer cells, one divide per
+    cell; the oracle composes ext_lang_id's own SQL so classifier and
+    eval can never drift apart."""
+    d = load_tables(spark, sf_dir)["documents"]
+    counted = stage_token_counts(d, keep=("doc_id", "lang"))
+    pred = counted.select(
+        "lang", predict_lang(counter_scores()).alias("pred_lang")
+    )
+    cm = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = cm.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("gold_total")
+    )
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        "gold_total",
+        (F.col("n_docs").cast("double") / F.col("gold_total").cast("double"))
+        .alias("share"),
+        (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+    )

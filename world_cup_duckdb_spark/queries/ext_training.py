@@ -274,3 +274,69 @@ def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+from world_cup_duckdb_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_CONTAMINATION_SQL = _REG["ext_contamination"].oracle
+
+
+@register(
+    "ext_contamination_matrix",
+    oracle=f"""
+    WITH pairs AS ({_CONTAMINATION_SQL})
+    SELECT td.source AS train_source, ed.source AS eval_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(p.n_shared) AS BIGINT) AS n_shared_total,
+           CAST(COUNT(DISTINCT p.train_doc) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(DISTINCT p.eval_doc) AS BIGINT) AS n_eval_docs
+    FROM pairs p
+    JOIN documents td ON td.doc_id = p.train_doc
+    JOIN documents ed ON ed.doc_id = p.eval_doc
+    GROUP BY 1, 2
+    """,
+)
+def ext_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination ATTRIBUTION matrix: roll the per-(train doc, eval
+    doc) shingle-overlap pairs (ext_contamination, reused verbatim so
+    detector and report can never drift) up to (train source, eval
+    source) cells — which crawl sources leak into which eval suites,
+    how many document pairs, and how much shared-shingle mass. This is
+    the table that turns a decontamination scan into an actionable
+    decision ("drop source X from the mix" vs "scrub these documents").
+
+    Scale: the heavy stage is the shared contamination scan (broadcast
+    eval shingles, train corpus never shuffles); this rollup then runs
+    entirely on the sparse hit-pair relation. The source-attach joins
+    are driven BY the bounded pair side against the documents table —
+    at 100 TB swap the doc_id->source lookup for the dimension path
+    (source is typically already a column of the pair scan; here the
+    pairs carry only ids, so two joins re-attach it).
+
+    Determinism: pure integer counts over an already-deterministic pair
+    relation."""
+    pairs = _REG["ext_contamination"].fn(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("train_doc"),
+                F.col("source").alias("train_source"),
+            ),
+            "train_doc",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("eval_doc"),
+                F.col("source").alias("eval_source"),
+            ),
+            "eval_doc",
+        )
+        .groupBy("train_source", "eval_source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("n_shared").cast("bigint").alias("n_shared_total"),
+            F.countDistinct("train_doc").cast("bigint").alias("n_train_docs"),
+            F.countDistinct("eval_doc").cast("bigint").alias("n_eval_docs"),
+        )
+    )
