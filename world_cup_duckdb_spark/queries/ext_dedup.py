@@ -1476,3 +1476,76 @@ def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_docs_affected"),
         )
     )
+
+
+from world_cup_duckdb_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_CLUSTERS_SQL = _REG["ext_dedup_clusters"].oracle
+
+
+@register(
+    "ext_cluster_size_histogram",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTERS_SQL}),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY cluster_size
+    ),
+    corpus_n AS (
+      SELECT CAST(2 * COUNT(*) AS BIGINT) AS total FROM documents
+    ),
+    clustered AS (
+      SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS in_clusters
+      FROM hist
+    )
+    SELECT cluster_size, n_clusters, n_docs FROM hist
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           c.total - cl.in_clusters,
+           c.total - cl.in_clusters
+    FROM corpus_n c CROSS JOIN clustered cl
+    """,
+)
+def ext_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup health report: how
+    many clusters of each size the MinHash-LSH + connected-components
+    pipeline found (ext_dedup_clusters, reused verbatim), plus the
+    singleton row (corpus docs in no cluster: 2·|documents| recrawl
+    corpus minus clustered docs). A corpus dominated by large clusters
+    is boilerplate-heavy (dedup will shrink it a lot); a flat histogram
+    means near-dup pressure is low — this table is what decides whether
+    to run the expensive dedup at all.
+
+    Scale: runs entirely DOWNSTREAM of the cluster labels — one
+    cluster_id count (uniform keys), one size count (≤log-many distinct
+    sizes), one corpus COUNT(*) for the singleton row. Determinism:
+    pure integer arithmetic end to end."""
+    clusters = _REG["ext_dedup_clusters"].fn(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+    total = (
+        load_tables(spark, sf_dir)["documents"]
+        .agg((2 * F.count(F.lit(1))).cast("bigint").alias("total"))
+    )
+    clustered = hist.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("in_clusters")
+    )
+    singleton = total.crossJoin(F.broadcast(clustered)).select(
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        (F.col("total") - F.col("in_clusters")).alias("n_clusters"),
+        (F.col("total") - F.col("in_clusters")).alias("n_docs"),
+    )
+    return hist.unionByName(singleton)

@@ -1415,3 +1415,97 @@ def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share"),
         (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
     )
+
+
+@register(
+    "ext_hapax_stats",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(MAX(doc_id) AS BIGINT) AS owner
+      FROM occ GROUP BY token
+    ),
+    hapax AS (
+      SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hapax
+      FROM vocab WHERE c = 1 GROUP BY owner
+    ),
+    base AS (
+      SELECT d.doc_id,
+             CAST(len(list_filter(string_split(d.text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tokens,
+             COALESCE(h.n_hapax, 0) AS n_hapax
+      FROM documents d LEFT JOIN hapax h ON h.doc_id = d.doc_id
+    )
+    SELECT doc_id, n_tokens, n_hapax,
+           CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_share
+    FROM base
+    WHERE n_tokens > 0
+    ORDER BY hapax_share DESC, doc_id
+    LIMIT 20
+    """,
+)
+def ext_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile: the 20 documents with the highest share of
+    corpus-unique tokens (tokens whose TOTAL corpus frequency is 1).
+    A high hapax share flags OCR noise, random identifiers, or genuinely
+    novel vocabulary — the vocabulary-tail diagnostic that complements
+    frequency-head views (ext_vocab_topk) when auditing corpus quality.
+
+    Scale: one token explode feeding ONE vocabulary aggregate — and
+    because a frequency-1 token occurs in exactly one document, its
+    owning doc is recoverable IN THE SAME aggregate (max(doc_id) over
+    one row), so attributing hapaxes needs no occurrence re-join: the
+    per-doc rollup runs on the (sparse) hapax subset of the vocabulary.
+    Per-doc token totals are map-side from the documents scan; the
+    final top-20 is a TakeOrderedAndProject (per-partition heaps), not
+    a global sort.
+
+    Determinism: integer counts; one divide per row; (share DESC,
+    doc_id) total order."""
+    d = load_tables(spark, sf_dir)["documents"]
+    occ = d.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = occ.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.max("doc_id").cast("bigint").alias("owner"),
+    )
+    hapax = (
+        vocab.filter(F.col("c") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hapax"))
+    )
+    base = (
+        d.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .join(hapax, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_hapax"), F.lit(0).cast("bigint")).alias(
+                "n_hapax"
+            ),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    return (
+        base.withColumn(
+            "hapax_share",
+            F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy(F.desc("hapax_share"), F.asc("doc_id"))
+        .limit(20)
+    )
