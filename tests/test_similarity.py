@@ -514,3 +514,33 @@ def test_ivf_delete_tombstone_compact_equivalence(spark, emb, tmp_path):
         .collect()
     }
     assert got == ref
+
+
+def test_lsh_serve_from_persisted_index_equals_in_memory(spark, emb, tmp_path):
+    """lsh_topk_from_index must be bit-identical to lsh_topk (same md5
+    hyperplanes, same fold cosines) through a parquet round trip, and
+    its bucket scan must prune unqueried signature partitions via a
+    literal partition predicate."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        lsh_index_persist,
+        lsh_topk,
+        lsh_topk_from_index,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    loc = str(tmp_path / "lsh")
+    lsh_index_persist(emb, loc, num_planes=4)
+    out = lsh_topk_from_index(spark, loc, q, k=5, num_planes=4)
+    served = sorted(tuple(r) for r in out.collect())
+    direct = sorted(
+        tuple(r) for r in lsh_topk(q, emb, k=5, num_planes=4).collect()
+    )
+    assert served == direct and len(served) > 0
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "bucket" in ln
+    ]
+    assert any("bucket IN" in ln or "bucket#" in ln for ln in scan_lines), plan

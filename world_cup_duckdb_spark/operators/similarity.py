@@ -325,6 +325,76 @@ def lsh_topk(
     )
 
 
+def lsh_index_persist(
+    corpus: DataFrame,
+    path: str,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the sign-LSH index at ``path``: the corpus with its
+    bucket signature, hive-partitioned by ``bucket`` (≤ 2^num_planes
+    directories). The signature pass — the O(N·planes·d) cost — happens
+    once per build; every query batch then reads ONLY its buckets'
+    directories via static partition pruning, the same amortization
+    contract as ivf_index_persist."""
+    import os
+
+    c = corpus.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v"), num_planes))
+    c.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "buckets")
+    )
+
+
+def lsh_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve sign-LSH top-k from a persisted index (lsh_index_persist)
+    without re-hashing the corpus: query signatures are computed on the
+    (small by contract) query side, their distinct bucket ids collected —
+    bounded by min(|Q|, 2^num_planes) — and re-applied as a literal
+    partition predicate, so unqueried bucket directories cost zero I/O.
+    Bit-identical to lsh_topk on the same corpus (same md5 hyperplanes,
+    same fold cosines); equality is pytest-pinned."""
+    import os
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_signature(F.col("qv"), num_planes))
+    probe_ids = sorted(
+        r["bucket"] for r in q.select("bucket").distinct().collect()
+    )
+    c = spark.read.parquet(os.path.join(path, "buckets")).filter(
+        F.col("bucket").isin(probe_ids)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     n_lists: int = 16,

@@ -401,3 +401,73 @@ def ext_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         ["l_returnflag"],
     )
+
+
+@register(
+    "ext_join_size_estimate",
+    oracle=f"""
+    WITH probes AS (
+      SELECT l_partkey, 0 AS row, {{h0}} AS bucket FROM lineitem
+      UNION ALL
+      SELECT l_partkey, 1, {{h1}} FROM lineitem
+    ),
+    cells AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY row, bucket
+    ),
+    per_row AS (
+      SELECT row, CAST(SUM(cnt * cnt) AS BIGINT) AS est
+      FROM cells GROUP BY row
+    ),
+    cms AS (SELECT CAST(MIN(est) AS BIGINT) AS cms_est FROM per_row),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT e.exact_pairs, c.cms_est,
+           CAST(c.cms_est - e.exact_pairs AS DOUBLE)
+             / CAST(e.exact_pairs AS DOUBLE) AS rel_overcount
+    FROM exact e CROSS JOIN cms c
+    """.format(
+        h0=_hash_sql("l_partkey", 0, _CMS_W),
+        h1=_hash_sql("l_partkey", 1, _CMS_W),
+    ),
+)
+def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation — the optimizer-side use
+    of a count-min sketch (Alon-Matias-Szegedy / Cormode-Muthukrishnan):
+    |R ⋈ S on k| = Σ_k f_R(k)·f_S(k) is estimated by the INNER PRODUCT
+    of the two relations' CMS rows (here the self-join blowup of
+    lineitem on l_partkey, Σ f(k)² — the skew explosion a planner must
+    predict before picking a join strategy), taking the min across the
+    d hash rows. The estimate never undercounts; the report carries the
+    exact value and the relative overcount so the sketch's usefulness
+    is itself measured.
+
+    Scale: the sketch state is ≤ d·w cells from ONE pass (map-side
+    partials) — at 100 TB each side keeps its own 2×1024-cell sketch
+    and the estimate is a 2048-row inner product, no data movement; the
+    exact side here is one count-aggregate + one sum, present only to
+    grade the estimate. Determinism: polynomial hashes are fixed
+    integer arithmetic; every number is an exact int64 until the final
+    divide."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cells = cms_cells(li.select("l_partkey"), "l_partkey", _CMS_W)
+    per_row = cells.groupBy("row").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("est")
+    )
+    cms = per_row.agg(F.min("est").cast("long").alias("cms_est"))
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"))
+    )
+    return exact.crossJoin(F.broadcast(cms)).select(
+        "exact_pairs",
+        "cms_est",
+        (
+            (F.col("cms_est") - F.col("exact_pairs")).cast("double")
+            / F.col("exact_pairs").cast("double")
+        ).alias("rel_overcount"),
+    )

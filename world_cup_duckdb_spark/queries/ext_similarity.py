@@ -405,6 +405,67 @@ from world_cup_duckdb_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _BF_SQL = _REG["ext_ann_bruteforce"].oracle
 _LSH_SQL = _REG["ext_ann_lsh"].oracle
+
+
+@register(
+    "ext_ann_lsh_persist",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, CAST({_sign_lsh_sql(4)} AS INT) AS bucket FROM e
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vid
+    FROM sigs GROUP BY bucket
+    """,
+)
+def ext_ann_lsh_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH index BUILD + PERSIST (operators/similarity.py:
+    lsh_index_persist): the corpus written hive-partitioned by its
+    hyperplane-signature bucket, completing the index-lifecycle trio
+    (IVF, PQ, LSH). The returned per-bucket census re-reads the
+    persisted files, so the oracle hash-checks what landed on disk."""
+    import os
+
+    from world_cup_duckdb_spark.operators.similarity import lsh_index_persist
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    loc = _fresh_dir("lsh-index")
+    lsh_index_persist(emb, loc, num_planes=4)
+    return (
+        spark.read.parquet(os.path.join(loc, "buckets"))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("vid").cast("bigint").alias("sum_vid"),
+        )
+    )
+
+
+@register("ext_ann_lsh_query", oracle=_LSH_SQL)
+def ext_ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH top-k SERVED FROM THE PERSISTED INDEX (operators/
+    similarity.py:lsh_topk_from_index): query signatures computed on the
+    bounded query side only, the bucket scan pruned to the queried
+    signatures via a literal partition predicate (plan-pinned in
+    tests/test_similarity.py). Shares ext_ann_lsh's oracle verbatim —
+    the serve path is bit-identical to the in-memory form through a
+    parquet round trip."""
+    from world_cup_duckdb_spark.operators.similarity import (
+        lsh_index_persist,
+        lsh_topk_from_index,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    loc = _fresh_dir("lsh-serve")
+    lsh_index_persist(emb, loc, num_planes=4)
+    return lsh_topk_from_index(
+        spark, loc, emb.filter(F.col("vec_id") < 10), k=5, num_planes=4
+    )
 _IVF_SQL = _REG["ext_ann_ivf"].oracle
 
 
