@@ -31,6 +31,10 @@ STATEFUL = [
     "ext_compaction",
     "ext_dedup_minhash",
     "ext_minhash_accuracy",
+    # index-lifecycle keys: every invocation builds into a fresh dir and
+    # (for delete) mutates it via tombstone + compaction before serving
+    "ext_ann_ivf_delete",
+    "ext_ann_lsh_query",
 ]
 
 

@@ -368,3 +368,73 @@ def test_distributed_window_family_matches_ansi_property(
     )
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+_url_hosts = st.from_regex(r"[a-z]{1,8}(\.[a-z]{1,6}){1,2}", fullmatch=True)
+_url_params = st.lists(
+    st.tuples(
+        st.from_regex(r"[a-z]{1,6}", fullmatch=True),
+        st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True),
+    ),
+    max_size=4,
+)
+
+
+@_slow
+@given(
+    host=_url_hosts,
+    path_segs=st.lists(st.from_regex(r"[A-Za-z0-9._-]{1,8}", fullmatch=True),
+                       max_size=3),
+    params=_url_params,
+    scheme_caps=st.booleans(),
+    www=st.booleans(),
+    trailing=st.booleans(),
+    fragment=st.booleans(),
+    utm=st.booleans(),
+    host_caps=st.booleans(),
+)
+def test_url_canonicalization_idempotent_and_invariant(
+    spark, host, path_segs, params, scheme_caps, www, trailing, fragment,
+    utm, host_caps,
+):
+    """canonical_url must be (a) IDEMPOTENT — its output re-parses to
+    itself — and (b) INVARIANT under every normalization axis it claims
+    to fold: scheme case, host case, a www. prefix, a trailing slash,
+    utm_* params, param order, and fragments. Each generated URL is
+    rendered messy and clean; both must canonicalize identically, and
+    canonicalizing the canonical form must be a fixed point."""
+    from world_cup_duckdb_spark.operators.text import canonical_url
+
+    path = "".join("/" + s for s in path_segs)
+    qs = "&".join(f"{k}={v}" for k, v in params)
+    clean = f"https://{host}{path}" + (f"?{qs}" if qs else "")
+
+    messy_host = ("WWW." if www else "") + (host.upper() if host_caps else host)
+    messy_path = path + ("/" if trailing and path else "")
+    messy_params = [f"{k}={v}" for k, v in params]
+    if utm:
+        messy_params.insert(0, "utm_source=feed")
+        messy_params.append("utm_campaign=x")
+    # reverse param order to exercise the sort
+    messy_qs = "&".join(reversed(messy_params))
+    messy = (
+        ("HTTP://" if scheme_caps else "http://")
+        + messy_host
+        + messy_path
+        + (f"?{messy_qs}" if messy_qs else "")
+        + ("#frag" if fragment else "")
+    )
+
+    df = spark.createDataFrame([(clean,), (messy,)], "url string").select(
+        "url", canonical_url("url").alias("c")
+    )
+    rows = {r["url"]: r["c"] for r in df.collect()}
+    c_clean, c_messy = rows[clean], rows[messy]
+    assert c_clean == c_messy, (clean, messy, c_clean, c_messy)
+    # idempotence: canonical output is a fixed point
+    again = (
+        spark.createDataFrame([(c_clean,)], "url string")
+        .select(canonical_url("url").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert again == c_clean, (c_clean, again)

@@ -466,3 +466,41 @@ def compression_quality_filter(
     return scored.filter(
         (F.col("compress_ratio") >= lo) & (F.col("compress_ratio") <= hi)
     )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonicalize a raw URL for crawl-side dedup (ext_url_dedup):
+    force https, lowercase the host and strip a leading ``www.``, drop
+    the fragment, strip a trailing slash from the path, remove ``utm_*``
+    tracking params and sort the survivors. Pure built-in string algebra
+    (regexp parts + a filtered/sorted param list) — map-side at any
+    scale, no UDF.
+
+    Idempotent by construction (canonical output re-parses to itself) —
+    property-tested in tests/test_properties.py, with invariance under
+    scheme/host case, trailing slash, utm params, param order, and
+    fragments."""
+    url = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+    )

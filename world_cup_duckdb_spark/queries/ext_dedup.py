@@ -1327,43 +1327,9 @@ def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("url"),
     )
-    parts = raw.select(
-        "doc_id",
-        F.lower(
-            F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
-        ).alias("host0"),
-        F.regexp_replace(
-            F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
-            r"/$",
-            "",
-        ).alias("path"),
-        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query"),
-    )
-    canon = parts.select(
-        "doc_id",
-        F.regexp_replace("host0", r"^www\.", "").alias("host"),
-        "path",
-        F.array_join(
-            F.array_sort(
-                F.filter(
-                    F.split("query", "&"),
-                    lambda x: (x != "") & ~x.startswith("utm_"),
-                )
-            ),
-            "&",
-        ).alias("cq"),
-    )
-    final = canon.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://"),
-            F.col("host"),
-            F.col("path"),
-            F.when(F.col("cq") == "", F.lit("")).otherwise(
-                F.concat(F.lit("?"), F.col("cq"))
-            ),
-        ).alias("canonical_url"),
-    )
+    from world_cup_duckdb_spark.operators.text import canonical_url
+
+    final = raw.select("doc_id", canonical_url("url").alias("canonical_url"))
     return (
         final.groupBy("canonical_url")
         .agg(
