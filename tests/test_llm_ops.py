@@ -1030,3 +1030,66 @@ def test_domain_reweight_weights_are_a_floored_distribution(spark, sf_dir):
             assert a.weight == b.weight
     for r in rows:
         assert r.target_tokens_ppm == int(r.weight * 1_000_000 // 1), r
+
+
+def test_mmr_diversify_matches_driver_side_greedy(spark, sf_dir):
+    """The unrolled MMR plan must equal a straightforward driver-side
+    greedy recomputation from the same candidate pool and pair sims:
+    per query, step 1 picks max relevance, steps 2-3 pick
+    argmax(0.7*rel - 0.3*max-sim-to-selected), ties by neighbor_id."""
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark.operators.similarity import brute_force_topk
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.sources.catalog import load_tables
+
+    got = {}
+    for r in REGISTRY["ext_mmr_diversify"].fn(spark, sf_dir).collect():
+        got.setdefault(r.query_id, {})[r.mmr_rank] = (r.neighbor_id, r.mmr)
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cand = brute_force_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=10
+    ).collect()
+    pool = {}
+    for r in cand:
+        pool.setdefault(r.query_id, []).append((r.neighbor_id, r.cos_sim))
+    # pairwise sims among candidates, exact same fold as the operator
+    ids = sorted({r.neighbor_id for r in cand})
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(ids)).collect()
+    }
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num = num + x * y
+        na = 0.0
+        nb = 0.0
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        return num / (na**0.5 * nb**0.5)
+
+    for q, cands in pool.items():
+        sel = []
+        remaining = dict(cands)
+        # step 1: max relevance
+        first = max(cands, key=lambda t: (t[1], -t[0]))
+        sel.append(first[0])
+        del remaining[first[0]]
+        assert got[q][1][0] == first[0], (q, got[q], first)
+        for step in (2, 3):
+            best = None
+            for nid, rel in sorted(remaining.items()):
+                worst = max(cos(vecs[nid], vecs[s]) for s in sel)
+                mmr = 0.7 * rel - 0.3 * worst
+                if best is None or mmr > best[1] or (
+                    mmr == best[1] and nid < best[0]
+                ):
+                    best = (nid, mmr)
+            assert got[q][step][0] == best[0], (q, step, got[q], best)
+            sel.append(best[0])
+            del remaining[best[0]]

@@ -558,3 +558,250 @@ def ext_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(idcg_arr, F.col("n_rel").cast("int")).alias("idcg"),
         (dcg / F.element_at(idcg_arr, F.col("n_rel").cast("int"))).alias("ndcg"),
     )
+
+
+_MMR_K = 10  # candidate pool per query (semantic top-k)
+_MMR_SELECT = 3  # diversified results returned
+_MMR_LAMBDA = 0.7  # relevance/diversity trade-off
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR as unrolled SQL CTEs: candidate pool -> pairwise sims
+    -> three selection steps, each picking argmax(lambda*rel -
+    (1-lambda)*max-sim-to-selected) with a (score DESC, neighbor_id)
+    tie-break. Unrolled because the selection depth is a fixed constant
+    of the query, not data-dependent."""
+    lam = "CAST('0.7' AS DOUBLE)"
+    one_m_lam = "CAST('0.3' AS DOUBLE)"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(embedding AS DOUBLE[])[i]
+                    * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+          FROM e WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, len(q.qv) + 1),
+                                       i -> q.qv[i] * c.v[i]))
+                 / (q.qnrm * c.nrm) AS rel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.qv) + 1),
+                                                  i -> q.qv[i] * c.v[i]))
+                          / (q.qnrm * c.nrm) DESC, c.vec_id) AS rnk
+        FROM q CROSS JOIN e c
+        WHERE q.query_id <> c.vec_id
+      ) WHERE rnk <= {_MMR_K}
+    ),
+    psim AS (
+      SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             list_sum(list_transform(range(1, len(ea.v) + 1),
+                                     i -> ea.v[i] * eb.v[i]))
+               / (ea.nrm * eb.nrm) AS sim
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id
+                 AND a.neighbor_id <> b.neighbor_id
+      JOIN e ea ON ea.vec_id = a.neighbor_id
+      JOIN e eb ON eb.vec_id = b.neighbor_id
+    ),
+    s1 AS (
+      SELECT query_id, neighbor_id, rel, rel AS mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    r2 AS (
+      SELECT c.query_id, c.neighbor_id, c.rel,
+             {lam} * c.rel - {one_m_lam} * MAX(p.sim) AS mmr
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id
+             AND c.neighbor_id <> s1.neighbor_id
+      JOIN psim p ON p.query_id = c.query_id
+                 AND p.id_a = c.neighbor_id AND p.id_b = s1.neighbor_id
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    ),
+    s2 AS (
+      SELECT query_id, neighbor_id, rel, mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn
+        FROM r2
+      ) WHERE rn = 1
+    ),
+    r3 AS (
+      SELECT c.query_id, c.neighbor_id, c.rel,
+             {lam} * c.rel - {one_m_lam} * MAX(p.sim) AS mmr
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id
+             AND c.neighbor_id <> s1.neighbor_id
+      JOIN s2 ON s2.query_id = c.query_id
+             AND c.neighbor_id <> s2.neighbor_id
+      JOIN psim p ON p.query_id = c.query_id AND p.id_a = c.neighbor_id
+                 AND p.id_b IN (s1.neighbor_id, s2.neighbor_id)
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    ),
+    s3 AS (
+      SELECT query_id, neighbor_id, rel, mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn
+        FROM r3
+      ) WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, CAST(1 AS INT) AS mmr_rank, rel, mmr FROM s1
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(2 AS INT), rel, mmr FROM s2
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(3 AS INT), rel, mmr FROM s3
+    """
+
+
+@register("ext_mmr_diversify", oracle=_mmr_oracle())
+def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversification stage after candidate retrieval:
+    from each query's exact-cosine top-{_MMR_K} pool, greedily select
+    {_MMR_SELECT} results maximizing lambda*relevance -
+    (1-lambda)*max-similarity-to-already-selected (lambda=0.7), so the
+    final slate is relevant but not redundant — what a RAG stack runs
+    between retrieval and the context window.
+
+    Scale: the selection loop runs over the CANDIDATE relation
+    (|Q|*{_MMR_K} rows) — the corpus is touched only by the initial
+    top-k (broadcast-query brute force here; the LSH/IVF serve paths at
+    scale). The selection depth is a fixed constant, so the plan is
+    {_MMR_SELECT} unrolled steps, not a data-dependent loop; candidate
+    pair-sims are computed once ({_MMR_K}^2 per query) and reused by
+    every step.
+
+    Determinism: cosine folds are the shared sequential association;
+    the MMR combination is two mults and a subtract in fixed order with
+    string-cast literal lambda; MAX over selected sims is
+    order-insensitive; every argmax tie-breaks (score DESC,
+    neighbor_id)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    from world_cup_duckdb_spark.operators.similarity import (
+        as_double,
+        cosine,
+        norm2,
+    )
+
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        as_double("embedding").alias("v"),
+        F.sqrt(norm2(as_double("embedding"))).alias("nrm"),
+    )
+    cand = (
+        brute_force_topk(
+            emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_MMR_K
+        )
+        .select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"))
+        .transform(tracked_persist)
+    )
+    # Candidate pair-similarities, computed once and shared by all steps.
+    ea = e.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = e.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    ca = cand.select("query_id", F.col("neighbor_id").alias("id_a"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("id_b"))
+    denom = F.col("na") * F.col("nb")
+    psim = (
+        ca.join(cb, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.when(
+                denom != 0.0,
+                F.aggregate(
+                    F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+                / denom,
+            ).alias("sim"),
+        )
+        .transform(tracked_persist)
+    )
+    lam = F.lit(0.7).cast("double")
+    one_m_lam = F.lit(0.3).cast("double")
+
+    def argmax(df: DataFrame, score: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score), F.asc("neighbor_id")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    s1 = argmax(cand, "rel").select(
+        "query_id", "neighbor_id", "rel", F.col("rel").alias("mmr")
+    )
+
+    def step(selected: list[DataFrame]) -> DataFrame:
+        rem = cand
+        for s in selected:
+            rem = rem.join(
+                s.select(
+                    "query_id", F.col("neighbor_id").alias("_sel")
+                ),
+                "query_id",
+            ).filter(F.col("neighbor_id") != F.col("_sel")).drop("_sel")
+        sel_ids = selected[0].select(
+            F.col("query_id").alias("_sq"), F.col("neighbor_id").alias("_sb")
+        )
+        for s in selected[1:]:
+            sel_ids = sel_ids.unionByName(
+                s.select(
+                    F.col("query_id").alias("_sq"),
+                    F.col("neighbor_id").alias("_sb"),
+                )
+            )
+        # rename psim's columns before joining: rem, psim and sel_ids all
+        # descend from `cand`, so positional attribute references would be
+        # ambiguous (the self-join lineage trap) — unique names resolve it
+        p_r = psim.select(
+            F.col("query_id").alias("_pq"),
+            F.col("id_a").alias("_pa"),
+            F.col("id_b").alias("_pb"),
+            "sim",
+        )
+        scored = (
+            rem.join(
+                p_r,
+                (F.col("query_id") == F.col("_pq"))
+                & (F.col("neighbor_id") == F.col("_pa")),
+            )
+            .join(
+                sel_ids,
+                (F.col("_pq") == F.col("_sq")) & (F.col("_pb") == F.col("_sb")),
+            )
+            .select("query_id", "neighbor_id", "rel", "sim")
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg((lam * F.col("rel") - one_m_lam * F.max("sim")).alias("mmr"))
+        )
+        return argmax(scored, "mmr").select(
+            "query_id", "neighbor_id", "rel", "mmr"
+        )
+
+    s2 = step([s1])
+    s3 = step([s1, s2])
+    return (
+        s1.withColumn("mmr_rank", F.lit(1).cast("int"))
+        .unionByName(s2.withColumn("mmr_rank", F.lit(2).cast("int")))
+        .unionByName(s3.withColumn("mmr_rank", F.lit(3).cast("int")))
+        .select("query_id", "neighbor_id", "mmr_rank", "rel", "mmr")
+    )
