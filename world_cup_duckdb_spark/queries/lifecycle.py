@@ -702,6 +702,30 @@ def ext_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quartered_doc_table(spark: SparkSession, sf_dir: str, name: str):
+    """Shared scaffold for the versioned-table (CoW) family: documents
+    written into a fresh table as FOUR id-range appends, each carrying a
+    doc_id zone map — the clustered multi-file layout every CoW key
+    (delete / update / vacuum) mutates. Returns (loc, d, q) where q is
+    the five quartile boundaries. The max(doc_id) collect is bounded:
+    one row."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded: 1 row
+    q = [(i * n) // 4 for i in range(5)]
+    from world_cup_duckdb_spark.operators.lakehouse import write_table
+
+    loc = _fresh_dir(name)
+    for i in range(4):
+        write_table(
+            d.filter(
+                (F.col("doc_id") >= q[i]) & (F.col("doc_id") < q[i + 1])
+            ),
+            loc,
+            stats_cols=["doc_id"],
+        )
+    return loc, d, q
+
+
 @register(
     "ext_gdpr_delete",
     oracle="""
@@ -743,23 +767,11 @@ def ext_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from world_cup_duckdb_spark.operators.lakehouse import (
         delete_where,
         read_table,
-        write_table,
     )
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded: 1 row
-    q = [(i * n) // 4 for i in range(5)]
+    loc, d, q = _quartered_doc_table(spark, sf_dir, "ext_gdpr_delete")
     lo = q[2] + (q[3] - q[2]) // 2
     hi = q[3] + (q[4] - q[3]) // 2
-    loc = _fresh_dir("ext_gdpr_delete")
-    for i in range(4):
-        write_table(
-            d.filter(
-                (F.col("doc_id") >= q[i]) & (F.col("doc_id") < q[i + 1])
-            ),
-            loc,
-            stats_cols=["doc_id"],
-        )
     rows_before = read_table(spark, loc).count()
     _, report = delete_where(
         spark, loc, (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
@@ -808,21 +820,9 @@ def ext_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from world_cup_duckdb_spark.operators.lakehouse import (
         read_table,
         update_where,
-        write_table,
     )
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded: 1 row
-    q = [(i * n) // 4 for i in range(5)]
-    loc = _fresh_dir("ext_cow_update")
-    for i in range(4):
-        write_table(
-            d.filter(
-                (F.col("doc_id") >= q[i]) & (F.col("doc_id") < q[i + 1])
-            ),
-            loc,
-            stats_cols=["doc_id"],
-        )
+    loc, d, q = _quartered_doc_table(spark, sf_dir, "ext_cow_update")
     update_where(
         spark,
         loc,
@@ -836,4 +836,65 @@ def ext_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_updated"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "ext_gdpr_vacuum",
+    oracle="""
+    WITH m AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    b AS (
+      SELECT (2 * n) // 4 + ((3 * n) // 4 - (2 * n) // 4) // 2 AS lo,
+             (3 * n) // 4 + (n - (3 * n) // 4) // 2 AS hi
+      FROM m
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents, b
+                 WHERE doc_id < lo OR doc_id >= hi) AS BIGINT) AS rows_after,
+           CAST((SELECT SUM(doc_id) FROM documents, b
+                 WHERE doc_id < lo OR doc_id >= hi) AS BIGINT)
+             AS surviving_id_sum,
+           CAST(5 AS BIGINT) AS n_versions_before,
+           CAST(1 AS BIGINT) AS n_versions_after,
+           CAST(2 AS BIGINT) AS n_dirs_removed
+    """,
+)
+def ext_gdpr_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE GDPR erasure: CoW delete + VACUUM. ext_gdpr_delete's
+    docstring notes that a CoW delete alone keeps pre-delete snapshots
+    readable via time travel; this key completes the flow — four
+    id-range appends (versions 1-4), the straddling id-range delete
+    (version 5), then ``vacuum(keep_versions=1)`` drops the four old
+    manifests and physically removes the directories only they
+    referenced: exactly the TWO pre-delete directories whose rows were
+    rewritten (the two carried-by-reference dirs survive because the
+    live version still points at them). The result row proves (a) the
+    surviving population is intact (oracle recomputes it from source),
+    and (b) the version/dir accounting matches the CoW model: 5
+    versions before, 1 after, 2 data dirs physically erased.
+
+    Scale: vacuum is manifest arithmetic (set difference of referenced
+    dirs) plus deletes of exactly the orphaned directories — no data
+    scan at any table size. Determinism: counts are integers; the dir
+    accounting is structural, pinned by the oracle's constants."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        delete_where,
+        read_table,
+        table_history,
+        vacuum,
+    )
+
+    loc, d, q = _quartered_doc_table(spark, sf_dir, "ext_gdpr_vacuum")
+    lo = q[2] + (q[3] - q[2]) // 2
+    hi = q[3] + (q[4] - q[3]) // 2
+    delete_where(spark, loc, (F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    n_before = len(table_history(loc))
+    removed = vacuum(loc, keep_versions=1)
+    n_after = len(table_history(loc))
+    after = read_table(spark, loc)
+    return after.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_after"),
+        F.sum("doc_id").cast("bigint").alias("surviving_id_sum"),
+        F.lit(n_before).cast("bigint").alias("n_versions_before"),
+        F.lit(n_after).cast("bigint").alias("n_versions_after"),
+        F.lit(len(removed)).cast("bigint").alias("n_dirs_removed"),
     )
