@@ -820,3 +820,36 @@ def test_streaming_neardup_midbatch_failure_at_least_once_no_hub_regression(
         # no hub regression: every re-crawl doc matches a RUN-1 hub
         assert flags[d].is_dup, d
         assert flags[d].matched_doc is not None and flags[d].matched_doc < 100
+
+
+def test_streaming_topk_equals_batch_twin(spark, sf_dir, staged):
+    """streaming/topk.py ≡ ext_stream_topk: the stateful per-type
+    leaderboard, run over 3 micro-batches, converges to exactly the
+    batch top-3 per event type. The final emission is the rows carrying
+    each type's max update seq; requiring seq >= 2 proves the counts
+    actually accumulated ACROSS batches through the state store rather
+    than being computed in one trigger."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.streaming.topk import (
+        read_event_stream as read_events3,
+    )
+    from world_cup_duckdb_spark.streaming.topk import streaming_topk_per_type
+
+    stream = read_events3(spark, staged, max_files_per_trigger=1)
+    out = _run_stream(
+        spark, streaming_topk_per_type(stream), "update", "topk_m"
+    )
+    w = Window.partitionBy("event_type")
+    final = out.withColumn("_mx", F.max("seq").over(w)).filter(
+        F.col("seq") == F.col("_mx")
+    )
+    got = _rows(final, ["event_type", "user_id", "n_events", "rank"])
+    want = _rows(
+        REGISTRY["ext_stream_topk"].fn(spark, sf_dir),
+        ["event_type", "user_id", "n_events", "rank"],
+    )
+    assert got == want and want
+    assert out.agg(F.max("seq")).collect()[0][0] >= 2

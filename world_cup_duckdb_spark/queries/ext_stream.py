@@ -454,3 +454,51 @@ def ext_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched_doc").isNotNull().alias("is_dup"),
         )
     )
+
+
+@register(
+    "ext_stream_topk",
+    oracle="""
+    SELECT event_type, user_id, n_events, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT event_type, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY COUNT(*) DESC, user_id) AS rnk
+      FROM events
+      GROUP BY event_type, user_id
+    )
+    WHERE rnk <= 3
+    """,
+)
+def ext_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH TWIN of the streaming leaderboard (streaming/topk.py): the
+    top-3 users per event type by exact event count, ties broken by
+    user_id. In the streaming form the per-type tallies live as keyed
+    applyInPandasWithState state and the top-3 re-emits after every
+    trigger; here it is one (type, user) count aggregate plus a ranking
+    window over the per-type rows. tests/test_streaming.py proves the
+    stream's final emission equals these rows across micro-batch
+    splits — counts are order-independent, so the equivalence holds for
+    any arrival order (unlike neardup's arrival-ordered hub rule).
+
+    Scale: the count aggregate partial-combines map-side and shuffles
+    pre-reduced (type, user) rows; the window ranks per-type
+    aggregates, never raw events. Streaming state is O(users per
+    type); the operator docstring names the space-saving swap for
+    unbounded cardinality."""
+    e = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    counts = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "n_events", "rank")
+    )
