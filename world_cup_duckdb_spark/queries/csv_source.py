@@ -412,3 +412,51 @@ def ext_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").cast("bigint").alias("key_sum"),
         )
     )
+
+
+@register(
+    "op02e_xml_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier
+    WHERE s_nationkey < 10
+    """,
+)
+def op02e_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip scan (Spark 4's built-in XML source — the format
+    the enterprise-feed ingest edge still arrives in). One row element
+    per supplier; the read declares an explicit schema, skipping the
+    inference pass that would scan the files twice, and the selective
+    nationkey predicate + 3-column projection are applied on the typed
+    relation. XML carries no row-group statistics, so unlike the
+    parquet/ORC twins the filter cannot prune I/O — at 100 TB that is
+    exactly why a pipeline converts XML feeds to a columnar at-rest
+    format on first touch (op02d); this key covers the ingest step
+    itself."""
+    from pyspark.sql import types as T
+
+    loc = _fresh_dir("op02e_supplier_xml")
+    (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(os.path.join(loc, "supplier"))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(os.path.join(loc, "supplier"))
+        .filter(F.col("s_nationkey") < 10)
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
