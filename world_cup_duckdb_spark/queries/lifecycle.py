@@ -898,3 +898,93 @@ def ext_gdpr_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_after).cast("bigint").alias("n_versions_after"),
         F.lit(len(removed)).cast("bigint").alias("n_dirs_removed"),
     )
+
+
+@register(
+    "ext_torn_commit_recovery",
+    oracle="""
+    WITH m AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    extra AS (
+      SELECT doc_id FROM documents, m WHERE doc_id < n // 10
+    )
+    SELECT CAST(1 AS BIGINT) AS n_rolled_forward,
+           CAST(4 AS BIGINT) AS latest_version_after,
+           CAST((SELECT COUNT(*) FROM documents)
+                + (SELECT COUNT(*) FROM extra) AS BIGINT) AS rows_after,
+           CAST((SELECT SUM(doc_id) FROM documents)
+                + (SELECT COALESCE(SUM(doc_id), 0) FROM extra) AS BIGINT)
+             AS id_sum_after
+    """,
+)
+def ext_torn_commit_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-recovery as a first-class query: fabricate the exact
+    residue a writer crash leaves mid-commit — a COMPLETE data
+    directory (parquet written, _SUCCESS marker present), a durable
+    fsynced tmp manifest body, and the O_EXCL claim sidecar, but NO
+    published manifest — then run restart-time recovery
+    (operators/lakehouse.py:recover_torn_commits) and prove the torn
+    version ROLLS FORWARD: the claimant had durably decided the
+    content, so recovery publishes it and the table serves base rows +
+    the torn append (the first tenth of doc ids re-appended here). The
+    oracle recomputes the post-recovery population from source, and the
+    rolled-forward/latest-version accounting is structural.
+
+    Scale: recovery is transaction-log arithmetic — it lists the _log
+    directory, validates referenced dirs exist (metadata stats, no data
+    scan), and publishes via one atomic rename; cost is O(residue), not
+    table size. The protocol's full crash matrix (every
+    claim × tmp-residue combination, refusal-before-recovery, orphan
+    accounting) is pytest-parametrized in tests/test_lakehouse.py; this
+    key puts the roll-forward path under the driver's hash gate."""
+    import json
+    import os
+
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        _log_dir,
+        read_table,
+        recover_torn_commits,
+    )
+
+    loc, d, q = _quartered_doc_table(spark, sf_dir, "ext_torn_commit")
+    n = q[4]
+    torn_version = 4  # versions 0-3 are the quartered appends
+    torn_dir = f"data-{torn_version:06d}-torn"
+    # the crashed writer finished its parquet job (complete dir)…
+    d.filter(F.col("doc_id") < n // 10).write.mode("overwrite").parquet(
+        os.path.join(loc, torn_dir)
+    )
+    # …and durably decided the commit (fsynced tmp body + claim), but
+    # crashed before the publishing rename.
+    # the manifest's ``dirs`` is the FULL snapshot list: previous
+    # version's directories plus the torn append's
+    from world_cup_duckdb_spark.operators.lakehouse import _read_manifest
+
+    prev_dirs = _read_manifest(loc, torn_version - 1)["dirs"]
+    body = {
+        "version": torn_version,
+        "mode": "append",
+        "dirs": prev_dirs + [torn_dir],
+    }
+    log = _log_dir(loc)
+    with open(
+        os.path.join(log, f"v{torn_version}.json.tmp-crashed"), "w"
+    ) as f:
+        json.dump(body, f)
+    os.close(
+        os.open(
+            os.path.join(log, f"v{torn_version}.json.claim"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    )
+    report = recover_torn_commits(loc)
+    from world_cup_duckdb_spark.operators.lakehouse import latest_version
+
+    after = read_table(spark, loc)
+    return after.agg(
+        F.lit(len(report["rolled_forward"]))
+        .cast("bigint")
+        .alias("n_rolled_forward"),
+        F.lit(latest_version(loc)).cast("bigint").alias("latest_version_after"),
+        F.count(F.lit(1)).cast("bigint").alias("rows_after"),
+        F.sum("doc_id").cast("bigint").alias("id_sum_after"),
+    )
