@@ -1509,3 +1509,81 @@ def ext_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hapax_share"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+_QUALITY_SQL = _REG["ext_quality_score"].oracle
+
+
+@register(
+    "ext_quality_dup_calibration",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    dup AS (
+      SELECT doc_id,
+             CASE WHEN cnt >= 2 THEN 1 ELSE 0 END AS is_dup
+      FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) AS cnt
+            FROM documents)
+    ),
+    tiled AS (
+      SELECT q.doc_id, d.is_dup,
+             NTILE(10) OVER (ORDER BY q.quality_score, q.doc_id) AS decile
+      FROM q JOIN dup d ON d.doc_id = q.doc_id
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM tiled GROUP BY decile
+    """,
+)
+def ext_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal calibration against duplicate pressure: bucket the
+    corpus into quality-score deciles (ext_quality_score reused
+    verbatim — oracle composed, so signal and calibration cannot drift)
+    and report the exact-duplicate rate per decile. This is the
+    check a curator runs before using the quality score as a filter:
+    if dups concentrate in low deciles, one threshold serves both
+    goals; a flat profile means quality filtering and dedup are
+    independent axes and must BOTH run.
+
+    Scale: the quality pass is the existing map-side scoring; the dup
+    flag is one md5-keyed window (uniform keys); the decile NTILE is
+    the one corpus-grain global ordering — at 100 TB swap it for the
+    equi-depth histogram boundaries (ext_equidepth_histogram) applied
+    as a map-side bucketing, the documented pattern for rank-free
+    tiling. Determinism: NTILE over the (quality_score, doc_id) total
+    order is identical in both engines; counts are integers with one
+    final divide."""
+    q = _REG["ext_quality_score"].fn(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    d = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window
+
+    dup = d.select(
+        "doc_id",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy(F.md5("text"))) >= 2
+        )
+        .cast("int")
+        .alias("is_dup"),
+    )
+    from world_cup_duckdb_spark.functions import bounded_one_partition
+
+    tiled = q.join(dup, "doc_id").select(
+        "doc_id",
+        "is_dup",
+        F.ntile(10)
+        .over(
+            Window.partitionBy(bounded_one_partition("doc_id")).orderBy(
+                "quality_score", "doc_id"
+            )
+        )
+        .alias("decile"),
+    )
+    return tiled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dups"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("dup_rate"),
+    )
