@@ -40,6 +40,18 @@ HEADLINE = [
     "ext_corpus_prep_pipeline",
 ]
 
+#: Second tier, reported separately (extended_total) so the headline
+#: total stays comparable round-over-round: representatives of the
+#: round-9 retrieval/curation families. Same-box DuckDB pairs via
+#: BENCH_QUERIES on scripts/bench_oracle.py.
+EXTENDED = [
+    "ext_url_dedup",
+    "ext_hybrid_rrf",
+    "ext_mmr_diversify",
+    "ext_corpus_datacard",
+    "ext_hapax_stats",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,29 +147,43 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
-    for name in names:
-        once(name)  # per-query warm-up: codegen compile, broadcast build
-        runs = sorted(once(name) for _ in range(reps))
-        # Min, not median: this box shows strictly ADDITIVE noise (host
-        # CPU steal / GC pauses turn an 0.8 s job into 15 s at random),
-        # so the minimum is the unbiased steady-state estimate — a median
-        # can land on a noise draw and swing round-over-round deltas.
-        timings[name] = round(runs[0], 3)
+    def measure(qnames: list) -> dict:
+        out: dict = {}
+        for name in qnames:
+            once(name)  # per-query warm-up: codegen compile, broadcast build
+            runs = sorted(once(name) for _ in range(reps))
+            # Min, not median: this box shows strictly ADDITIVE noise
+            # (host CPU steal / GC pauses turn an 0.8 s job into 15 s at
+            # random), so the minimum is the unbiased steady-state
+            # estimate — a median can land on a noise draw and swing
+            # round-over-round deltas.
+            out[name] = round(runs[0], 3)
+        return out
+
+    timings = measure(names)
+    # Extended tier: measured the same way, reported under separate keys
+    # so `value` (the headline total) stays comparable round-over-round.
+    # Skipped when BENCH_QUERIES pins an explicit set or BENCH_EXTENDED=0.
+    ext_names = (
+        []
+        if extra or os.environ.get("BENCH_EXTENDED", "1") == "0"
+        else [n for n in EXTENDED if n in REGISTRY]
+    )
+    ext_timings = measure(ext_names)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    }
+    if ext_timings:
+        payload["extended_queries"] = ext_timings
+        payload["extended_total"] = round(sum(ext_timings.values()), 3)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -141,6 +141,13 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     RRF score is lex-term + sem-term in fixed order (each one IEEE
     divide of exact ints); fused rank tie-breaks (score DESC,
     neighbor_id)."""
+    return _rrf_fused(spark, sf_dir, _FUSED_K)
+
+
+def _rrf_fused(spark: SparkSession, sf_dir: str, fused_k: int) -> DataFrame:
+    """Shared RRF core: lexical + semantic arms fused rank-only, top
+    ``fused_k`` per query. ext_hybrid_rrf serves it directly (k=5);
+    ext_retrieval_pipeline re-ranks its k=10 pool with MMR."""
     d = load_tables(spark, sf_dir)["documents"]
     emb = load_tables(spark, sf_dir)["embeddings"]
 
@@ -188,7 +195,7 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fused.withColumn("fused_rank", F.row_number().over(w_fused).cast("int"))
-        .filter(F.col("fused_rank") <= _FUSED_K)
+        .filter(F.col("fused_rank") <= fused_k)
         .select(
             "query_id",
             "neighbor_id",
@@ -773,6 +780,310 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rename psim's columns before joining: rem, psim and sel_ids all
         # descend from `cand`, so positional attribute references would be
         # ambiguous (the self-join lineage trap) — unique names resolve it
+        p_r = psim.select(
+            F.col("query_id").alias("_pq"),
+            F.col("id_a").alias("_pa"),
+            F.col("id_b").alias("_pb"),
+            "sim",
+        )
+        scored = (
+            rem.join(
+                p_r,
+                (F.col("query_id") == F.col("_pq"))
+                & (F.col("neighbor_id") == F.col("_pa")),
+            )
+            .join(
+                sel_ids,
+                (F.col("_pq") == F.col("_sq")) & (F.col("_pb") == F.col("_sb")),
+            )
+            .select("query_id", "neighbor_id", "rel", "sim")
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg((lam * F.col("rel") - one_m_lam * F.max("sim")).alias("mmr"))
+        )
+        return argmax(scored, "mmr").select(
+            "query_id", "neighbor_id", "rel", "mmr"
+        )
+
+    s2 = step([s1])
+    s3 = step([s1, s2])
+    return (
+        s1.withColumn("mmr_rank", F.lit(1).cast("int"))
+        .unionByName(s2.withColumn("mmr_rank", F.lit(2).cast("int")))
+        .unionByName(s3.withColumn("mmr_rank", F.lit(3).cast("int")))
+        .select("query_id", "neighbor_id", "mmr_rank", "rel", "mmr")
+    )
+
+
+def _rrf_sql(fused_k: int) -> str:
+    """DuckDB mirror of :func:`_rrf_fused` as a CTE-embeddable SELECT,
+    parameterized by the fused depth (shared by the ext_hybrid_rrf
+    oracle's structure and ext_retrieval_pipeline's candidate CTE)."""
+    return f"""
+    WITH qt AS (
+      SELECT DISTINCT doc_id AS query_id, t AS token
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents WHERE doc_id < {_N_QUERIES})
+      WHERE t <> ''
+    ),
+    ct AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    lexcnt AS (
+      SELECT q.query_id, c.doc_id AS neighbor_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM qt q JOIN ct c USING (token)
+      WHERE c.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, neighbor_id, CAST(rnk AS INT) AS lex_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY n_shared DESC, neighbor_id) AS rnk
+            FROM lexcnt)
+      WHERE rnk <= {_ARM_K}
+    ),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_sum(list_transform(
+                    range(1, len(embedding) + 1),
+                    i -> CAST(embedding AS DOUBLE[])[i]
+                         * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_sum(list_transform(
+                    range(1, len(embedding) + 1),
+                    i -> CAST(embedding AS DOUBLE[])[i]
+                         * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+          FROM embeddings),
+    sem AS (
+      SELECT query_id, neighbor_id, CAST(rnk AS INT) AS sem_rank
+      FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                                  i -> q.v[i] * c.v[i]))
+                          / (q.nrm * c.nrm) DESC,
+                          c.neighbor_id) AS rnk
+        FROM qv q CROSS JOIN cv c
+        WHERE q.query_id <> c.neighbor_id
+      )
+      WHERE rnk <= {_ARM_K}
+    ),
+    rrffused AS (
+      SELECT query_id, neighbor_id, lex_rank, sem_rank,
+             COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex_rank),
+                      CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + sem_rank),
+                        CAST(0 AS DOUBLE)) AS rrf_score
+      FROM lex FULL JOIN sem USING (query_id, neighbor_id)
+    )
+    SELECT query_id, neighbor_id, lex_rank, sem_rank, rrf_score,
+           CAST(rnk AS INT) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY rrf_score DESC, neighbor_id) AS rnk
+          FROM rrffused)
+    WHERE rnk <= {fused_k}
+    """
+
+
+def _pipeline_oracle() -> str:
+    lam = "CAST('0.7' AS DOUBLE)"
+    one_m_lam = "CAST('0.3' AS DOUBLE)"
+    return f"""
+    WITH fusedk AS ({_rrf_sql(10)}),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(embedding AS DOUBLE[])[i]
+                    * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+      FROM embeddings
+    ),
+    mx AS (
+      SELECT query_id, MAX(rrf_score) AS mx FROM fusedk GROUP BY query_id
+    ),
+    cand AS (
+      SELECT f.query_id, f.neighbor_id, f.rrf_score / m.mx AS rel
+      FROM fusedk f JOIN mx m ON m.query_id = f.query_id
+    ),
+    psim AS (
+      SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             list_sum(list_transform(range(1, len(ea.v) + 1),
+                                     i -> ea.v[i] * eb.v[i]))
+               / (ea.nrm * eb.nrm) AS sim
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id
+                 AND a.neighbor_id <> b.neighbor_id
+      JOIN e ea ON ea.vec_id = a.neighbor_id
+      JOIN e eb ON eb.vec_id = b.neighbor_id
+    ),
+    s1 AS (
+      SELECT query_id, neighbor_id, rel, rel AS mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    r2 AS (
+      SELECT c.query_id, c.neighbor_id, c.rel,
+             {lam} * c.rel - {one_m_lam} * MAX(p.sim) AS mmr
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id
+             AND c.neighbor_id <> s1.neighbor_id
+      JOIN psim p ON p.query_id = c.query_id
+                 AND p.id_a = c.neighbor_id AND p.id_b = s1.neighbor_id
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    ),
+    s2 AS (
+      SELECT query_id, neighbor_id, rel, mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn
+        FROM r2
+      ) WHERE rn = 1
+    ),
+    r3 AS (
+      SELECT c.query_id, c.neighbor_id, c.rel,
+             {lam} * c.rel - {one_m_lam} * MAX(p.sim) AS mmr
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id
+             AND c.neighbor_id <> s1.neighbor_id
+      JOIN s2 ON s2.query_id = c.query_id
+             AND c.neighbor_id <> s2.neighbor_id
+      JOIN psim p ON p.query_id = c.query_id AND p.id_a = c.neighbor_id
+                 AND p.id_b IN (s1.neighbor_id, s2.neighbor_id)
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    ),
+    s3 AS (
+      SELECT query_id, neighbor_id, rel, mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn
+        FROM r3
+      ) WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, CAST(1 AS INT) AS mmr_rank, rel, mmr FROM s1
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(2 AS INT), rel, mmr FROM s2
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(3 AS INT), rel, mmr FROM s3
+    """
+
+
+@register("ext_retrieval_pipeline", oracle=_pipeline_oracle())
+def ext_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED retrieval serving flow as ONE plan — what a RAG stack
+    actually executes per query batch: hybrid candidate generation
+    (lexical + semantic arms, reciprocal-rank fusion, top-10 per query;
+    the shared _rrf_fused core), per-query max-normalized RRF relevance
+    (one divide — rank-fusion scores live on a tiny scale, so
+    normalizing puts the MMR trade-off knob in [0,1]), then greedy MMR
+    diversification (3 unrolled steps, lambda=0.7) over the fused pool.
+
+    Scale: corpus touched exactly twice (token arm, vector arm) by the
+    candidate stage; everything downstream — normalization, candidate
+    pair-sims, the three argmax steps — runs on |Q|·10 rows. This is
+    the composition contract the individual keys (ext_hybrid_rrf,
+    ext_mmr_diversify) each pin in isolation, proven end-to-end as one
+    lazy plan.
+
+    Determinism: inherited from the parts — integer arm ranks, fixed-
+    order IEEE fusion sums, shared-literal lambda, total-order
+    tie-breaks everywhere."""
+    cand_full = _rrf_fused(spark, sf_dir, 10)
+    mx = cand_full.groupBy("query_id").agg(F.max("rrf_score").alias("mx"))
+    cand = (
+        cand_full.join(F.broadcast(mx), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("rrf_score") / F.col("mx")).alias("rel"),
+        )
+        .transform(tracked_persist)
+    )
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    from world_cup_duckdb_spark.operators.similarity import as_double, norm2
+
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        as_double("embedding").alias("v"),
+        F.sqrt(norm2(as_double("embedding"))).alias("nrm"),
+    )
+    ea = e.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = e.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    ca = cand.select("query_id", F.col("neighbor_id").alias("id_a"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("id_b"))
+    denom = F.col("na") * F.col("nb")
+    psim = (
+        ca.join(cb, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.when(
+                denom != 0.0,
+                F.aggregate(
+                    F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+                / denom,
+            ).alias("sim"),
+        )
+        .transform(tracked_persist)
+    )
+    lam = F.lit(0.7).cast("double")
+    one_m_lam = F.lit(0.3).cast("double")
+
+    def argmax(df: DataFrame, score: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score), F.asc("neighbor_id")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    s1 = argmax(cand, "rel").select(
+        "query_id", "neighbor_id", "rel", F.col("rel").alias("mmr")
+    )
+
+    def step(selected: list) -> DataFrame:
+        rem = cand
+        for sel in selected:
+            rem = (
+                rem.join(
+                    sel.select(
+                        "query_id", F.col("neighbor_id").alias("_sel")
+                    ),
+                    "query_id",
+                )
+                .filter(F.col("neighbor_id") != F.col("_sel"))
+                .drop("_sel")
+            )
+        sel_ids = selected[0].select(
+            F.col("query_id").alias("_sq"), F.col("neighbor_id").alias("_sb")
+        )
+        for sel in selected[1:]:
+            sel_ids = sel_ids.unionByName(
+                sel.select(
+                    F.col("query_id").alias("_sq"),
+                    F.col("neighbor_id").alias("_sb"),
+                )
+            )
         p_r = psim.select(
             F.col("query_id").alias("_pq"),
             F.col("id_a").alias("_pa"),
