@@ -1162,3 +1162,125 @@ def ext_ann_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_from_index(
         spark, loc, emb.filter(F.col("vec_id") < 10), k_neighbors=5, m=4, dims=64
     )
+
+
+def _plane_sweep_oracle() -> str:
+    """Per-plane-count LSH recall vs brute force: one lsh pipeline CTE
+    per plane count (2/4/6/8) sharing the e/bf CTEs, stacked and
+    graded. Mechanical unroll of the ext_ann_recall shape over the
+    tuning grid."""
+    arms = []
+    for p in (2, 4, 6, 8):
+        arms.append(f"""
+    sigs{p} AS (
+      SELECT vec_id, v, nrm, CAST({_sign_lsh_sql(p)} AS INT) AS bucket
+      FROM e
+    ),
+    lsh{p} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                                  i -> q.v[i] * c.v[i]))
+                          / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+        FROM sigs{p} q JOIN sigs{p} c ON q.bucket = c.bucket
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      ) WHERE rnk <= 5
+    )""")
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT {p} AS num_planes, query_id, neighbor_id FROM lsh{p}"
+        for p in (2, 4, 6, 8)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(embedding AS DOUBLE[])[i]
+                    * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+      FROM embeddings
+    ),
+    {",".join(arms)},
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                                                  i -> q.v[i] * c.v[i]))
+                          / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+        FROM e q CROSS JOIN e c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      ) WHERE rnk <= 5
+    ),
+    approx AS (
+{unions}
+    ),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM bf),
+    hits AS (
+      SELECT num_planes, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM approx JOIN bf USING (query_id, neighbor_id)
+      GROUP BY num_planes
+    ),
+    grid AS (SELECT unnest([2, 4, 6, 8]) AS num_planes)
+    SELECT CAST(g.num_planes AS INT) AS num_planes,
+           COALESCE(h.hits, 0) AS hits, n_base,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(n_base AS DOUBLE)
+             AS recall_at_5
+    FROM grid g LEFT JOIN hits h ON h.num_planes = g.num_planes
+    CROSS JOIN base
+    """
+
+
+@register("ext_ann_plane_sweep", oracle=_plane_sweep_oracle())
+def ext_ann_plane_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-tuning curve — the ANN analog of the dedup threshold
+    sweep: recall@5 vs brute force for hyperplane counts 2/4/6/8. More
+    planes → smaller buckets → cheaper re-scoring but lower recall; this
+    table is what picks num_planes before building the persisted index
+    (ext_ann_lsh_persist) on a real corpus.
+
+    Scale: each arm is the standard bucketed pipeline (signature
+    map-side, candidate equi-join on bucket); the sweep multiplies the
+    QUERY-side cost by the grid size, never the corpus-side signature
+    passes beyond one per config — at 100 TB the same sweep runs on a
+    sampled corpus slice, a documented estimator pattern. Determinism:
+    md5 hyperplanes and sequential folds make every arm's approximate
+    result — and therefore the recall itself — exactly reproducible;
+    hits/n_base are exact integers with one divide."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = None
+    for p in (2, 4, 6, 8):
+        arm = (
+            lsh_topk(q, emb, k=5, num_planes=p)
+            .select("query_id", "neighbor_id")
+            .withColumn("num_planes", F.lit(p))
+        )
+        approx = arm if approx is None else approx.unionByName(arm)
+    base = bf.agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    hits = (
+        approx.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("num_planes")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    # grid left-join: a plane count whose recall is ZERO must still emit
+    # its row — a hole in the tuning curve reads as "not measured"
+    grid = spark.createDataFrame([(2,), (4,), (6,), (8,)], "num_planes int")
+    return (
+        grid.join(hits, "num_planes", "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("num_planes").cast("int").alias("num_planes"),
+            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+            "n_base",
+            (
+                F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).cast(
+                    "double"
+                )
+                / F.col("n_base").cast("double")
+            ).alias("recall_at_5"),
+        )
+    )
