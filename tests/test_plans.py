@@ -938,3 +938,16 @@ def test_url_dedup_is_map_then_one_exchange(spark, sf_dir):
     assert tree.count("Exchange") == 1, tree
     assert "Window" not in tree and "Join" not in tree, tree
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_corpus_datacard_stack_does_not_multiply_scans(spark, sf_dir):
+    """ext_corpus_datacard's 15 report cells must come from ONE stack()
+    Generate over a single assembled row, with the bounded (source,
+    lang) partials persisted so the three aggregate consumers read the
+    cut, not the corpus. The naive form (15 union branches, no cut)
+    planned 120 parquet scans — this pin holds the scan count at the
+    fixed small constant of the current shape."""
+    p = plan(REGISTRY["ext_corpus_datacard"].fn(spark, sf_dir))
+    assert "stack" in p or "Generate" in p, p
+    assert "InMemoryTableScan" in p, p
+    assert p.count("Scan parquet") <= 8, p.count("Scan parquet")

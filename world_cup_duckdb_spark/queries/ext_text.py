@@ -1285,6 +1285,12 @@ def ext_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts are lossless); each ratio is ONE IEEE divide of two exact
     integers."""
     d = load_tables(spark, sf_dir)["documents"]
+    # Persist the bounded (source, lang) partials: THREE consumers
+    # (global counters, per-source max, per-lang max) would otherwise
+    # each re-derive the aggregate — and the 15-branch stack below would
+    # multiply that into 15 full corpus scans (observed: 120 parquet
+    # scans in the naive plan). With the cut, documents is scanned
+    # exactly twice: once here, once by the dup pass.
     g = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars"),
@@ -1294,7 +1300,7 @@ def ext_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digits"),
         F.count_if(F.col("n_chars") < 100).cast("bigint").alias("n_short"),
         F.count_if(F.col("n_chars") >= 1000).cast("bigint").alias("n_long"),
-    )
+    ).transform(tracked_persist)
     glob = g.agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
@@ -1328,33 +1334,40 @@ def ext_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(langmax))
         .crossJoin(F.broadcast(dup))
     )
-    dd = lambda c: F.col(c).cast("double")  # noqa: E731
-    rows = [
-        ("size", "n_docs", dd("n_docs")),
-        ("size", "n_sources", dd("n_sources")),
-        ("size", "n_langs", dd("n_langs")),
-        ("size", "total_chars", dd("chars")),
-        ("size", "total_tokens", dd("toks")),
-        ("length", "mean_chars_per_doc", dd("chars") / dd("n_docs")),
-        ("length", "pct_short_lt100", dd("n_short") / dd("n_docs")),
-        ("length", "pct_long_ge1000", dd("n_long") / dd("n_docs")),
-        ("quality", "mean_tokens_per_doc", dd("toks") / dd("n_docs")),
-        ("quality", "digit_char_pct", dd("digits") / dd("chars")),
-        ("dup", "n_dup_groups", dd("n_dup_groups")),
-        ("dup", "n_dup_docs", dd("n_dup_docs")),
-        ("dup", "exact_dup_rate", dd("n_dup_docs") / dd("n_docs")),
-        ("mix", "top_source_share", dd("max_src") / dd("n_docs")),
-        ("mix", "top_lang_share", dd("max_lang") / dd("n_docs")),
+    # ONE stack() Generate over the single assembled row — 15 union
+    # branches would re-execute the whole aggregate chain per branch.
+    dd = "CAST({} AS DOUBLE)"
+    cells = [
+        ("size", "n_docs", dd.format("n_docs")),
+        ("size", "n_sources", dd.format("n_sources")),
+        ("size", "n_langs", dd.format("n_langs")),
+        ("size", "total_chars", dd.format("chars")),
+        ("size", "total_tokens", dd.format("toks")),
+        ("length", "mean_chars_per_doc",
+         "CAST(chars AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+        ("length", "pct_short_lt100",
+         "CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+        ("length", "pct_long_ge1000",
+         "CAST(n_long AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+        ("quality", "mean_tokens_per_doc",
+         "CAST(toks AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+        ("quality", "digit_char_pct",
+         "CAST(digits AS DOUBLE) / CAST(chars AS DOUBLE)"),
+        ("dup", "n_dup_groups", dd.format("n_dup_groups")),
+        ("dup", "n_dup_docs", dd.format("n_dup_docs")),
+        ("dup", "exact_dup_rate",
+         "CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+        ("mix", "top_source_share",
+         "CAST(max_src AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+        ("mix", "top_lang_share",
+         "CAST(max_lang AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
     ]
-    stacked = None
-    for section, metric, val in rows:
-        piece = one.select(
-            F.lit(section).alias("section"),
-            F.lit(metric).alias("metric"),
-            val.alias("value"),
-        )
-        stacked = piece if stacked is None else stacked.unionByName(piece)
-    return stacked
+    args = ", ".join(
+        f"'{sec}', '{met}', {expr}" for sec, met, expr in cells
+    )
+    return one.selectExpr(
+        f"stack({len(cells)}, {args}) AS (section, metric, value)"
+    )
 
 
 from world_cup_duckdb_spark.queries import REGISTRY as _REG  # noqa: E402
