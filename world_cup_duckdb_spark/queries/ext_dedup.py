@@ -1496,12 +1496,15 @@ def ext_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
+    # Persist the tiny histogram: both the report rows and the
+    # clustered-docs total consume it, and each would otherwise re-run
+    # the label and size shuffles from the cluster output.
     hist = sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1)))
         .cast("bigint")
         .alias("n_docs"),
-    )
+    ).transform(tracked_persist)
     total = (
         load_tables(spark, sf_dir)["documents"]
         .agg((2 * F.count(F.lit(1))).cast("bigint").alias("total"))

@@ -1413,9 +1413,11 @@ def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = counted.select(
         "lang", predict_lang(counter_scores()).alias("pred_lang")
     )
+    # Persist the bounded confusion cells: the per-gold total and the
+    # final join would otherwise each re-run the classifier corpus pass.
     cm = pred.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
+    ).transform(tracked_persist)
     tot = cm.groupBy("lang").agg(
         F.sum("n_docs").cast("bigint").alias("gold_total")
     )

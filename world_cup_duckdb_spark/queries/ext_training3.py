@@ -363,12 +363,17 @@ def ext_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer counters until exactly four float ops per
     domain (two divides, one subtract, one add), then one fixed-order
     fold and one divide."""
+    from world_cup_duckdb_spark.queries import tracked_persist
+
     d = table(spark, sf_dir, "documents")
+    # Persist the bounded per-domain counters: FOUR consumers (the
+    # global total, the scored join, the normalizer fold, the final
+    # projection) would otherwise each re-run the corpus aggregate.
     per_domain = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("sum_tokens"),
-    )
+    ).transform(tracked_persist)
     tot = per_domain.agg(
         F.sum("sum_chars").cast("bigint").alias("t_chars"),
         F.sum("sum_tokens").cast("bigint").alias("t_tokens"),
