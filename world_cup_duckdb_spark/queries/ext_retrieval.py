@@ -678,140 +678,126 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     final slate is relevant but not redundant — what a RAG stack runs
     between retrieval and the context window.
 
-    Scale: the selection loop runs over the CANDIDATE relation
-    (|Q|*{_MMR_K} rows) — the corpus is touched only by the initial
-    top-k (broadcast-query brute force here; the LSH/IVF serve paths at
-    scale). The selection depth is a fixed constant, so the plan is
-    {_MMR_SELECT} unrolled steps, not a data-dependent loop; candidate
-    pair-sims are computed once ({_MMR_K}^2 per query) and reused by
-    every step.
+    Scale shape: the corpus is touched ONLY by the initial top-k
+    (broadcast-query brute force here; the LSH/IVF serve paths at
+    scale); candidate vectors are recovered by broadcasting the bounded
+    candidate list INTO the embeddings scan (map-side semi-join), and
+    the greedy selection is ONE applyInPandas exchange keyed by
+    query_id — |Q|*{_MMR_K} rows, each group a {_MMR_K}-row in-memory
+    greedy, scaling linearly with the query batch. (An earlier unrolled
+    join/window form was plan-correct but paid ~10 stage launches for
+    the same 80 rows — the grouped Arrow form is both faster locally
+    and the right 100 TB shape.)
 
-    Determinism: cosine folds are the shared sequential association;
-    the MMR combination is two mults and a subtract in fixed order with
-    string-cast literal lambda; MAX over selected sims is
-    order-insensitive; every argmax tie-breaks (score DESC,
-    neighbor_id)."""
+    Determinism: relevance scores come from the JVM-side fold pipeline
+    unchanged; in-group pair cosines accumulate dimension 0..d-1 —
+    exactly the sequential fold's (and DuckDB list_sum's) order, the
+    brute_force_topk_np parity pattern — so every double matches the
+    unrolled-SQL oracle bit-for-bit; the greedy tie-breaks (score DESC,
+    neighbor_id ASC)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    from world_cup_duckdb_spark.operators.similarity import (
-        as_double,
-        cosine,
-        norm2,
+    cand = brute_force_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_MMR_K
+    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"))
+    return _greedy_mmr_grouped(emb, cand)
+
+
+def _greedy_mmr_grouped(
+    emb: DataFrame,
+    cand: DataFrame,
+    select_n: int = _MMR_SELECT,
+    lam: float = _MMR_LAMBDA,
+    one_m_lam: float = 0.3,
+) -> DataFrame:
+    """Grouped-Arrow greedy MMR over a bounded candidate relation
+    (query_id, neighbor_id, rel): candidate vectors are recovered by
+    broadcasting the candidate list INTO the embeddings scan (map-side
+    semi-join, no corpus shuffle), then ONE applyInPandas exchange
+    keyed by query_id runs the k-row greedy per group. Pair cosines
+    accumulate dimension 0..d-1 — the sequential fold's (and DuckDB
+    list_sum's) order — so every double matches an unrolled-SQL oracle
+    bit-for-bit. Tie-breaks (score DESC, neighbor_id ASC)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cand_v = emb.join(
+        F.broadcast(cand), emb["vec_id"] == cand["neighbor_id"]
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rel",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
 
-    e = emb.select(
-        F.col("vec_id").alias("id"),
-        as_double("embedding").alias("v"),
-        F.sqrt(norm2(as_double("embedding"))).alias("nrm"),
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+            T.StructField("rel", T.DoubleType()),
+            T.StructField("mmr", T.DoubleType()),
+        ]
     )
-    cand = (
-        brute_force_topk(
-            emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_MMR_K
+    # one_m_lam is passed as its own decimal literal, NOT computed as
+    # 1.0 - lam: 1.0 - 0.7 is 0.30000000000000004 in IEEE doubles and
+    # the oracle's CAST('0.3' AS DOUBLE) is 0.3 exactly — a silent ulp.
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = sorted(
+            zip(pdf["neighbor_id"], pdf["rel"], pdf["v"]),
+            key=lambda t: t[0],
         )
-        .select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"))
-        .transform(tracked_persist)
-    )
-    # Candidate pair-similarities, computed once and shared by all steps.
-    ea = e.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    eb = e.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    ca = cand.select("query_id", F.col("neighbor_id").alias("id_a"))
-    cb = cand.select("query_id", F.col("neighbor_id").alias("id_b"))
-    denom = F.col("na") * F.col("nb")
-    psim = (
-        ca.join(cb, "query_id")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .join(F.broadcast(ea), "id_a")
-        .join(F.broadcast(eb), "id_b")
-        .select(
-            "query_id",
-            "id_a",
-            "id_b",
-            F.when(
-                denom != 0.0,
-                F.aggregate(
-                    F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, x: acc + x,
+        ids = [int(n) for n, _, _ in rows]
+        rel = {int(n): float(r) for n, r, _ in rows}
+        vecs = {int(n): [float(x) for x in v] for n, _, v in rows}
+
+        def cos(a: list, b: list) -> float:
+            # dimension-order accumulation == the sequential fold ==
+            # DuckDB list_sum: bit-identical cross-engine
+            num = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(a, b):
+                num = num + x * y
+                na = na + x * x
+                nb = nb + y * y
+            return num / (na**0.5 * nb**0.5)
+
+        sel: list = []
+        out: list = []
+        remaining = list(ids)
+        for step in range(1, select_n + 1):
+            best = None
+            for nid in remaining:
+                if step == 1:
+                    score = rel[nid]
+                else:
+                    worst = max(cos(vecs[nid], vecs[sid]) for sid in sel)
+                    score = lam * rel[nid] - one_m_lam * worst
+                if (
+                    best is None
+                    or score > best[1]
+                    or (score == best[1] and nid < best[0])
+                ):
+                    best = (nid, score)
+            if best is None:
+                break
+            sel.append(best[0])
+            remaining.remove(best[0])
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    best[0],
+                    step,
+                    rel[best[0]],
+                    best[1],
                 )
-                / denom,
-            ).alias("sim"),
-        )
-        .transform(tracked_persist)
-    )
-    lam = F.lit(0.7).cast("double")
-    one_m_lam = F.lit(0.3).cast("double")
-
-    def argmax(df: DataFrame, score: str) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc(score), F.asc("neighbor_id")
-        )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
-    s1 = argmax(cand, "rel").select(
-        "query_id", "neighbor_id", "rel", F.col("rel").alias("mmr")
-    )
-
-    def step(selected: list[DataFrame]) -> DataFrame:
-        rem = cand
-        for s in selected:
-            rem = rem.join(
-                s.select(
-                    "query_id", F.col("neighbor_id").alias("_sel")
-                ),
-                "query_id",
-            ).filter(F.col("neighbor_id") != F.col("_sel")).drop("_sel")
-        sel_ids = selected[0].select(
-            F.col("query_id").alias("_sq"), F.col("neighbor_id").alias("_sb")
-        )
-        for s in selected[1:]:
-            sel_ids = sel_ids.unionByName(
-                s.select(
-                    F.col("query_id").alias("_sq"),
-                    F.col("neighbor_id").alias("_sb"),
-                )
             )
-        # rename psim's columns before joining: rem, psim and sel_ids all
-        # descend from `cand`, so positional attribute references would be
-        # ambiguous (the self-join lineage trap) — unique names resolve it
-        p_r = psim.select(
-            F.col("query_id").alias("_pq"),
-            F.col("id_a").alias("_pa"),
-            F.col("id_b").alias("_pb"),
-            "sim",
-        )
-        scored = (
-            rem.join(
-                p_r,
-                (F.col("query_id") == F.col("_pq"))
-                & (F.col("neighbor_id") == F.col("_pa")),
-            )
-            .join(
-                sel_ids,
-                (F.col("_pq") == F.col("_sq")) & (F.col("_pb") == F.col("_sb")),
-            )
-            .select("query_id", "neighbor_id", "rel", "sim")
-            .groupBy("query_id", "neighbor_id", "rel")
-            .agg((lam * F.col("rel") - one_m_lam * F.max("sim")).alias("mmr"))
-        )
-        return argmax(scored, "mmr").select(
-            "query_id", "neighbor_id", "rel", "mmr"
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "mmr_rank", "rel", "mmr"]
         )
 
-    s2 = step([s1])
-    s3 = step([s1, s2])
-    return (
-        s1.withColumn("mmr_rank", F.lit(1).cast("int"))
-        .unionByName(s2.withColumn("mmr_rank", F.lit(2).cast("int")))
-        .unionByName(s3.withColumn("mmr_rank", F.lit(3).cast("int")))
-        .select("query_id", "neighbor_id", "mmr_rank", "rel", "mmr")
-    )
+    return cand_v.groupBy("query_id").applyInPandas(greedy, out_schema)
 
 
 def _rrf_sql(fused_k: int) -> str:
@@ -995,124 +981,10 @@ def ext_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks everywhere."""
     cand_full = _rrf_fused(spark, sf_dir, 10)
     mx = cand_full.groupBy("query_id").agg(F.max("rrf_score").alias("mx"))
-    cand = (
-        cand_full.join(F.broadcast(mx), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("rrf_score") / F.col("mx")).alias("rel"),
-        )
-        .transform(tracked_persist)
+    cand = cand_full.join(F.broadcast(mx), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (F.col("rrf_score") / F.col("mx")).alias("rel"),
     )
     emb = load_tables(spark, sf_dir)["embeddings"]
-    from world_cup_duckdb_spark.operators.similarity import as_double, norm2
-
-    e = emb.select(
-        F.col("vec_id").alias("id"),
-        as_double("embedding").alias("v"),
-        F.sqrt(norm2(as_double("embedding"))).alias("nrm"),
-    )
-    ea = e.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    eb = e.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    ca = cand.select("query_id", F.col("neighbor_id").alias("id_a"))
-    cb = cand.select("query_id", F.col("neighbor_id").alias("id_b"))
-    denom = F.col("na") * F.col("nb")
-    psim = (
-        ca.join(cb, "query_id")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .join(F.broadcast(ea), "id_a")
-        .join(F.broadcast(eb), "id_b")
-        .select(
-            "query_id",
-            "id_a",
-            "id_b",
-            F.when(
-                denom != 0.0,
-                F.aggregate(
-                    F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, x: acc + x,
-                )
-                / denom,
-            ).alias("sim"),
-        )
-        .transform(tracked_persist)
-    )
-    lam = F.lit(0.7).cast("double")
-    one_m_lam = F.lit(0.3).cast("double")
-
-    def argmax(df: DataFrame, score: str) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc(score), F.asc("neighbor_id")
-        )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
-    s1 = argmax(cand, "rel").select(
-        "query_id", "neighbor_id", "rel", F.col("rel").alias("mmr")
-    )
-
-    def step(selected: list) -> DataFrame:
-        rem = cand
-        for sel in selected:
-            rem = (
-                rem.join(
-                    sel.select(
-                        "query_id", F.col("neighbor_id").alias("_sel")
-                    ),
-                    "query_id",
-                )
-                .filter(F.col("neighbor_id") != F.col("_sel"))
-                .drop("_sel")
-            )
-        sel_ids = selected[0].select(
-            F.col("query_id").alias("_sq"), F.col("neighbor_id").alias("_sb")
-        )
-        for sel in selected[1:]:
-            sel_ids = sel_ids.unionByName(
-                sel.select(
-                    F.col("query_id").alias("_sq"),
-                    F.col("neighbor_id").alias("_sb"),
-                )
-            )
-        p_r = psim.select(
-            F.col("query_id").alias("_pq"),
-            F.col("id_a").alias("_pa"),
-            F.col("id_b").alias("_pb"),
-            "sim",
-        )
-        scored = (
-            rem.join(
-                p_r,
-                (F.col("query_id") == F.col("_pq"))
-                & (F.col("neighbor_id") == F.col("_pa")),
-            )
-            .join(
-                sel_ids,
-                (F.col("_pq") == F.col("_sq")) & (F.col("_pb") == F.col("_sb")),
-            )
-            .select("query_id", "neighbor_id", "rel", "sim")
-            .groupBy("query_id", "neighbor_id", "rel")
-            .agg((lam * F.col("rel") - one_m_lam * F.max("sim")).alias("mmr"))
-        )
-        return argmax(scored, "mmr").select(
-            "query_id", "neighbor_id", "rel", "mmr"
-        )
-
-    s2 = step([s1])
-    s3 = step([s1, s2])
-    return (
-        s1.withColumn("mmr_rank", F.lit(1).cast("int"))
-        .unionByName(s2.withColumn("mmr_rank", F.lit(2).cast("int")))
-        .unionByName(s3.withColumn("mmr_rank", F.lit(3).cast("int")))
-        .select("query_id", "neighbor_id", "mmr_rank", "rel", "mmr")
-    )
+    return _greedy_mmr_grouped(emb, cand)
