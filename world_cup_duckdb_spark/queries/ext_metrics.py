@@ -214,3 +214,183 @@ def ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.sum("term").cast("double"), F.sum("dur")), 6
         ).alias("twap"),
     )
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap, computed
+# once in Python and embedded as the same decimal literals in both
+# engines (the ext_retrieval_metrics shared-literal pattern).
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+]
+_N_RESAMPLES = 32
+
+
+def _bootstrap_oracle() -> str:
+    c = [f"CAST('{p!r}' AS DOUBLE)" for p in _POIS_CDF]
+    w_case = (
+        f"CASE WHEN u < {c[0]} THEN 0 WHEN u < {c[1]} THEN 1 "
+        f"WHEN u < {c[2]} THEN 2 WHEN u < {c[3]} THEN 3 "
+        f"WHEN u < {c[4]} THEN 4 ELSE 5 END"
+    )
+    return f"""
+    WITH draws AS (
+      SELECT doc_id, n_chars, b,
+             CAST(
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+               AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, {_N_RESAMPLES})) AS b)
+    ),
+    weighted AS (
+      SELECT b, CAST(SUM(({w_case}) * n_chars) AS BIGINT) AS wsum,
+             CAST(SUM({w_case}) AS BIGINT) AS wn
+      FROM draws GROUP BY b
+    ),
+    means AS (
+      SELECT b, CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) AS m
+      FROM weighted
+    ),
+    pt AS (
+      SELECT CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pm
+      FROM documents
+    )
+    SELECT CAST({_N_RESAMPLES} AS INT) AS n_resamples,
+           pt.pm AS point_mean,
+           (SELECT MIN(m) FROM means) AS ci_lo,
+           (SELECT MAX(m) FROM means) AS ci_hi
+    FROM pt
+    """
+
+
+@register("ext_poisson_bootstrap", oracle=_bootstrap_oracle())
+def ext_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al., Google 2012 —
+    "Estimating uncertainty for massive data streams"): the CI
+    technique that actually works at 100 TB, because each of the
+    {_N_RESAMPLES} resamples assigns every row an INDEPENDENT
+    Poisson(1) inclusion weight in a single pass — no resample-sized
+    shuffles, no sampling with replacement over distributed data. Here
+    the randomness is a DETERMINISTIC md5 draw per (row, resample)
+    pushed through the Poisson(1) inverse CDF (thresholds shared as
+    literals with the oracle), so the whole procedure — weights,
+    per-resample means of n_chars, and the min/max envelope of the 32
+    means — is bit-reproducible cross-engine. With 32 resamples the
+    min/max envelope is a ~94% CI (1 - 2/33 coverage under the
+    bootstrap distribution); more resamples sharpen it without
+    changing any shape.
+
+    Scale: ALL 32 resample weights are computed IN-ROW (64 integer
+    counters fold map-side in one aggregate over one corpus scan — no
+    32-way row explosion); weighted sums are exact int64, so each
+    resample mean is one IEEE divide. The point estimate shares the
+    same pass's counters."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = [F.lit(p).cast("double") for p in _POIS_CDF]
+
+    def weight(b: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.lit(str(b)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        u = h.cast("double") / F.lit(4294967296.0)
+        return (
+            F.when(u < c[0], 0)
+            .when(u < c[1], 1)
+            .when(u < c[2], 2)
+            .when(u < c[3], 3)
+            .when(u < c[4], 4)
+            .otherwise(5)
+        )
+
+    aggs = [F.sum("n_chars").cast("bigint").alias("tot_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for b in range(_N_RESAMPLES):
+        w = weight(b)
+        aggs.append(
+            F.sum(w * F.col("n_chars")).cast("bigint").alias(f"ws{b}")
+        )
+        aggs.append(F.sum(w).cast("bigint").alias(f"wn{b}"))
+    one = d.agg(*aggs)
+    means = F.array(
+        *[
+            F.col(f"ws{b}").cast("double") / F.col(f"wn{b}").cast("double")
+            for b in range(_N_RESAMPLES)
+        ]
+    )
+    return one.select(
+        F.lit(_N_RESAMPLES).cast("int").alias("n_resamples"),
+        (F.col("tot_chars").cast("double") / F.col("n_docs").cast("double"))
+        .alias("point_mean"),
+        F.array_min(means).alias("ci_lo"),
+        F.array_max(means).alias("ci_hi"),
+    )
+
+
+@register(
+    "ext_kanonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(10 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_k,
+           CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) AS at_risk_share
+    FROM g
+    """,
+)
+def ext_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over quasi-identifiers — the privacy
+    governance check that complements PII redaction (ext_pii_redact):
+    rows whose quasi-identifier combination (nation, market segment)
+    occurs fewer than k=10 times are re-identifiable by linkage, and a
+    release gate needs the count BEFORE publishing. Reports group
+    census, the below-k population, the minimum group size (the
+    table's actual k-anonymity level), and the at-risk share.
+
+    Scale: one hash aggregate on the quasi-identifier key (map-side
+    partials) then a census over the bounded group relation — the same
+    two-level shape as ext_corpus_datacard's mix section. The
+    remediation step (generalize or suppress below-k groups) is a
+    broadcast join of the flagged combos back onto the table.
+    Determinism: pure integer counts, one final divide."""
+    c = load_tables(spark, sf_dir)["customer"]
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    below = F.when(F.col("n") < 10, F.col("n"))
+    return g.agg(
+        F.lit(10).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.count_if(F.col("n") < 10).cast("bigint").alias("n_groups_below_k"),
+        F.coalesce(F.sum(below), F.lit(0)).cast("bigint").alias(
+            "n_rows_at_risk"
+        ),
+        F.min("n").cast("bigint").alias("min_group_size"),
+        (
+            F.coalesce(F.sum(below), F.lit(0)).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("at_risk_share"),
+    )
