@@ -787,3 +787,81 @@ def ext_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum double, alarm boolean",
         )
     )
+
+
+@register(
+    "ext_sketch_incremental",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS n_sketch_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total,
+           CAST('ok' AS VARCHAR) AS est_status
+    FROM events
+    """,
+)
+def ext_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-state LIFECYCLE — the index-persistence pattern applied to
+    cardinality partials: per-day HLL user sketches for all but the
+    newest day are built once and PERSISTED as parquet binary rows
+    (bytes, not user sets); the newest day's batch then builds ONLY its
+    own sketch and APPENDS, exactly like ivf_index_append; serving the
+    whole-range distinct-user estimate reads the persisted partials and
+    unions them — zero fact-table rescan for the historical days. This
+    is how a 100 TB rollup answers "distinct users, any date range"
+    without ever re-touching old facts.
+
+    Oracle strategy (shared with ext_hll_sketch_union): the sketch
+    binary is implementation-defined, so the hash-checked columns are
+    the partial count and the SQL-exact total, plus est_status = 'ok'
+    iff the round-tripped union lands within 5% of exact (HLL
+    lgConfigK=12 ≈ 1.6% se). On failure the status CARRIES est/exact.
+    The full-build ≡ build-then-append equivalence through the parquet
+    round trip is what this key adds over the in-memory form."""
+    import os
+
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
+    days = e.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+    last_day = days.agg(F.max("day")).collect()[0][0]  # bounded: 1 row
+    loc = _fresh_dir("sketch-incremental")
+    hist = (
+        days.filter(F.col("day") < F.lit(last_day))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    hist.write.mode("overwrite").parquet(os.path.join(loc, "partials"))
+    newest = (
+        days.filter(F.col("day") == F.lit(last_day))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    newest.write.mode("append").parquet(os.path.join(loc, "partials"))
+
+    persisted = spark.read.parquet(os.path.join(loc, "partials"))
+    est = persisted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    exact = e.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_total")
+    )
+    within = (
+        F.abs(F.col("est_union") - F.col("exact_total"))
+        / F.col("exact_total")
+        <= F.lit(0.05)
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_sketch_rows",
+        "exact_total",
+        F.when(within, F.lit("ok"))
+        .otherwise(
+            F.concat(
+                F.lit("est="),
+                F.col("est_union").cast("string"),
+                F.lit(" exact="),
+                F.col("exact_total").cast("string"),
+            )
+        )
+        .alias("est_status"),
+    )

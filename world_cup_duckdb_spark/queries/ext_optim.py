@@ -471,3 +471,88 @@ def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_pairs").cast("double")
         ).alias("rel_overcount"),
     )
+
+
+@register(
+    "ext_analyze_stats",
+    oracle="""
+    SELECT col, ndv, null_count, min_val, max_val FROM (
+      SELECT 'l_orderkey' AS col,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_count,
+             CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+             CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+             CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(MIN(l_returnflag) AS VARCHAR),
+             CAST(MAX(l_returnflag) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate', CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+      FROM lineitem
+    )
+    """,
+)
+def ext_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE — optimizer-statistics collection as a query: per
+    column, the exact NDV, null count, and min/max (stringified for a
+    uniform schema) that a cost-based optimizer feeds on (join
+    reordering, selectivity estimates) and a lakehouse stores as table
+    metadata. Spark's own `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS` writes these to the catalog; this key computes the same
+    numbers as DATA so the driver hash-checks them.
+
+    Scale: ONE aggregate pass — all five columns' distinct counts share
+    a single expand-based aggregate (Spark plans multi-count-distinct
+    as one expand + two-phase agg, not five scans), with min/max/null
+    counters riding the same pass map-side. At extreme NDV swap
+    count_distinct for approx_count_distinct (HLL partials) without
+    changing the shape — the exact form is kept because the oracle
+    requires exact numbers. The stack to tall rows is a Generate over
+    the single result row (the ext_corpus_datacard pattern).
+
+    Determinism: exact integers; min/max stringification is locale-free
+    for bigint/date/flag; l_quantity is produced as DOUBLE by both
+    engines' writers with shortest-repr formatting."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cols = [
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"),
+            F.count_if(F.col(c).isNull()).cast("bigint").alias(f"nul_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    args = ", ".join(
+        f"'{c}', ndv_{c}, nul_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {args}) AS (col, ndv, null_count, min_val, max_val)"
+    )
