@@ -865,3 +865,155 @@ def ext_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("est_status"),
     )
+
+
+@register(
+    "ext_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY bar ORDER BY ts, event_id)
+               AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY bar ORDER BY ts DESC,
+                                event_id DESC) AS rn_close
+      FROM e
+    )
+    SELECT bar,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+    FROM ranked GROUP BY bar
+    """,
+)
+def ext_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the canonical time-series downsample
+    (open / high / low / close per hour over the event value stream),
+    what every metrics store and trading system materializes at ingest.
+    Open and close are the FIRST and LAST values under the (ts,
+    event_id) total order — row_number tie-broken, not arg_min/arg_max,
+    because both engines leave argmin ties unspecified while a
+    row_number over a total order is deterministic everywhere.
+
+    Scale: one (bar) exchange; the two rank windows and the aggregate
+    all share it (same partition key), and high/low/count are plain
+    map-side-combinable aggregates. At 100 TB this is the shape of a
+    streaming-materialized rollup (ext_rollup_hypertable's hour grain;
+    the streaming twin is a tumbling window with the same expressions).
+
+    Determinism: values pass through untouched (no float arithmetic at
+    all — min/max/first/last only), counts exact."""
+    from pyspark.sql import Window
+
+    e = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "ts",
+            "value",
+            F.date_trunc("hour", "ts").alias("bar"),
+        )
+    )
+    w_open = Window.partitionBy("bar").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_close = Window.partitionBy("bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = e.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
+        "rn_close", F.row_number().over(w_close)
+    )
+    return ranked.groupBy("bar").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+    )
+
+
+@register(
+    "ext_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL
+    ),
+    islands AS (
+      SELECT user_id, d,
+             CAST(d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS INT) AS DATE) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS streak_start, MAX(d) AS streak_end
+      FROM islands GROUP BY user_id, island
+    ),
+    best AS (
+      SELECT user_id, len, streak_start, streak_end FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY len DESC, streak_start) AS rn
+        FROM streaks
+      ) WHERE rn = 1
+    )
+    SELECT user_id, len AS longest_streak_days, streak_start, streak_end
+    FROM best
+    ORDER BY longest_streak_days DESC, user_id LIMIT 25
+    """,
+)
+def ext_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days — the classic SQL pattern behind engagement streaks, uptime
+    runs, and sensor-contiguity reports, done the set-based way: a day
+    minus its per-user rank is CONSTANT within a consecutive run, so
+    the island key is pure window math (no self-join, no recursion),
+    then one count per island and an argmax per user. Top 25 by streak
+    length ships.
+
+    Scale: distinct-day reduce, rank window, island aggregate, and the
+    per-user argmax all hash on user_id — ONE exchange family; the
+    final top-25 is a TakeOrderedAndProject. Determinism: dates and
+    integers only; ties broken (len DESC, streak_start) per user and
+    (streak DESC, user_id) globally."""
+    from pyspark.sql import Window
+
+    days = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    best = (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+            "streak_end",
+        )
+    )
+    return best.orderBy(
+        F.desc("longest_streak_days"), F.asc("user_id")
+    ).limit(25)
