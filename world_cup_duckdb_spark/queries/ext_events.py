@@ -1017,3 +1017,103 @@ def ext_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.orderBy(
         F.desc("longest_streak_days"), F.asc("user_id")
     ).limit(25)
+
+
+@register(
+    "ext_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+    ),
+    touch AS (
+      SELECT p.event_id, p.cents, c.click_id, c.cts
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.cts <= p.ts
+       AND c.cts >= p.ts - INTERVAL 1 HOUR
+    ),
+    credited AS (
+      SELECT click_id, cts,
+             CAST(1000000 // COUNT(*) OVER (PARTITION BY event_id)
+                  AS BIGINT) AS credit_ppm,
+             CAST(cents // COUNT(*) OVER (PARTITION BY event_id)
+                  AS BIGINT) AS credit_cents
+      FROM touch
+    )
+    SELECT CAST(EXTRACT(hour FROM cts) AS INT) AS click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_ppm) AS BIGINT) AS attributed_purchases_ppm,
+           CAST(SUM(credit_cents) AS BIGINT) AS attributed_cents
+    FROM credited GROUP BY 1
+    """,
+)
+def ext_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the marketing-analytics workload
+    between last-touch (ext_asof_join) and a full Markov model: every
+    click by the purchasing user within the hour before a purchase
+    shares the conversion credit equally, and credit rolls up by click
+    hour-of-day (when do converting touches happen). Fractional credit
+    is carried as EXACT integers — purchase value floored to cents once,
+    then integer-divided by the touch count (ppm for the count credit) —
+    because summing 1/n doubles across an unordered shuffle would be
+    accumulation-order-dependent; the floor bias is documented and
+    identical in both engines.
+
+    Scale: the touch join shuffles both sides on user_id once and
+    applies the 1-hour band as a post-join range predicate — the
+    standard banded-join shape (a production deployment bucketing by
+    (user, hour) makes the band an equi-join key, same rows); the
+    per-purchase touch count is a window over the sparse touch set; the
+    final rollup is a 24-key aggregate. Determinism: integers end to
+    end; one floor(value*100) per purchase is the only float op."""
+    e = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    purchases = e.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    clicks = e.filter(
+        (F.col("event_type") == "click") & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    touch = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cts") <= F.col("ts"))
+        & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("event_id", "cents", "click_id", "cts")
+    w = Window.partitionBy("event_id")
+    credited = touch.select(
+        "click_id",
+        "cts",
+        F.floor(F.lit(1000000) / F.count(F.lit(1)).over(w))
+        .cast("bigint")
+        .alias("credit_ppm"),
+        F.floor(F.col("cents") / F.count(F.lit(1)).over(w))
+        .cast("bigint")
+        .alias("credit_cents"),
+    )
+    return credited.groupBy(
+        F.hour("cts").cast("int").alias("click_hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("credit_ppm").cast("bigint").alias("attributed_purchases_ppm"),
+        F.sum("credit_cents").cast("bigint").alias("attributed_cents"),
+    )
