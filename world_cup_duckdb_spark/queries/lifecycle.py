@@ -988,3 +988,49 @@ def ext_torn_commit_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("rows_after"),
         F.sum("doc_id").cast("bigint").alias("id_sum_after"),
     )
+
+
+@register(
+    "ext_version_rollback",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+             AS rows_after_restore,
+           CAST((SELECT SUM(doc_id) FROM documents) AS BIGINT)
+             AS id_sum_after_restore,
+           CAST(5 AS BIGINT) AS restored_as_version,
+           CAST(6 AS BIGINT) AS n_history
+    """,
+)
+def ext_version_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE — the undo button of the versioned table, completing the
+    lifecycle family (merge / delete / update / time-travel / vacuum /
+    torn-commit recovery): four id-range appends (versions 0-3), a
+    destructive mid-range delete (version 4), then
+    ``restore_table(..., 3)`` re-commits version 3's EXACT file set as
+    version 5 — an O(1) metadata operation, no data copied — so the
+    head serves the full pre-delete population again while the
+    mis-write stays in history for audit (6 surviving manifests). The
+    oracle recomputes the restored population from source and pins the
+    structural version/history accounting.
+
+    Scale: restore is one manifest read + one atomic commit at any
+    table size; history listing is O(versions)."""
+    from world_cup_duckdb_spark.operators.lakehouse import (
+        delete_where,
+        read_table,
+        restore_table,
+        table_history,
+    )
+
+    loc, d, q = _quartered_doc_table(spark, sf_dir, "ext_version_rollback")
+    lo = q[2] + (q[3] - q[2]) // 2
+    hi = q[3] + (q[4] - q[3]) // 2
+    delete_where(spark, loc, (F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    restored_as = restore_table(loc, 3)
+    after = read_table(spark, loc)
+    return after.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_after_restore"),
+        F.sum("doc_id").cast("bigint").alias("id_sum_after_restore"),
+        F.lit(restored_as).cast("bigint").alias("restored_as_version"),
+        F.lit(len(table_history(loc))).cast("bigint").alias("n_history"),
+    )
