@@ -1284,3 +1284,86 @@ def ext_ann_plane_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "ext_embedding_drift",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(vec_id % 2 AS INT) AS pop, u.i AS dim, u.v
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(
+                 range(1, len(embedding) + 1),
+                 i -> struct_pack(
+                   i := CAST(i AS INT),
+                   v := CAST(round(CAST(embedding AS DOUBLE[])[i] * 1000000)
+                             AS BIGINT)))) AS u
+        FROM embeddings
+      )
+    ),
+    per_dim AS (
+      SELECT dim,
+             CAST(SUM(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN pop = 0 THEN v ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(SUM(CASE WHEN pop = 1 THEN v ELSE 0 END) AS BIGINT) AS s_b
+      FROM vals GROUP BY dim
+    ),
+    scored AS (
+      SELECT dim, n_a, n_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a_micro,
+             CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b_micro,
+             ABS(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS drift_micro
+      FROM per_dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n_a, n_b, mean_a_micro, mean_b_micro,
+           drift_micro
+    FROM scored
+    ORDER BY drift_micro DESC, dim LIMIT 10
+    """,
+)
+def ext_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: split the vector population into
+    two cohorts (even/odd vec_id here; production uses time or model
+    version) and report the 10 dimensions whose cohort means diverge
+    most — the per-dimension check that catches a silently retrained or
+    mis-normalized encoder before it poisons ANN indexes and dedup
+    thresholds downstream. Values live in the PQ family's exact
+    micro-unit integer space (round(x·1e6)), so cohort sums are exact
+    int64 and each mean is ONE IEEE divide.
+
+    Scale: one posexplode pass feeding a |dims|-key hash aggregate
+    (map-side partials; dims is a constant of the model, never
+    corpus-sized), then a top-10 TakeOrderedAndProject over the bounded
+    per-dim relation. Determinism: integers until two divides, one
+    subtract, one abs, in fixed order; ties (drift DESC, dim)."""
+    from world_cup_duckdb_spark.operators.similarity import _micro_units
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vals = emb.select(
+        (F.col("vec_id") % 2).cast("int").alias("pop"),
+        F.posexplode(_micro_units("embedding")).alias("dim0", "v"),
+    ).select("pop", (F.col("dim0") + 1).alias("dim"), "v")
+    per_dim = vals.groupBy("dim").agg(
+        F.count_if(F.col("pop") == 0).cast("bigint").alias("n_a"),
+        F.count_if(F.col("pop") == 1).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("pop") == 0, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(F.col("pop") == 1, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("s_b"),
+    )
+    mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    scored = per_dim.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a_micro"),
+        mean_b.alias("mean_b_micro"),
+        F.abs(mean_a - mean_b).alias("drift_micro"),
+    )
+    return scored.orderBy(F.desc("drift_micro"), F.asc("dim")).limit(10)
