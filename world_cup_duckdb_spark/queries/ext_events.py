@@ -1117,3 +1117,157 @@ def ext_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit_ppm").cast("bigint").alias("attributed_purchases_ppm"),
         F.sum("credit_cents").cast("bigint").alias("attributed_cents"),
     )
+
+
+@register(
+    "ext_forecast_backtest",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS d
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ranked AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM days
+    ),
+    cutoff AS (
+      SELECT d AS cutoff_day FROM ranked
+      WHERE rn = CAST(ceil(0.8 * n) AS BIGINT)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT d, event_type FROM days CROSS JOIN types),
+    actual AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    full_grid AS (
+      SELECT g.d, g.event_type, COALESCE(a.c, 0) AS c,
+             CAST(dayofweek(g.d) AS INT) AS dow
+      FROM grid g LEFT JOIN actual a
+        ON a.d = g.d AND a.event_type = g.event_type
+    ),
+    train AS (
+      SELECT event_type, dow,
+             CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM full_grid, cutoff WHERE d <= cutoff_day
+      GROUP BY event_type, dow
+    ),
+    test AS (
+      SELECT f.event_type, f.d, f.c,
+             CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS forecast
+      FROM full_grid f
+      CROSS JOIN cutoff
+      JOIN train t ON t.event_type = f.event_type AND t.dow = f.dow
+      WHERE f.d > cutoff_day
+    ),
+    folded AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test_days,
+             CAST(list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(d := d,
+                                            ae := ABS(forecast
+                                                      - CAST(c AS DOUBLE))))),
+                 x -> x.ae),
+               (a, b) -> a + b) AS DOUBLE) AS ae_sum
+      FROM test GROUP BY event_type
+    )
+    SELECT event_type, n_test_days,
+           ae_sum / CAST(n_test_days AS DOUBLE) AS mae
+    FROM folded
+    """,
+)
+def ext_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every demand /
+    capacity forecasting pipeline is graded against: per event type,
+    forecast each held-out day's event count as the TRAINING mean for
+    that day-of-week (the first 80% of days train, the rest test, zero
+    days included via the day x type grid), and report per-type MAE.
+    Any real model must beat this row to earn its complexity.
+
+    Scale: the only corpus pass is the (day, type) count aggregate
+    (map-side partials); everything downstream — the day rank, the
+    80% cutoff (single-row), the dow means, the backtest join — runs on
+    day-grain relations. The MAE's |error| sum is the one cross-row
+    float reduction, so it folds a day-sorted collected array per type
+    (bounded by the test-window length) in ONE fixed order on both
+    engines; 0.0-seeded fold == DuckDB's unseeded first-element fold.
+
+    Determinism: counts exact; each forecast is one divide of exact
+    ints; dayofweek matches (both engines: 1=Sunday..7=Saturday for
+    these functions, verified by the hash gate)."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
+    days = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    from world_cup_duckdb_spark.functions import bounded_one_partition
+
+    wb = Window.partitionBy(bounded_one_partition("d")).orderBy("d")
+    ranked = days.select(
+        "d",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(bounded_one_partition("d"))
+        ).alias("n"),
+    )
+    cutoff = ranked.filter(
+        F.col("rn") == F.ceil(0.8 * F.col("n")).cast("bigint")
+    ).select(F.col("d").alias("cutoff_day"))
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    actual = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    full_grid = (
+        grid.join(actual, ["d", "event_type"], "left")
+        .select(
+            "d",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("c"),
+            F.dayofweek("d").cast("int").alias("dow"),
+        )
+        .crossJoin(F.broadcast(cutoff))
+    )
+    train = (
+        full_grid.filter(F.col("d") <= F.col("cutoff_day"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("c").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    test = (
+        full_grid.filter(F.col("d") > F.col("cutoff_day"))
+        .join(train, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "d",
+            (
+                F.abs(
+                    F.col("s").cast("double") / F.col("n").cast("double")
+                    - F.col("c").cast("double")
+                )
+            ).alias("ae"),
+        )
+    )
+    folded = test.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "ae"))),
+                lambda x: x["ae"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("ae_sum"),
+    )
+    return folded.select(
+        "event_type",
+        "n_test_days",
+        (F.col("ae_sum") / F.col("n_test_days").cast("double")).alias("mae"),
+    )
