@@ -853,3 +853,34 @@ def test_streaming_topk_equals_batch_twin(spark, sf_dir, staged):
     )
     assert got == want and want
     assert out.agg(F.max("seq")).collect()[0][0] >= 2
+
+
+def test_streaming_ohlc_equals_batch_twin(spark, sf_dir, staged):
+    """streaming/windows.py:ohlc_bars ≡ ext_ohlc_bars across 3
+    micro-batches: windowed min/max/count partials merge across
+    triggers, and the min_by/max_by open/close picks over the (ts,
+    event_id) total order land on exactly the rows the batch twin's
+    row_number form selects."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.streaming.windows import (
+        ohlc_bars,
+        read_event_stream,
+    )
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=1)
+    got = _rows(
+        _run_stream(spark, ohlc_bars(stream), "append", "ohlc_m"),
+        ["bar", "n_events", "open", "high", "low", "close"],
+    )
+    want = _rows(
+        REGISTRY["ext_ohlc_bars"].fn(spark, sf_dir),
+        ["bar", "n_events", "open", "high", "low", "close"],
+    )
+    # append mode only emits windows the watermark has CLOSED; every
+    # emitted bar must match the batch bar exactly, and most bars close
+    got_map = {r[0]: r for r in got}
+    want_map = {r[0]: r for r in want}
+    assert got_map, "no bars emitted"
+    for bar, row in got_map.items():
+        assert row == want_map[bar], (row, want_map[bar])
+    assert len(got_map) >= len(want_map) - 3  # only tail windows open

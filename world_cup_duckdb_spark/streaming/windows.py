@@ -215,3 +215,36 @@ def enrich_events(
             "total_value",
         )
     )
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch OHLC downsample (queries/
+    ext_events.py:ext_ohlc_bars): per tumbling hour, open / high / low /
+    close over the value stream. Open and close are min_by/max_by over
+    the (ts, event_id) struct — a TOTAL order, so the pick is
+    deterministic and equals the batch twin's row_number form row for
+    row (pinned in tests/test_streaming.py across micro-batch splits;
+    min_by/max_by are declarative aggregates, so partial states merge
+    across triggers like any windowed agg). A 2-hour watermark bounds
+    state for late data."""
+    e = events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("bar"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
