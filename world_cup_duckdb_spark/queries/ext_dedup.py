@@ -1518,3 +1518,83 @@ def ext_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total") - F.col("in_clusters")).alias("n_docs"),
     )
     return hist.unionByName(singleton)
+
+
+@register(
+    "ext_prefix_truncation_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             substr(text, 1, CAST(length(text) * 2 // 3 AS INT))
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    ordered AS (
+      SELECT doc_id, text,
+             LEAD(doc_id) OVER (ORDER BY text, doc_id) AS next_id,
+             LEAD(text) OVER (ORDER BY text, doc_id) AS next_text
+      FROM corpus
+    )
+    SELECT doc_id AS prefix_doc,
+           CAST(length(text) AS BIGINT) AS prefix_chars,
+           next_id AS container_doc,
+           CAST(length(next_text) AS BIGINT) AS container_chars
+    FROM ordered
+    WHERE next_text IS NOT NULL
+      AND length(text) < length(next_text)
+      AND substr(next_text, 1, CAST(length(text) AS INT)) = text
+    """,
+)
+def ext_prefix_truncation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-artifact detection — the dedup class exact-hash and
+    MinHash both miss: a document that is an exact PREFIX of another
+    (crawler timeouts, size caps, re-crawls of a growing page). The
+    fixture plants them (a 2/3-length truncation of every 10th doc) and
+    the detector finds them by SORT ADJACENCY: after ordering by text,
+    any string strictly between a prefix p and an extension of p must
+    itself start with p — so checking each doc against its immediate
+    successor suffices, turning an all-pairs prefix test into one sort
+    plus one adjacent comparison (linear after the sort).
+
+    Scale: the sort is Spark's range-partitioned orderBy; the adjacency
+    LEAD here runs in a single bounded partition (fixture-sized), and
+    at corpus scale becomes per-partition LEAD plus a boundary-row
+    handoff between adjacent ranges — the distributed_running_max
+    pattern (operators/relational.py), one extra exchange of
+    |partitions| rows. Flagged pairs are emitted with both lengths so
+    the keep-longest policy is one downstream filter.
+
+    Determinism: pure string ordering and integer lengths; (text,
+    doc_id) is a total order."""
+    from pyspark.sql import Window
+
+    from world_cup_duckdb_spark.functions import bounded_one_partition
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    truncated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, (F.length("text") * 2 / 3).cast("int")
+        ).alias("text"),
+    )
+    corpus = d.unionByName(truncated)
+    w = Window.partitionBy(bounded_one_partition("doc_id")).orderBy(
+        "text", "doc_id"
+    )
+    ordered = corpus.select(
+        "doc_id",
+        "text",
+        F.lead("doc_id").over(w).alias("next_id"),
+        F.lead("text").over(w).alias("next_text"),
+    )
+    return ordered.filter(
+        F.col("next_text").isNotNull()
+        & (F.length("text") < F.length("next_text"))
+        & F.col("next_text").startswith(F.col("text"))
+    ).select(
+        F.col("doc_id").alias("prefix_doc"),
+        F.length("text").cast("bigint").alias("prefix_chars"),
+        F.col("next_id").alias("container_doc"),
+        F.length("next_text").cast("bigint").alias("container_chars"),
+    )
