@@ -741,6 +741,54 @@ def test_distributed_running_max_equals_global_window(spark):
         assert exp.exceptAll(got).count() == 0
 
 
+def test_distributed_lead_equals_global_window(spark):
+    """distributed_lead (the boundary-row handoff VERDICT r9 item 1b
+    promised) must equal the single-task ANSI LEAD exactly — on
+    adversarially partitioned input, multi-column leads, legitimately
+    NULL next VALUES (must not be mistaken for partition boundaries),
+    and the global last row (stays NULL)."""
+    import random
+
+    from pyspark.sql import Window
+    from world_cup_duckdb_spark.operators.relational import distributed_lead
+
+    rng = random.Random(13)
+    rows = [
+        (
+            i,
+            rng.randint(0, 60),
+            None if rng.random() < 0.2 else f"s{rng.randint(0, 30)}",
+        )
+        for i in range(503)
+    ]
+    df = spark.createDataFrame(rows, "id int, v int, s string").repartition(11)
+    got = distributed_lead(df, ["v", "id"], ["id", "s"], n_ranges=7)
+    order = [F.col("v").asc_nulls_last(), F.col("id").asc_nulls_last()]
+    w = Window.orderBy(*order)
+    exp = df.select(
+        "*",
+        F.lead("id").over(w).alias("id_next"),
+        F.lead("s").over(w).alias("s_next"),
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    # single-row and empty relations: lead columns present, all NULL/none
+    one = spark.createDataFrame([(1, 5, "a")], "id int, v int, s string")
+    r = distributed_lead(one, ["v", "id"], ["id"]).first()
+    assert r["id_next"] is None
+    empty = spark.createDataFrame([], "id int, v int, s string")
+    out = distributed_lead(empty, ["v", "id"], ["id"], n_ranges=3)
+    assert out.count() == 0 and "id_next" in out.columns
+
+    # reserved-name guard
+    import pytest as _pytest
+
+    clash = df.withColumn("id_next", F.lit(1))
+    with _pytest.raises(ValueError):
+        distributed_lead(clash, ["v", "id"], ["id"])
+
+
 def test_skyline_monotone_adversarial_stays_distributed(spark):
     """VERDICT r7 item 5 fixture: strictly monotone (price, size) data is
     the skyline worst case — the per-partition staircase prunes NOTHING,

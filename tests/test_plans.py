@@ -951,3 +951,116 @@ def test_corpus_datacard_stack_does_not_multiply_scans(spark, sf_dir):
     assert "stack" in p or "Generate" in p, p
     assert "InMemoryTableScan" in p, p
     assert p.count("Scan parquet") <= 8, p.count("Scan parquet")
+
+
+# ---------------------------------------------------------------------------
+# bounded_one_partition contract — machine-checked (VERDICT r9 item 2)
+# ---------------------------------------------------------------------------
+
+_DATA_GRAIN = ("documents", "lineitem", "orders", "events")
+# Nodes below which cardinality is no longer data-grain: an aggregate
+# reduces to group count, a limit to k. WindowGroupLimit alone does NOT
+# bound (k per partition-key value = data-grain when the key is).
+_BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit"}
+
+
+def _is_constant_partition_window(node) -> bool:
+    """True when a logical Window's partition spec is ONLY the
+    bounded_one_partition constant key — either the raw
+    ``pmod(hash(..), 1)`` expression or a ``_wN`` attribute that a child
+    Project aliases to it (Catalyst extracts window partition
+    expressions into a Project below the Window)."""
+    import re
+
+    ps = node.partitionSpec()
+    if ps.length() != 1:
+        return False
+    s = ps.apply(0).toString()
+    if re.fullmatch(r"pmod\(hash\(.*\), 1\)", s):
+        return True
+    if re.fullmatch(r"_w\d+#\d+L?", s):
+        child_tree = node.children().apply(0).toString()
+        return bool(
+            re.search(r"pmod\(hash\(.*?\), 1\) AS " + re.escape(s), child_tree)
+        )
+    return False
+
+
+def _data_grain_leaves_unbounded(node) -> list:
+    """Parquet scan leaves of data-grain tables reachable from ``node``
+    without crossing a cardinality-bounding operator. LogicalRDD leaves
+    (localCheckpoint cuts) are exempt by design: the distributed_*
+    decompositions checkpoint the ranged corpus and their bounded
+    windows then run over per-partition extracts of it — the checkpoint
+    is the marker that the author already engaged the scale machinery."""
+    hits = []
+    name = node.nodeName()
+    if name in _BOUNDING:
+        return hits
+    if name == "LogicalRelation":
+        try:
+            paths = node.relation().location().rootPaths()
+            path = paths.apply(0).toString() if paths.length() else ""
+        except Exception:
+            path = ""
+        for t in _DATA_GRAIN:
+            if f"{t}.parquet" in path or f"/{t}/" in path:
+                hits.append(t)
+        return hits
+    for i in range(node.children().length()):
+        hits.extend(_data_grain_leaves_unbounded(node.children().apply(i)))
+    return hits
+
+
+def _constant_window_violations(node) -> list:
+    """Walk a logical plan; report every constant-key Window that sits
+    above an unbounded data-grain parquet scan."""
+    viol = []
+    if node.nodeName() == "Window" and _is_constant_partition_window(node):
+        tables = _data_grain_leaves_unbounded(node.children().apply(0))
+        if tables:
+            viol.append(sorted(set(tables)))
+    for i in range(node.children().length()):
+        viol.extend(_constant_window_violations(node.children().apply(i)))
+    return viol
+
+
+def test_detector_flags_prefix_dedup_pre_fix_form(spark, sf_dir):
+    """Sentinel: the r9 pre-fix shape (global LEAD under the constant
+    key directly over the documents scan) must be caught — if this stops
+    failing-the-pattern, the whole-registry gate below is toothless."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark.functions import bounded_one_partition
+    from world_cup_duckdb_spark.sources.catalog import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    w = W.partitionBy(bounded_one_partition("doc_id")).orderBy(
+        "text", "doc_id"
+    )
+    bad = d.select("doc_id", F.lead("doc_id").over(w).alias("next_id"))
+    viol = _constant_window_violations(
+        bad._jdf.queryExecution().optimizedPlan()
+    )
+    assert viol == [["documents"]], viol
+
+
+def test_no_constant_partition_window_over_data_grain_input(spark, sf_dir):
+    """Whole-registry bounded_one_partition contract gate (VERDICT r9
+    item 2): the helper exists to silence WindowExec's no-partition
+    warning for documented-BOUNDED relations, which also silences the
+    alarm when someone runs it over the corpus — the exact defect class
+    of r9's two findings. This walk restores the alarm as a hard test:
+    no registered query may plan a Window whose partition spec is only
+    the constant key above an unbounded scan of documents / lineitem /
+    orders / events."""
+    offenders = []
+    for name in REGISTRY:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        viol = _constant_window_violations(
+            df._jdf.queryExecution().optimizedPlan()
+        )
+        if viol:
+            offenders.append((name, viol))
+    assert offenders == [], offenders

@@ -477,6 +477,70 @@ def distributed_running_max(
     )
 
 
+def distributed_lead(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    cols: Sequence[str],
+    suffix: str = "_next",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Exact ``LEAD(col) OVER (ORDER BY order_by)`` for each name in
+    ``cols`` — without a single-partition window. Same range-shuffle
+    decomposition as the rest of the distributed_* family, plus the
+    boundary-row handoff an adjacency operator needs:
+
+    1. Range-partition on the order keys (``_ranged``): non-overlapping,
+       globally-ordered key ranges per partition.
+    2. Partition-local LEAD (window partitioned by ``_pid`` — scale-safe)
+       fills every row except each partition's LAST, whose successor
+       lives in the next partition.
+    3. The FIRST row of every non-empty partition (one row per partition,
+       ≤ ``n_ranges`` total) is extracted, each tagged — via a bounded
+       LAG over the partition ids — with the PREVIOUS non-empty
+       partition it is the successor for, and broadcast-joined back to
+       patch exactly those last rows. Empty range partitions drop out of
+       the firsts relation, so the handoff skips them correctly.
+
+    The global last row keeps NULL leads, as ANSI LEAD gives. Last rows
+    are detected with ``LEAD(1) IS NULL`` (a literal probe), not
+    ``LEAD(col) IS NULL`` — a legitimately-NULL next value must not be
+    mistaken for a partition boundary. Tie caveat as
+    :func:`distributed_row_number`: pass a total order for deterministic
+    successor assignment.
+    """
+    scratch = ["_pid", "_is_last", "_prev_pid"] + [f"_h_{c}" for c in cols]
+    _guard_reserved(df, *scratch, "_rn", *[c + suffix for c in cols])
+    ranged = _ranged(df, order_by, n_ranges)
+    order_cols = _norm_order(order_by)
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    led = ranged.select(
+        "*",
+        *[F.lead(c).over(w_local).alias(c + suffix) for c in cols],
+        F.lead(F.lit(1)).over(w_local).isNull().alias("_is_last"),
+    )
+    firsts = (
+        ranged.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") == 1)
+        .select("_pid", *cols)
+    )
+    w_b = Window.partitionBy(_one("_pid")).orderBy("_pid")
+    handoff = firsts.select(
+        F.lag("_pid").over(w_b).alias("_prev_pid"),
+        *[F.col(c).alias(f"_h_{c}") for c in cols],
+    ).filter(F.col("_prev_pid").isNotNull())
+    out = led.join(
+        F.broadcast(handoff), led["_pid"] == handoff["_prev_pid"], "left"
+    )
+    for c in cols:
+        out = out.withColumn(
+            c + suffix,
+            F.when(F.col("_is_last"), F.col(f"_h_{c}")).otherwise(
+                F.col(c + suffix)
+            ),
+        )
+    return out.drop(*scratch)
+
+
 def positional_join(
     left: DataFrame,
     right: DataFrame,

@@ -1562,13 +1562,14 @@ def ext_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent axes and must BOTH run.
 
     Scale: the quality pass is the existing map-side scoring; the dup
-    flag is one md5-keyed window (uniform keys); the decile NTILE is
-    the one corpus-grain global ordering — at 100 TB swap it for the
-    equi-depth histogram boundaries (ext_equidepth_histogram) applied
-    as a map-side bucketing, the documented pattern for rank-free
-    tiling. Determinism: NTILE over the (quality_score, doc_id) total
-    order is identical in both engines; counts are integers with one
-    final divide."""
+    flag is one md5-keyed window (uniform keys); the decile assignment
+    is distributed_ntile (operators/relational.py) — ONE range shuffle
+    of a three-column projection plus broadcast partition offsets, the
+    same decomposition ext_corpus_deciles certifies, so no window ever
+    sees the corpus in a single task (VERDICT r9 item 1a). Determinism:
+    NTILE over the (quality_score, doc_id) total order is identical in
+    both engines and the decomposition is rank-exact; counts are
+    integers with one final divide."""
     q = _REG["ext_quality_score"].fn(spark, sf_dir).select(
         "doc_id", "quality_score"
     )
@@ -1583,18 +1584,13 @@ def ext_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_dup"),
     )
-    from world_cup_duckdb_spark.functions import bounded_one_partition
+    from world_cup_duckdb_spark.operators.relational import distributed_ntile
 
-    tiled = q.join(dup, "doc_id").select(
-        "doc_id",
-        "is_dup",
-        F.ntile(10)
-        .over(
-            Window.partitionBy(bounded_one_partition("doc_id")).orderBy(
-                "quality_score", "doc_id"
-            )
-        )
-        .alias("decile"),
+    tiled = distributed_ntile(
+        q.join(dup, "doc_id"),
+        10,
+        ["quality_score", "doc_id"],
+        out_col="decile",
     )
     return tiled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
