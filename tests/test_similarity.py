@@ -544,3 +544,109 @@ def test_lsh_serve_from_persisted_index_equals_in_memory(spark, emb, tmp_path):
         if "PartitionFilters" in ln and "bucket" in ln
     ]
     assert any("bucket IN" in ln or "bucket#" in ln for ln in scan_lines), plan
+
+
+def test_ivf_compact_crash_recovery_and_remote_guard(spark, emb, tmp_path):
+    """ADVICE r9 crash-safety rework: every interruption point of the
+    compaction swap must be recoverable with zero data loss.
+
+    (a) crash BEFORE the manifest publish (staging written, swap not
+        started): the tombstoned index keeps serving; a re-run compacts
+        normally.
+    (b) crash AFTER the manifest with the swap partially done (one old
+        partition moved aside, nothing moved in): the next serve call
+        rolls the compaction forward and results equal the clean-compact
+        reference.
+    (c) remote URIs fail loudly in compaction instead of silently
+        treating tombstones as absent.
+    """
+    import json
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from world_cup_duckdb_spark.operators.similarity import (
+        _require_local_path,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_persist,
+        ivf_topk_from_index,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+
+    # Clean-compact reference on an identical twin index.
+    ref = str(tmp_path / "ref")
+    ivf_index_persist(emb, ref, n_lists=16)
+    ivf_index_delete(spark, ref, emb.filter(F.col("vec_id") < 5))
+    ivf_index_compact(spark, ref)
+    expect = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, ref, q, k=5, n_probe=4).collect()
+    )
+
+    loc = str(tmp_path / "ivf")
+    ivf_index_persist(emb, loc, n_lists=16)
+    ivf_index_delete(spark, loc, emb.filter(F.col("vec_id") < 5))
+    tomb = spark.read.parquet(os.path.join(loc, "tombstones"))
+    affected = sorted(r["list_id"] for r in tomb.select("list_id").distinct().collect())
+
+    # (a) staging written but no manifest: serve is tombstone-masked and
+    # equals the reference; tombstones still present.
+    root = os.path.join(loc, "assigned")
+    staging = os.path.join(loc, "assigned_compacting")
+    (
+        spark.read.parquet(root)
+        .filter(F.col("list_id").isin(affected))
+        .join(F.broadcast(tomb.select("vid")), "vid", "left_anti")
+        .select("vid", "v", F.col("list_id").cast("int").alias("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(staging)
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, loc, q, k=5, n_probe=4).collect()
+    )
+    assert got == expect
+    assert os.path.isdir(os.path.join(loc, "tombstones"))
+
+    # (b) manifest published + one old partition already moved aside =
+    # crash mid-swap. The next SERVE call must roll forward: swap done,
+    # tombstones and scratch dirs gone, results equal the reference.
+    manifest = os.path.join(loc, "compact_manifest.json")
+    with open(manifest + ".tmp", "w") as fh:
+        json.dump({"affected": affected}, fh)
+    os.replace(manifest + ".tmp", manifest)
+    old_root = os.path.join(loc, "assigned_old")
+    os.makedirs(old_root, exist_ok=True)
+    lid0 = affected[0]
+    os.rename(
+        os.path.join(root, f"list_id={lid0}"),
+        os.path.join(old_root, f"list_id={lid0}"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, loc, q, k=5, n_probe=4).collect()
+    )
+    assert got == expect
+    assert not os.path.exists(manifest)
+    assert not os.path.isdir(staging)
+    assert not os.path.isdir(old_root)
+    assert not os.path.isdir(os.path.join(loc, "tombstones"))
+    remaining = {
+        r["vid"] for r in spark.read.parquet(root).select("vid").collect()
+    }
+    assert all(v >= 5 for v in remaining)
+    # compact after recovery is a no-op
+    assert ivf_index_compact(spark, loc) == []
+
+    # (c) remote scheme fails loudly; file:/bare paths pass the guard
+    with _pytest.raises(ValueError, match="remote URI"):
+        ivf_index_compact(spark, "hdfs://nn/warehouse/ivf")
+    with _pytest.raises(ValueError, match="remote URI"):
+        _require_local_path("s3a://bucket/ivf", "ivf_index_compact")
+    _require_local_path(loc, "ivf_index_compact")
+    _require_local_path("file:" + loc, "ivf_index_compact")
+    shutil.rmtree(ref, ignore_errors=True)

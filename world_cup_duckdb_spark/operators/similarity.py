@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from world_cup_duckdb_spark.functions.strings import (
+    bounded_one_partition as _one,
+)
+
 
 def as_double(vec: Column | str) -> Column:
     vec = F.col(vec) if isinstance(vec, str) else vec
@@ -427,8 +431,13 @@ def ivf_index(
         corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("centroid")),
         "cid",
     ).select(
-        # n_lists rows total — this window sorts a bounded frame.
-        F.row_number().over(Window.orderBy("cid")).cast("int").alias("list_id"),
+        # n_lists rows total — this window sorts a bounded frame; the
+        # constant partition key keeps WindowExec's no-partition warning
+        # meaning only real corpus-grain regressions (repo convention).
+        F.row_number()
+        .over(Window.partitionBy(_one("cid")).orderBy("cid"))
+        .cast("int")
+        .alias("list_id"),
         "centroid",
     )
     c = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
@@ -808,6 +817,7 @@ def ivf_topk_from_index(
     pick, same fold arithmetic); equality is pytest-pinned."""
     import os
 
+    _ivf_compact_recover(path)  # finish any interrupted committed compact
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     q_scored = F.broadcast(q).crossJoin(F.broadcast(centroids)).select(
@@ -855,19 +865,101 @@ def ivf_topk_from_index(
     )
 
 
+def _has_remote_scheme(path: str) -> bool:
+    """True for URI-schemed paths that are NOT the local filesystem
+    (hdfs://, s3a://, …). ``file:`` and bare paths are local."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+    return bool(m) and m.group(1).lower() != "file"
+
+
+def _require_local_path(path: str, op: str) -> None:
+    """Fail LOUDLY when an os/shutil-based index operation is handed a
+    remote URI (ADVICE r9): a local probe on hdfs://… silently returns
+    False, which would make compaction treat pending tombstones as
+    absent and keep serving deleted vectors with no error. Operations
+    that only read/write through Spark accept any URI; only the
+    rename-based compaction lifecycle is local-only."""
+    if _has_remote_scheme(path):
+        raise ValueError(
+            f"{op} manipulates index directories with local-filesystem "
+            f"renames and cannot run against remote URI {path!r}; "
+            "copy the index to local storage or port the swap to the "
+            "Hadoop FileSystem API before compacting remotely"
+        )
+
+
 def _ivf_tombstones(spark, path: str):
     """Read the index's tombstone relation if any deletes are pending,
-    else None. The existence probe is a local-filesystem check; on an
-    object store or HDFS the same probe is one FileSystem.exists call —
-    either way it is index-metadata-sized, never a data scan."""
-    import os
-
-    t = os.path.join(path, "tombstones")
-    if not os.path.isdir(t) or not any(
-        f.endswith(".parquet") for f in os.listdir(t)
+    else None. The existence probe goes through the Hadoop FileSystem
+    API (ADVICE r9), so it is correct for ANY path Spark can read —
+    local, file://, hdfs://, s3a:// — one exists + one listStatus call,
+    index-metadata-sized, never a data scan."""
+    t = path.rstrip("/") + "/tombstones"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(t)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    if not any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(hpath)
     ):
         return None
     return spark.read.parquet(t)
+
+
+def _ivf_compact_recover(path: str) -> None:
+    """Roll FORWARD a committed-but-interrupted compaction (crash-safe
+    swap, ADVICE r9). The commit point is the atomic publish of
+    ``compact_manifest.json``; once it exists, every index entry point
+    calls this to finish the swap before touching data, so a crash at
+    ANY point inside the swap loses nothing:
+
+    - crash before the manifest: staging is stale scratch; the old
+      partitions plus tombstone masking keep serving correctly and the
+      next compact overwrites staging.
+    - crash after the manifest: per affected list the state is one of
+      (old in place | old moved aside | new moved in), each step an
+      atomic directory rename, and this routine is idempotent across
+      all of them — old partitions are renamed ASIDE (never deleted)
+      into ``assigned_old/`` before the staging dir moves in, and the
+      .old dirs / tombstones / manifest are removed only after every
+      move completed (manifest last, so cleanup itself is resumable).
+
+    Remote URIs no-op: compaction is guarded local-only, so a remote
+    index can never be mid-compact."""
+    import json
+    import os
+    import shutil
+
+    if _has_remote_scheme(path):
+        return
+    local = path[len("file:") :] if path.startswith("file:") else path
+    manifest = os.path.join(local, "compact_manifest.json")
+    if not os.path.isfile(manifest):
+        return
+    with open(manifest) as fh:
+        affected = json.load(fh)["affected"]
+    root = os.path.join(local, "assigned")
+    staging = os.path.join(local, "assigned_compacting")
+    old_root = os.path.join(local, "assigned_old")
+    os.makedirs(old_root, exist_ok=True)
+    for lid in affected:
+        a = os.path.join(root, f"list_id={lid}")
+        s = os.path.join(staging, f"list_id={lid}")
+        o = os.path.join(old_root, f"list_id={lid}")
+        if os.path.isdir(a) and not os.path.isdir(o):
+            os.rename(a, o)  # step 1: move the old partition aside
+        if os.path.isdir(s):
+            os.rename(s, a)  # step 2: move the rewritten partition in
+        # a fully-deleted list has no staging dir and simply loses its
+        # directory at step 1
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old_root, ignore_errors=True)
+    shutil.rmtree(os.path.join(local, "tombstones"), ignore_errors=True)
+    os.remove(manifest)
 
 
 def ivf_index_delete(
@@ -890,6 +982,7 @@ def ivf_index_delete(
     to affected partitions."""
     import os
 
+    _ivf_compact_recover(path)  # finish any interrupted committed compact
     ids = delete_ids.select(F.col(id_col).alias("vid")).distinct()
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
     (
@@ -905,19 +998,29 @@ def ivf_index_compact(spark, path: str) -> list:
     ``list_id=…`` partitions that contain tombstoned vectors (their ids
     were captured at delete time, so the affected-list set is a bounded
     collect of the tombstone relation — no corpus scan to locate them),
-    then clear the tombstones. Survivors are fully written to a
-    staging directory BEFORE any old partition is removed (write-new,
-    swap, clean — a crash before the swap leaves the tombstoned index
-    intact and serving correctly). Untouched partitions are never
-    read, never rewritten. Returns the affected list ids.
+    then clear the tombstones. Untouched partitions are never read,
+    never rewritten. Returns the affected list ids.
+
+    Crash safety (ADVICE r9 rework): survivors are fully written to a
+    staging directory, then the affected-list set is published as an
+    atomic ``compact_manifest.json`` (write-tmp + rename) — the COMMIT
+    POINT — and the swap itself is delegated to
+    :func:`_ivf_compact_recover`, which moves each old partition ASIDE
+    before moving the rewritten one in and cleans up only after every
+    move completed. A crash before the manifest leaves the tombstoned
+    index serving correctly; a crash after it is rolled forward by the
+    next call to any index entry point. Local paths only (the swap is
+    os.rename-based); remote URIs fail loudly via _require_local_path.
 
     After compaction, serve results are bit-identical to the
     tombstone-masked serve and to an index built on the surviving
     corpus with the same centroids (pinned in tests/test_similarity.py).
     """
+    import json
     import os
-    import shutil
 
+    _require_local_path(path, "ivf_index_compact")
+    _ivf_compact_recover(path)  # finish any prior committed compaction
     tomb = _ivf_tombstones(spark, path)
     if tomb is None:
         return []
@@ -933,15 +1036,12 @@ def ivf_index_compact(spark, path: str) -> list:
         .select("vid", "v", F.col("list_id").cast("int").alias("list_id"))
     )
     survivors.write.mode("overwrite").partitionBy("list_id").parquet(staging)
-    for lid in affected:
-        old = os.path.join(root, f"list_id={lid}")
-        new = os.path.join(staging, f"list_id={lid}")
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(new):
-            shutil.move(new, old)
-        # a fully-deleted list simply loses its directory
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    manifest = os.path.join(path, "compact_manifest.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"affected": affected}, fh)
+    os.replace(tmp, manifest)  # commit point: atomic publish
+    _ivf_compact_recover(path)  # roll forward = perform the swap
     return affected
 
 
@@ -966,6 +1066,7 @@ def ivf_index_append(
     ext_ann_ivf_append oracle hash-checks."""
     import os
 
+    _ivf_compact_recover(path)  # finish any interrupted committed compact
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     c = new_vectors.select(
         F.col(id_col).alias("vid"), as_double(vec_col).alias("v")

@@ -1197,8 +1197,13 @@ def ext_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; 0.0-seeded fold == DuckDB's unseeded first-element fold.
 
     Determinism: counts exact; each forecast is one divide of exact
-    ints; dayofweek matches (both engines: 1=Sunday..7=Saturday for
-    these functions, verified by the hash gate)."""
+    ints. NOTE the two engines NUMBER day-of-week differently — Spark's
+    dayofweek is 1=Sunday..7=Saturday, DuckDB's is 0=Sunday..6=Saturday
+    (ADVICE r9) — which is safe here ONLY because dow is an
+    engine-internal grouping key (any bijection of the key groups
+    identically) and is never emitted or compared across engines. If
+    dow ever joins the output schema, normalize both sides to one
+    convention first."""
     from pyspark.sql import Window
 
     e = load_tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
