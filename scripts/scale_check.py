@@ -82,6 +82,12 @@ DEFAULT_QUERIES = [
     # shuffle -> pack pipeline — the composition must inherit every
     # stage's scaling, not multiply their constants.
     "ext_corpus_prep_pipeline",
+    # Round-10 additions: sequence-level exact-substring spans — the
+    # replica text-suffix corpus is adversarial here (every replica
+    # shares its whole body with the original, so duplicated-span MASS
+    # grows ~R×); wall growth must still track data, not pairs.
+    "ext_dup_span_extract",
+    "ext_span_decontaminate",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica
