@@ -340,7 +340,7 @@ def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPANS_SQL = """
+_SPANS_HEAD_SQL = """
     t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     g AS (
       SELECT doc_id, CAST(u.i AS INT) AS pos,
@@ -348,8 +348,27 @@ _SPANS_SQL = """
       FROM t, UNNEST(range(0, len(l) - 4)) AS u(i)
     ),
     dup AS (SELECT gram FROM g GROUP BY gram
-            HAVING COUNT(DISTINCT doc_id) >= 2),
-    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            HAVING COUNT(DISTINCT doc_id) >= 2)
+"""
+
+#: remove-all policy: every occurrence of a duplicated gram is a hit
+_HITS_ALL_SQL = """
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram))
+"""
+
+#: keep-one policy: the canonical (min (doc_id, pos), encoded as one
+#: BIGINT) occurrence of each duplicated gram is spared
+_HITS_KEEPONE_SQL = """
+    hits_all AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN dup USING (gram)),
+    canon AS (SELECT gram, MIN(doc_id * 1000000000 + pos) AS ck
+              FROM hits_all GROUP BY gram),
+    hits AS (
+      SELECT h.doc_id, h.pos FROM hits_all h JOIN canon c USING (gram)
+      WHERE h.doc_id * 1000000000 + h.pos <> c.ck
+    )
+"""
+
+_SPANS_TAIL_SQL = """
     isl AS (
       SELECT doc_id, pos,
              CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
@@ -371,8 +390,40 @@ _SPANS_SQL = """
     )
 """
 
+_SPANS_SQL = _SPANS_HEAD_SQL + "," + _HITS_ALL_SQL + "," + _SPANS_TAIL_SQL
+_SPANS_KEEPONE_SQL = (
+    _SPANS_HEAD_SQL + "," + _HITS_KEEPONE_SQL + "," + _SPANS_TAIL_SQL
+)
 
-def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+_DECON_OUT_SQL = """
+    tok AS (
+      SELECT doc_id, l[u.i+1] AS tok, CAST(u.i AS INT) AS pos
+      FROM t, UNNEST(range(0, len(l))) AS u(i)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.tok, k.pos
+      FROM tok k
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = k.doc_id
+                          AND k.pos >= s.span_start AND k.pos < s.span_end)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           CAST(len(t.l) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def _dup_spans(
+    spark: SparkSession, sf_dir: str, keep_one: bool = False
+) -> DataFrame:
     """Shared span extraction for the two sequence-level keys: maximal
     cross-document duplicated 5-token spans via shingle keying + a
     per-document gaps-and-islands merge. See ext_dup_span_extract for
@@ -401,7 +452,22 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("gram")
     )
-    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    hits_all = grams.join(dup, "gram")
+    if keep_one:
+        # Canonical occurrence per duplicated gram text: min (doc_id,
+        # pos), encoded as one BIGINT (pos bounded < 1e9 by the token-
+        # array grain) so the argmin is a plain MIN aggregate — map-side
+        # partials, no per-gram window ordering, skew-robust even for a
+        # boilerplate gram with millions of occurrences.
+        enc = F.col("doc_id") * F.lit(1000000000) + F.col("pos")
+        canon = hits_all.groupBy("gram").agg(F.min(enc).alias("ck"))
+        hits = (
+            hits_all.join(canon, "gram")
+            .filter(enc != F.col("ck"))
+            .select("doc_id", "pos")
+        )
+    else:
+        hits = hits_all.select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= 5, F.lit(0)
@@ -463,32 +529,42 @@ def ext_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontaminated(
+    spark: SparkSession, sf_dir: str, keep_one: bool
+) -> DataFrame:
+    """Shared cleaned-corpus builder for the two span-removal policies:
+    spans roll up in-row per document and the token cut + rebuild is one
+    map-side higher-order filter over the token array."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", F.split("text", " ").alias("l"))
+    spans_per_doc = (
+        _dup_spans(spark, sf_dir, keep_one=keep_one)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    kept = F.expr(
+        "filter(l, (x, i) -> spans IS NULL OR NOT exists(spans, "
+        "sp -> i >= sp.span_start AND i < sp.span_end))"
+    )
+    return (
+        base.join(spans_per_doc, "doc_id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("l").cast("bigint").alias("n_tokens"),
+            (F.size("l") - F.size("kept")).cast("bigint").alias("n_removed"),
+            F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+        )
+    )
+
+
 @register(
     "ext_span_decontaminate",
     oracle=f"""
     WITH {_SPANS_SQL},
-    tok AS (
-      SELECT doc_id, l[u.i+1] AS tok, CAST(u.i AS INT) AS pos
-      FROM t, UNNEST(range(0, len(l))) AS u(i)
-    ),
-    kept AS (
-      SELECT k.doc_id, k.tok, k.pos
-      FROM tok k
-      WHERE NOT EXISTS (SELECT 1 FROM spans s
-                        WHERE s.doc_id = k.doc_id
-                          AND k.pos >= s.span_start AND k.pos < s.span_end)
-    ),
-    rebuilt AS (
-      SELECT doc_id,
-             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-             CAST(COUNT(*) AS BIGINT) AS n_kept
-      FROM kept GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           CAST(len(t.l) AS BIGINT) AS n_tokens,
-           CAST(len(t.l) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
-           COALESCE(r.clean_text, '') AS clean_text
-    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    {_DECON_OUT_SQL}
     """,
 )
 def ext_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,29 +588,41 @@ def ext_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's string_agg orders by pos); counts are exact integers.
     Empty results coalesce to '' (DuckDB's empty string_agg is NULL —
     the committed cross-engine rule)."""
-    d = load_tables(spark, sf_dir)["documents"]
-    base = d.select("doc_id", F.split("text", " ").alias("l"))
-    spans_per_doc = (
-        _dup_spans(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
-        )
-    )
-    kept = F.expr(
-        "filter(l, (x, i) -> spans IS NULL OR NOT exists(spans, "
-        "sp -> i >= sp.span_start AND i < sp.span_end))"
-    )
-    return (
-        base.join(spans_per_doc, "doc_id", "left")
-        .withColumn("kept", kept)
-        .select(
-            "doc_id",
-            F.size("l").cast("bigint").alias("n_tokens"),
-            (F.size("l") - F.size("kept")).cast("bigint").alias("n_removed"),
-            F.concat_ws(" ", F.col("kept")).alias("clean_text"),
-        )
-    )
+    return _decontaminated(spark, sf_dir, keep_one=False)
+
+
+@register(
+    "ext_span_decontaminate_keepone",
+    oracle=f"""
+    WITH {_SPANS_KEEPONE_SQL},
+    {_DECON_OUT_SQL}
+    """,
+)
+def ext_span_decontaminate_keepone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-level dedup, KEEP-ONE policy (the Lee et al. 2022
+    ExactSubstr variant that preserves corpus coverage): the canonical
+    occurrence of each duplicated 5-token gram — min (doc_id, pos),
+    argmin'd as one BIGINT MIN aggregate — is spared; every other
+    occurrence is cut, so duplicated text survives exactly once in the
+    corpus instead of vanishing entirely (the remove-all policy of
+    ext_span_decontaminate deletes boilerplate everywhere, which also
+    deletes legitimately unique context when a doc is MOSTLY quoted).
+
+    Scale: identical shape to ext_span_decontaminate plus ONE extra
+    gram-keyed aggregate (map-side partial MIN) and join — no window
+    over gram occurrence lists, so a boilerplate gram with millions of
+    occurrences costs a combine, not a sort. Boundary note: a canonical
+    doc's spared gram can still lose edge tokens to ADJACENT removed
+    spans merging over it; policy variants that pad the canonical span
+    are one filter away.
+
+    Determinism: the canonical pick is a MIN over the (doc_id, pos)
+    total order encoded as doc_id*1e9+pos (pos bounded by tokens-per-
+    document, far under 1e9); everything else as
+    ext_span_decontaminate."""
+    return _decontaminated(spark, sf_dir, keep_one=True)
 
 
 @register(
