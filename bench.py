@@ -50,6 +50,11 @@ EXTENDED = [
     "ext_mmr_diversify",
     "ext_corpus_datacard",
     "ext_hapax_stats",
+    # Round-10: sequence-level exact-substring dedup — data-sized on
+    # both engines (corpus × shingles), so the pair is a real data race,
+    # not a stage-launch floor.
+    "ext_dup_span_extract",
+    "ext_span_decontaminate",
 ]
 
 

@@ -1064,3 +1064,32 @@ def test_no_constant_partition_window_over_data_grain_input(spark, sf_dir):
         if viol:
             offenders.append((name, viol))
     assert offenders == [], offenders
+
+
+def test_hapax_stats_two_exchanges_and_takeordered(spark, sf_dir):
+    """ext_hapax_stats' stage math (BASELINE r10 note): one token
+    explode feeding a token-keyed aggregate, one source rollup — exactly
+    TWO hash exchanges, the algorithm's own keys — with the bounded
+    per-source stats broadcast back and the final top-k planned as
+    TakeOrderedAndProject, never a global sort. No Python in the plan."""
+    p = plan(REGISTRY["ext_hapax_stats"].fn(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    n_hash_exchanges = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert n_hash_exchanges == 2, tree
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "BatchEvalPython" not in p, p
+
+
+def test_mmr_diversify_single_grouped_arrow_stage(spark, sf_dir):
+    """ext_mmr_diversify's r9 rework, pinned: the greedy re-ranker is
+    ONE grouped-Arrow stage (FlatMapGroupsInPandas) fed by one
+    query-keyed exchange; everything below it is bounded candidate
+    generation (broadcast query side + per-query WindowGroupLimit
+    top-k). A second Arrow stage or a row-at-a-time Python eval means
+    the unrolled ~10-stage join form crept back."""
+    p = plan(REGISTRY["ext_mmr_diversify"].fn(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert tree.count("FlatMapGroupsInPandas") == 1, tree
+    assert "BatchEvalPython" not in p, p
+    assert "WindowGroupLimit" in tree, tree
+    assert "CartesianProduct" not in p, p
