@@ -88,6 +88,7 @@ DEFAULT_QUERIES = [
     # grows ~R×); wall growth must still track data, not pairs.
     "ext_dup_span_extract",
     "ext_span_decontaminate",
+    "ext_eval_decontaminate",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica

@@ -428,24 +428,7 @@ def _dup_spans(
     cross-document duplicated 5-token spans via shingle keying + a
     per-document gaps-and-islands merge. See ext_dup_span_extract for
     the full scale/determinism story."""
-    from pyspark.sql import Window
-
-    d = load_tables(spark, sf_dir)["documents"]
-    base = d.select("doc_id", F.split("text", " ").alias("l"))
-    grams = (
-        base.filter(F.size("l") >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(l) - 5), i -> "
-                    "struct(CAST(i AS INT) AS pos,"
-                    " concat_ws(' ', slice(l, i+1, 5)) AS gram))"
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.pos", "s.gram")
-    )
+    grams = _grams(_token_base(spark, sf_dir))
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -468,6 +451,43 @@ def _dup_spans(
         )
     else:
         hits = hits_all.select("doc_id", "pos")
+    return _islands_to_spans(hits)
+
+
+def _token_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as (doc_id, token array) — the shared input of every
+    sequence-level span operator."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", F.split("text", " ").alias("l"))
+
+
+def _grams(base: DataFrame) -> DataFrame:
+    """Positioned 5-token shingles: (doc_id, pos, gram), generated
+    map-side with one higher-order transform + explode — no window, no
+    join, linear in token count."""
+    return (
+        base.filter(F.size("l") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(l) - 5), i -> "
+                    "struct(CAST(i AS INT) AS pos,"
+                    " concat_ws(' ', slice(l, i+1, 5)) AS gram))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.gram")
+    )
+
+
+def _islands_to_spans(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of hit positions into maximal [span_start,
+    span_end) ranges per document: a break opens when the gap to the
+    previous hit exceeds the shingle width. Windows partition by doc_id
+    — a data-grain KEY, never a global window."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= 5, F.lit(0)
@@ -529,16 +549,14 @@ def ext_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decontaminated(
-    spark: SparkSession, sf_dir: str, keep_one: bool
-) -> DataFrame:
-    """Shared cleaned-corpus builder for the two span-removal policies:
+def _decontaminated(base: DataFrame, spans: DataFrame) -> DataFrame:
+    """Shared cleaned-corpus builder for every span-removal policy:
     spans roll up in-row per document and the token cut + rebuild is one
-    map-side higher-order filter over the token array."""
-    d = load_tables(spark, sf_dir)["documents"]
-    base = d.select("doc_id", F.split("text", " ").alias("l"))
+    map-side higher-order filter over the token array. ``base`` is the
+    (doc_id, l) relation to emit (pass a filtered base to clean only one
+    split); ``spans`` the [span_start, span_end) ranges to cut."""
     spans_per_doc = (
-        _dup_spans(spark, sf_dir, keep_one=keep_one)
+        spans
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("spans")
@@ -588,7 +606,9 @@ def ext_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's string_agg orders by pos); counts are exact integers.
     Empty results coalesce to '' (DuckDB's empty string_agg is NULL —
     the committed cross-engine rule)."""
-    return _decontaminated(spark, sf_dir, keep_one=False)
+    return _decontaminated(
+        _token_base(spark, sf_dir), _dup_spans(spark, sf_dir)
+    )
 
 
 @register(
@@ -622,7 +642,64 @@ def ext_span_decontaminate_keepone(
     total order encoded as doc_id*1e9+pos (pos bounded by tokens-per-
     document, far under 1e9); everything else as
     ext_span_decontaminate."""
-    return _decontaminated(spark, sf_dir, keep_one=True)
+    return _decontaminated(
+        _token_base(spark, sf_dir),
+        _dup_spans(spark, sf_dir, keep_one=True),
+    )
+
+
+@register(
+    "ext_eval_decontaminate",
+    oracle=f"""
+    WITH
+    t0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    t AS (SELECT * FROM t0 WHERE doc_id % 17 <> 0),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(l[u.i+1:u.i+5], ' ') AS gram
+      FROM t0, UNNEST(range(0, len(l) - 4)) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+    hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram)
+      WHERE g.doc_id % 17 <> 0
+    ),
+    {_SPANS_TAIL_SQL},
+    {_DECON_OUT_SQL}
+    """,
+)
+def ext_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the pre-training cut every benchmark-
+    honest pipeline runs: any 5-token span of a TRAINING document that
+    also appears anywhere in the EVAL split (here the deterministic
+    doc_id % 17 == 0 holdout, ~6% of the corpus) is removed from the
+    training copy, and the cleaned train corpus is emitted.
+    ext_contamination_matrix MEASURES train/eval n-gram overlap; this is
+    the operator that acts on it. Eval documents are never modified —
+    they simply don't appear in the output.
+
+    Scale: one positioned-shingle pass over the full corpus (map-side
+    transform); the eval gram set is a distinct on the ~6% eval slice
+    (gram-keyed, uniform); contaminated train positions come from ONE
+    gram-keyed equi-join — never an all-pairs or a train×eval document
+    join; islands-merge and the token cut are the shared span machinery
+    (doc-keyed windows, in-row rebuild). At a real 100 TB run the eval
+    side is a separate small table — the same plan with the eval gram
+    set likely broadcast-sized.
+
+    Determinism: split membership is integer modulus; spans and rebuild
+    as ext_span_decontaminate (exact strings, integer positions, ''
+    coalesce on the oracle's empty string_agg)."""
+    base_all = _token_base(spark, sf_dir)
+    is_eval = F.col("doc_id") % 17 == 0
+    grams = _grams(base_all)
+    ev = grams.filter(is_eval).select("gram").distinct()
+    hits = (
+        grams.filter(~is_eval).join(ev, "gram").select("doc_id", "pos")
+    )
+    return _decontaminated(
+        base_all.filter(~is_eval), _islands_to_spans(hits)
+    )
 
 
 @register(
