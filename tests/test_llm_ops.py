@@ -1093,3 +1093,62 @@ def test_mmr_diversify_matches_driver_side_greedy(spark, sf_dir):
             assert got[q][step][0] == best[0], (q, step, got[q], best)
             sel.append(best[0])
             del remaining[best[0]]
+
+
+def test_span_islands_merge_rule_boundaries(spark):
+    """_islands_to_spans' merge rule, pinned at the boundary: hit
+    positions with gap <= 5 (spans overlap or touch) merge into one
+    span; gap 6 (one clean token between spans) opens a new island.
+    Spans are [start, max_pos + 5) and per-doc independent."""
+    from world_cup_duckdb_spark.queries.ext_dedup import _islands_to_spans
+
+    hits = spark.createDataFrame(
+        # doc 1: 0,3 merge (gap 3); 8 merges with 3 (gap 5, touching);
+        #        14 breaks (gap 6) -> spans [0,13) and [14,19)
+        [(1, 0), (1, 3), (1, 8), (1, 14),
+         # doc 2: single hit -> [7,12)
+         (2, 7)],
+        "doc_id bigint, pos int",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in _islands_to_spans(hits).collect()
+    }
+    assert got == {(1, 0, 13), (1, 14, 19), (2, 7, 12)}
+
+
+def test_span_decontaminate_policies_nest(spark, sf_dir):
+    """Policy lattice over the same corpus: remove-all cuts at least as
+    much as keep-one from every document (keep-one spares one occurrence
+    per gram), both leave eval-split docs out of scope for
+    ext_eval_decontaminate (which emits only train docs), and every
+    clean_text round-trips: n_tokens - n_removed equals the rebuilt
+    token count (split on ' ' of the non-empty rebuilt text)."""
+    from world_cup_duckdb_spark.queries import REGISTRY
+
+    ra = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["ext_span_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    ko = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["ext_span_decontaminate_keepone"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    ev = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["ext_eval_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    assert set(ra) == set(ko) and len(ra) > 0
+    assert all(ko[d]["n_removed"] <= ra[d]["n_removed"] for d in ra)
+    assert sum(k["n_removed"] for k in ko.values()) < sum(
+        k["n_removed"] for k in ra.values()
+    )
+    # eval split absent from the decontaminated train output
+    assert all(d % 17 != 0 for d in ev)
+    for out in (ra, ko, ev):
+        for d, row in out.items():
+            n_kept = row["n_tokens"] - row["n_removed"]
+            rebuilt = row["clean_text"].split(" ") if row["clean_text"] else []
+            assert len(rebuilt) == n_kept, (d, row)
