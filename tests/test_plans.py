@@ -1093,3 +1093,25 @@ def test_mmr_diversify_single_grouped_arrow_stage(spark, sf_dir):
     assert "BatchEvalPython" not in p, p
     assert "WindowGroupLimit" in tree, tree
     assert "CartesianProduct" not in p, p
+
+
+def test_span_family_scan_counts_and_no_gram_reuse_cache(spark, sf_dir):
+    """The sequence-level span keys' scale posture, pinned: the gram
+    relation is RECOMPUTED per consumer (two corpus scans for the span
+    extract — dup aggregate + hits join; +1 for the rebuild base in the
+    decontaminate forms; eval adds its own gram pass) rather than
+    persisted — a corpus-grain cache is the memory-unsafe choice at
+    100 TB (contrast the bounded intermediates the registry does
+    persist). A scan count above the pin means a consumer multiplied;
+    an InMemoryTableScan means someone cached the corpus."""
+    for name, max_scans in (
+        ("ext_dup_span_extract", 2),
+        ("ext_span_decontaminate", 3),
+        ("ext_span_decontaminate_keepone", 3),
+        ("ext_eval_decontaminate", 4),
+    ):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        tree = p.split("\n\n")[0]
+        assert tree.count("Scan parquet") <= max_scans, (name, tree)
+        assert "InMemoryTableScan" not in tree, (name, tree)
+        assert "BatchEvalPython" not in p, name

@@ -438,3 +438,95 @@ def test_url_canonicalization_idempotent_and_invariant(
         .collect()[0]["c"]
     )
     assert again == c_clean, (c_clean, again)
+
+
+_span_corpora = st.lists(
+    # tiny vocab so 5-gram collisions actually occur across docs
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_span_corpora)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_pipeline_matches_python_reference(spark, docs):
+    """The whole sequence-level span pipeline (shingle -> cross-doc dup
+    set -> hits -> gaps-and-islands merge, both policies) must equal a
+    direct python reference on arbitrary tiny corpora — the oracle gate
+    proves engine parity on the fixture corpus; this proves the
+    ALGORITHM on adversarial shapes (all-identical docs, empty docs,
+    sub-width docs, heavy overlap)."""
+    from world_cup_duckdb_spark.queries.ext_dedup import (
+        _grams,
+        _islands_to_spans,
+    )
+
+    k = 5
+    toks = {i: d for i, d in enumerate(docs)}
+    # python reference
+    grams: dict = {}
+    for d, l in toks.items():
+        for p in range(len(l) - k + 1):
+            grams.setdefault(tuple(l[p : p + k]), []).append((d, p))
+    dup = {g for g, occ in grams.items() if len({d for d, _ in occ}) >= 2}
+
+    def islands(hits_by_doc):
+        spans = set()
+        for d, ps in hits_by_doc.items():
+            ps = sorted(ps)
+            start = prev = None
+            for p in ps:
+                if prev is None or p - prev > k:
+                    if start is not None:
+                        spans.add((d, start, prev + k))
+                    start = p
+                prev = p
+            if start is not None:
+                spans.add((d, start, prev + k))
+        return spans
+
+    hits_all: dict = {}
+    hits_keepone: dict = {}
+    for g in dup:
+        occ = sorted(grams[g])
+        for j, (d, p) in enumerate(occ):
+            hits_all.setdefault(d, set()).add(p)
+            if j > 0:  # canonical (min doc_id, pos) spared
+                hits_keepone.setdefault(d, set()).add(p)
+    exp_all = islands(hits_all)
+    exp_keepone = islands(hits_keepone)
+
+    # spark side, same helpers the registry keys use
+    base = spark.createDataFrame(
+        [(d, " ".join(l)) for d, l in toks.items()], "doc_id long, text string"
+    ).select("doc_id", F.split("text", " ").alias("l"))
+    # split('', ' ') yields [''] not [] — drop sub-width docs the same
+    # way _grams does (size filter), so empty docs are a non-issue.
+    g = _grams(base)
+    dup_df = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    ha = g.join(dup_df, "gram")
+    got_all = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in _islands_to_spans(ha.select("doc_id", "pos")).collect()
+    }
+    enc = F.col("doc_id") * F.lit(1000000000) + F.col("pos")
+    canon = ha.groupBy("gram").agg(F.min(enc).alias("ck"))
+    hk = ha.join(canon, "gram").filter(enc != F.col("ck")).select(
+        "doc_id", "pos"
+    )
+    got_keepone = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in _islands_to_spans(hk).collect()
+    }
+    assert got_all == exp_all, (docs, got_all, exp_all)
+    assert got_keepone == exp_keepone, (docs, got_keepone, exp_keepone)

@@ -429,28 +429,36 @@ def _dup_spans(
     per-document gaps-and-islands merge. See ext_dup_span_extract for
     the full scale/determinism story."""
     grams = _grams(_token_base(spark, sf_dir))
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    hits_all = grams.join(dup, "gram")
+    enc = F.col("doc_id") * F.lit(1000000000) + F.col("pos")
     if keep_one:
         # Canonical occurrence per duplicated gram text: min (doc_id,
         # pos), encoded as one BIGINT (pos bounded < 1e9 by the token-
-        # array grain) so the argmin is a plain MIN aggregate — map-side
-        # partials, no per-gram window ordering, skew-robust even for a
+        # array grain) so the argmin rides the SAME gram aggregate as
+        # the distinct-doc count — map-side partials, one gram shuffle,
+        # no per-gram window ordering, skew-robust even for a
         # boilerplate gram with millions of occurrences.
-        enc = F.col("doc_id") * F.lit(1000000000) + F.col("pos")
-        canon = hits_all.groupBy("gram").agg(F.min(enc).alias("ck"))
+        dup = (
+            grams.groupBy("gram")
+            .agg(
+                F.count_distinct("doc_id").alias("nd"),
+                F.min(enc).alias("ck"),
+            )
+            .filter(F.col("nd") >= 2)
+            .select("gram", "ck")
+        )
         hits = (
-            hits_all.join(canon, "gram")
+            grams.join(dup, "gram")
             .filter(enc != F.col("ck"))
             .select("doc_id", "pos")
         )
     else:
-        hits = hits_all.select("doc_id", "pos")
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("gram")
+        )
+        hits = grams.join(dup, "gram").select("doc_id", "pos")
     return _islands_to_spans(hits)
 
 
