@@ -885,3 +885,20 @@ def test_affected_dirs_matches_root_relative_segment():
     # never a missed one
     weird = [{"_f": "mangled://data-00001-bb/part-0.parquet"}]
     assert _affected_dirs(weird, dirs, root) == ["data-00001-bb"]
+
+
+def test_lakehouse_rejects_uri_schemed_paths(spark):
+    """URI-schemed paths must fail loudly (ADVICE r9 class): the layer's
+    atomicity is POSIX rename and its probes are os.path — on a remote
+    URI an existing table would silently read as EMPTY. Windows drive
+    letters aside (not this platform), any scheme prefix is rejected at
+    the _log_dir chokepoint every operation goes through."""
+    import pytest as _pytest
+
+    from world_cup_duckdb_spark.operators import lakehouse as lh
+
+    for bad in ("hdfs://nn/t", "s3a://bucket/t", "file:/tmp/t"):
+        with _pytest.raises(ValueError, match="bare local filesystem"):
+            lh.latest_version(bad)
+    # bare local paths pass (absent table reads as None, not an error)
+    assert lh.latest_version("/tmp/definitely-absent-lakehouse-xyz") is None

@@ -37,7 +37,28 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG = "_log"
 
 
+def _require_local(path: str) -> None:
+    """Fail LOUDLY on URI-schemed paths (same class as ADVICE r9's
+    similarity-index finding): this layer's atomicity is POSIX rename
+    and its probes are os.path — on ``hdfs://…`` or ``s3a://…`` the
+    probe silently returns False, so an existing table would read as
+    EMPTY with no error. The design ports to remote storage by swapping
+    the os calls for the Hadoop FileSystem API (rename is atomic on
+    HDFS; object stores need a log-store as Delta does) — until then,
+    local paths only, including no ``file:`` prefix (os.path would
+    treat it as a literal directory name)."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+        raise ValueError(
+            f"lakehouse tables require a bare local filesystem path, got "
+            f"{path!r}; remote/URI-schemed storage needs the Hadoop "
+            "FileSystem port described in operators/lakehouse.py"
+        )
+
+
 def _log_dir(path: str) -> str:
+    _require_local(path)
     return os.path.join(path, _LOG)
 
 
