@@ -884,3 +884,73 @@ def test_streaming_ohlc_equals_batch_twin(spark, sf_dir, staged):
     for bar, row in got_map.items():
         assert row == want_map[bar], (row, want_map[bar])
     assert len(got_map) >= len(want_map) - 3  # only tail windows open
+
+
+def test_streaming_decontaminate_equals_batch_twin(spark, sf_dir, tmp_path):
+    """streaming/decontaminate.py:decontaminate_docs driven from
+    readStream (3 micro-batches, append mode) ≡ the batch twin
+    ext_stream_decontaminate ≡ the join-form ext_eval_decontaminate —
+    the map-only broadcast plan computes the same answer on a stream as
+    both batch plans, with zero state to merge across triggers (every
+    doc cut in-row on arrival)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from world_cup_duckdb_spark.queries import REGISTRY
+    from world_cup_duckdb_spark.queries.ext_dedup import (
+        _grams,
+        _token_base,
+    )
+    from world_cup_duckdb_spark.sources.catalog import table
+    from world_cup_duckdb_spark.streaming.decontaminate import (
+        DOC_SCHEMA,
+        decontaminate_docs,
+    )
+    from pyspark.sql import functions as F
+
+    # stage documents as 3 parquet files -> 3 micro-batches
+    base = tmp_path / "docs_stream"
+    base.mkdir()
+    pdf = table(spark, sf_dir, "documents").toPandas()
+    third = math.ceil(len(pdf) / 3)
+    for i in range(3):
+        chunk = pdf.iloc[i * third : (i + 1) * third]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            base / f"docs_{i}.parquet",
+        )
+
+    is_eval = F.col("doc_id") % 17 == 0
+    eval_grams = [
+        r["gram"]
+        for r in _grams(_token_base(spark, sf_dir).filter(is_eval))
+        .select("gram")
+        .distinct()
+        .collect()
+    ]
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base))
+        .filter(~is_eval)
+    )
+    got = _rows(
+        _run_stream(
+            spark,
+            decontaminate_docs(stream, eval_grams),
+            "append",
+            "decon_stream",
+        ),
+        ["doc_id", "n_tokens", "n_removed", "clean_text"],
+    )
+    twin = _rows(
+        REGISTRY["ext_stream_decontaminate"].fn(spark, sf_dir),
+        ["doc_id", "n_tokens", "n_removed", "clean_text"],
+    )
+    join_form = _rows(
+        REGISTRY["ext_eval_decontaminate"].fn(spark, sf_dir),
+        ["doc_id", "n_tokens", "n_removed", "clean_text"],
+    )
+    assert got == twin == join_form and len(got) > 0

@@ -711,6 +711,64 @@ def ext_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_stream_decontaminate",
+    oracle=f"""
+    WITH
+    t0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    t AS (SELECT * FROM t0 WHERE doc_id % 17 <> 0),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(l[u.i+1:u.i+5], ' ') AS gram
+      FROM t0, UNNEST(range(0, len(l) - 4)) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+    hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram)
+      WHERE g.doc_id % 17 <> 0
+    ),
+    {_SPANS_TAIL_SQL},
+    {_DECON_OUT_SQL}
+    """,
+)
+def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING decontaminator
+    (streaming/decontaminate.py): the same eval-set span cut as
+    ext_eval_decontaminate, computed with the broadcast-set + map-only
+    plan an unbounded document stream requires — the eval gram set
+    (bounded by contract: a held-out benchmark suite, ~6% of docs here)
+    is collected once and shipped as a Spark broadcast, and every
+    document is cut IN-ROW in one Arrow mapInPandas stage: zero
+    shuffles, zero streaming state, append-mode-legal. Hash-matching
+    the SAME oracle as the join form proves the two plans compute one
+    answer; stream ≡ batch across micro-batches is pinned in
+    tests/test_streaming.py.
+
+    Scale: corpus side is embarrassingly parallel (map-only — the plan
+    an infinite crawl stream needs); the driver-side collect is the
+    eval gram set only, never corpus data (bound documented at the call
+    site). Determinism: the per-doc cut is the exact python reference
+    the property suite checks the distributed form against."""
+    from world_cup_duckdb_spark.streaming.decontaminate import (
+        decontaminate_docs,
+    )
+
+    base_all = _token_base(spark, sf_dir)
+    is_eval = F.col("doc_id") % 17 == 0
+    # Bounded collect: distinct 5-grams of the eval split (~6% of docs;
+    # a benchmark suite, not a corpus) — the same contract class as the
+    # centroid/probed-bucket collects in operators/similarity.py.
+    eval_grams = [
+        r["gram"]
+        for r in _grams(base_all.filter(is_eval))
+        .select("gram")
+        .distinct()
+        .collect()
+    ]
+    d = load_tables(spark, sf_dir)["documents"]
+    return decontaminate_docs(d.filter(~is_eval), eval_grams)
+
+
+@register(
     "ext_jaccard_prefix_join",
     oracle="""
     WITH corpus AS (
