@@ -89,6 +89,7 @@ DEFAULT_QUERIES = [
     "ext_dup_span_extract",
     "ext_span_decontaminate",
     "ext_eval_decontaminate",
+    "ext_stream_decontaminate",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica
