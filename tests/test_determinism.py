@@ -35,6 +35,12 @@ STATEFUL = [
     # (for delete) mutates it via tombstone + compaction before serving
     "ext_ann_ivf_delete",
     "ext_ann_lsh_query",
+    # r10: moved onto the localCheckpoint-backed distributed_* family
+    # (ranged materialization is the re-entry hazard class)
+    "ext_prefix_truncation_dedup",
+    "ext_quality_dup_calibration",
+    # r10: driver-side eval-gram collect + broadcast at plan-build time
+    "ext_stream_decontaminate",
 ]
 
 
