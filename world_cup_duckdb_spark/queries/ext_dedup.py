@@ -769,6 +769,81 @@ def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_dup_source_matrix",
+    oracle="""
+    WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+    g AS (
+      SELECT source, array_to_string(l[u.i+1:u.i+5], ' ') AS gram
+      FROM t, UNNEST(range(0, len(l) - 4)) AS u(i)
+    ),
+    pg AS (
+      SELECT gram, list_sort(list(DISTINCT source)) AS srcs
+      FROM g GROUP BY gram HAVING COUNT(DISTINCT source) >= 2
+    ),
+    pairs AS (
+      SELECT a.s AS source_a, b.s AS source_b
+      FROM pg, UNNEST(srcs) AS a(s), UNNEST(srcs) AS b(s)
+      WHERE a.s < b.s
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def ext_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication attribution: for every pair of corpus
+    sources, how many distinct 5-token grams they share — the report
+    that decides crawl-source dedup priority (two mirrors of one site
+    light up as a heavy pair; independent sources stay dark).
+    ext_contamination_matrix is this shape for train×eval;
+    ext_source_overlap_kmv estimates it with sketches; this is the
+    EXACT count over the dedup family's shingle machinery.
+
+    Scale: one shingle pass (map-side), one gram-keyed aggregate whose
+    per-gram state is the distinct SOURCE set — bounded by the source
+    vocabulary (registries have tens of sources, never corpus-scale),
+    so collect_set stays in-row safe by contract — and the pair
+    expansion is an in-row transform over that ≤|sources| array (≤
+    |sources|² pair rows per gram, emitted map-side above the
+    aggregate). The final rollup groups ≤|sources|² keys. No document
+    pairs, no all-pairs joins anywhere.
+
+    Determinism: exact string grams; sort_array ≡ list_sort and the
+    a < b string compare is plain lexicographic in both engines; counts
+    exact."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("source", F.split("text", " ").alias("l"))
+    grams = (
+        base.filter(F.size("l") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(l) - 5), i -> "
+                    "concat_ws(' ', slice(l, i+1, 5)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    per_gram = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "b -> struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shared_grams")
+    )
+
+
+@register(
     "ext_jaccard_prefix_join",
     oracle="""
     WITH corpus AS (
