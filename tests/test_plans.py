@@ -1115,3 +1115,18 @@ def test_span_family_scan_counts_and_no_gram_reuse_cache(spark, sf_dir):
         assert tree.count("Scan parquet") <= max_scans, (name, tree)
         assert "InMemoryTableScan" not in tree, (name, tree)
         assert "BatchEvalPython" not in p, name
+
+
+def test_stream_decontaminate_twin_is_map_only(spark, sf_dir):
+    """The streaming decontaminator's whole point, pinned: after the
+    bounded eval-gram collect at build time, the corpus side is ONE
+    Arrow map stage over one scan — zero Exchanges, which is exactly
+    what makes the same call legal on an unbounded stream in append
+    mode. An Exchange here means someone reintroduced a shuffle and the
+    streaming form would need state."""
+    p = plan(REGISTRY["ext_stream_decontaminate"].fn(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert "MapInPandas" in tree, tree
+    assert "Exchange" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert "BatchEvalPython" not in p, p
