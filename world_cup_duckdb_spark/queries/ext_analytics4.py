@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from world_cup_duckdb_spark.operators.relational import (
     distributed_running_sum,
 )
-from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 
@@ -445,7 +445,15 @@ def ext_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("p"))
         .distinct()
     )
-    tot = items.agg(F.count_distinct("o").alias("n_orders"))
+    # tot (1 row) and l2 (frequent pairs — broadcast-sized BY the
+    # algorithm's own premise) are each consumed by multiple branches;
+    # without the persist cuts every consumer re-executes the fact join
+    # and, for l2, the whole pair self-join (plan census r10: 26 parquet
+    # scans; 8 after). items itself is ORDER-GRAIN and deliberately
+    # NOT persisted — recomputing it is the memory-safe choice.
+    tot = items.agg(F.count_distinct("o").alias("n_orders")).transform(
+        tracked_persist
+    )
     a = items.alias("a")
     b = items.alias("b")
     pairs = a.join(
@@ -457,6 +465,7 @@ def ext_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .filter(F.col("n") * 1000 >= _SUPPORT_PM * F.col("n_orders"))
         .select("x", "y")
+        .transform(tracked_persist)
     )
     p2 = pairs.join(F.broadcast(l2), ["x", "y"])
     c = items.select(F.col("o").alias("co"), F.col("p").alias("z"))

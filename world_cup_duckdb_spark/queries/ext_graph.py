@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from world_cup_duckdb_spark.queries import register
+from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
 #: Damping 0.85 enters the integer iteration as the exact ratio 17/20.
@@ -126,6 +126,11 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        # Bounded (≤|nations|² rows) extract consumed by outw, norm,
+        # nodes AND every iteration's join: without the persist cut each
+        # consumer re-executes the 4-way FACT join — the datacard
+        # 120-scan class (plan census r10: 25 parquet scans; 4 after).
+        .transform(tracked_persist)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("sw"))
     norm = edges.join(outw, "src").select(
@@ -252,6 +257,11 @@ def ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("b"),
         )
         .distinct()
+        # Bounded (≤|nations|²/2 rows) oriented edge list consumed FIVE
+        # times (three self-join arms + both degree unions): persist the
+        # cut or every arm re-runs the full fact join (plan census r10:
+        # 45 parquet scans; 4 after).
+        .transform(tracked_persist)
     )
     e1 = e.alias("e1")
     e2 = e.alias("e2")
