@@ -1152,3 +1152,30 @@ def test_span_decontaminate_policies_nest(spark, sf_dir):
             n_kept = row["n_tokens"] - row["n_removed"]
             rebuilt = row["clean_text"].split(" ") if row["clean_text"] else []
             assert len(rebuilt) == n_kept, (d, row)
+
+
+def test_hashed_span_variant_equals_textual_form(spark, sf_dir):
+    """dup_spans_hashed (xxhash64 gram keys — the 100 TB shuffle-width
+    form) must equal the textual-key pipeline exactly on the fixture
+    corpus, for both policies. Textual keys stay the registered/oracled
+    form; this pins that the hashed twin is a pure exchange-width
+    optimization, not a semantic fork."""
+    from world_cup_duckdb_spark.queries.ext_dedup import (
+        _dup_spans,
+        dup_spans_hashed,
+    )
+
+    for keep_one in (False, True):
+        t = {
+            tuple(r)
+            for r in _dup_spans(spark, sf_dir, keep_one=keep_one)
+            .select("doc_id", "span_start", "span_end")
+            .collect()
+        }
+        h = {
+            tuple(r)
+            for r in dup_spans_hashed(spark, sf_dir, keep_one=keep_one)
+            .select("doc_id", "span_start", "span_end")
+            .collect()
+        }
+        assert t == h and len(t) > 0, keep_one

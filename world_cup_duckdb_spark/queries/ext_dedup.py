@@ -489,6 +489,50 @@ def _grams(base: DataFrame) -> DataFrame:
     )
 
 
+def dup_spans_hashed(
+    spark: SparkSession, sf_dir: str, keep_one: bool = False
+) -> DataFrame:
+    """The 100 TB shuffle-width form the span-family docstrings promise
+    (delivered as tested code, not a comment — the r9 lesson): identical
+    pipeline to :func:`_dup_spans` but every gram-keyed exchange carries
+    ``xxhash64(gram)`` (8 bytes) instead of the ~5-token string. A
+    64-bit collision could merge two distinct grams' occurrence sets (a
+    false duplicated span), so this variant is UNREGISTERED — the
+    driver-hashed keys stay textual for exact oracle parity — and the
+    pytest twin proves equality on the fixture corpus, where the
+    collision probability over ~10^5 grams is ~10^-9. On a real corpus
+    the expected false-pair mass is |grams|²/2^65 — negligible for a
+    dedup pass whose threshold decisions are already heuristic."""
+    grams = _grams(_token_base(spark, sf_dir)).select(
+        "doc_id", "pos", F.xxhash64("gram").alias("gh")
+    )
+    enc = F.col("doc_id") * F.lit(1000000000) + F.col("pos")
+    if keep_one:
+        dup = (
+            grams.groupBy("gh")
+            .agg(
+                F.count_distinct("doc_id").alias("nd"),
+                F.min(enc).alias("ck"),
+            )
+            .filter(F.col("nd") >= 2)
+            .select("gh", "ck")
+        )
+        hits = (
+            grams.join(dup, "gh")
+            .filter(enc != F.col("ck"))
+            .select("doc_id", "pos")
+        )
+    else:
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("gh")
+        )
+        hits = grams.join(dup, "gh").select("doc_id", "pos")
+    return _islands_to_spans(hits)
+
+
 def _islands_to_spans(hits: DataFrame) -> DataFrame:
     """Gaps-and-islands merge of hit positions into maximal [span_start,
     span_end) ranges per document: a break opens when the gap to the
@@ -540,9 +584,10 @@ def ext_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (uniform md5-like key distribution); the hits join is key-uniform;
     the island merge windows partition by doc_id — data-grain KEYS,
     never a global window. No all-pairs anywhere; cost is linear in
-    total shingle count. At 100 TB substitute xxhash64(gram) for the
-    raw string as the aggregate/join key to shrink exchange width
-    (kept textual here so the oracle shares the exact key).
+    total shingle count. The 100 TB shuffle-width form — xxhash64(gram)
+    as the aggregate/join key — is DELIVERED as
+    :func:`dup_spans_hashed` and pytest-pinned equal to this textual
+    form (kept textual here so the oracle shares the exact key).
 
     Determinism: integer positions and exact string equality end to
     end; (doc_id, pos) is a total order so the island numbering is
