@@ -862,3 +862,25 @@ def test_distributed_ops_reject_reserved_columns(spark):
     # clean inputs still work end-to-end
     got = distributed_running_max(base, ["id"], "v", "m", n_ranges=4)
     assert got.filter(F.col("id") == 4).collect()[0]["m"] == 6
+
+
+def test_distributed_lead_edge_partitionings(spark):
+    """distributed_lead must equal the ANSI window regardless of range
+    count: n_ranges=1 (handoff never fires — everything is one
+    partition), n_ranges >> rows (most partitions empty — the bounded
+    LAG must skip them to find the true successor), and a heavily tied
+    order key (ties land in one range by the range-partitioner
+    contract, so adjacency never splits a tie group)."""
+    from pyspark.sql import Window
+    from world_cup_duckdb_spark.operators.relational import distributed_lead
+
+    rows = [(i, i % 3) for i in range(41)]  # heavy ties on v
+    df = spark.createDataFrame(rows, "id int, v int").repartition(7)
+    order = [F.col("v").asc_nulls_last(), F.col("id").asc_nulls_last()]
+    exp = df.select(
+        "*", F.lead("id").over(Window.orderBy(*order)).alias("id_next")
+    )
+    for n_ranges in (1, 200, 5):
+        got = distributed_lead(df, ["v", "id"], ["id"], n_ranges=n_ranges)
+        assert got.exceptAll(exp).count() == 0, n_ranges
+        assert exp.exceptAll(got).count() == 0, n_ranges
