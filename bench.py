@@ -83,10 +83,30 @@ def main() -> None:
         if hasattr(os, "getloadavg")
         else (lambda: float("inf"))
     )
+
+    def _loadavg() -> list:
+        try:
+            return [round(v, 2) for v in os.getloadavg()]
+        except (AttributeError, OSError):
+            return []
     waited = 0.0
     while waited < cooldown and _load() > load_gate:
         time.sleep(1.0)
         waited += 1.0
+
+    # Box-state annotation (VERDICT r10 item 1): BENCH_r10's headline
+    # moved +37% purely from residual host load, and nothing in the
+    # artifact proved it — it took the judge a three-pair experiment to
+    # adjudicate. Record the 1/5/15-min load averages before the session
+    # starts and after the last measurement, and self-label the run
+    # busy_box when the PRE-run load is still above the cooldown gate
+    # after the settle expired (the post-run reading is confounded by
+    # the bench's own 32-thread burst — the before reading is the box
+    # signal; the after reading mainly shows whether something ELSE
+    # ramped mid-run via the 5/15-min columns). Under a busy box the
+    # per-query MIN needs more draws to land a clean one, so rep up.
+    la_before = _loadavg()
+    busy_box = bool(la_before) and la_before[0] > load_gate
 
     from world_cup_duckdb_spark import get_spark
     from world_cup_duckdb_spark.queries import REGISTRY
@@ -139,7 +159,10 @@ def main() -> None:
 
     # 7 reps: this box shows multi-second CPU-steal spikes at random; the
     # per-query MIN needs enough draws that at least one lands clean.
+    # Under a flagged busy box, rep up (pair protocol, BASELINE.md).
     reps = int(os.environ.get("BENCH_REPS", "7"))
+    if busy_box:
+        reps += int(os.environ.get("BENCH_BUSY_EXTRA_REPS", "4"))
 
     def once(name: str) -> float:
         # Time build + execution together: queries may do eager work at
@@ -188,6 +211,13 @@ def main() -> None:
     if ext_timings:
         payload["extended_queries"] = ext_timings
         payload["extended_total"] = round(sum(ext_timings.values()), 3)
+    # Self-labeling box state (VERDICT r10 item 1): loadavg_before is
+    # the signal a reader should trust; loadavg_after is confounded by
+    # the bench's own burst and mainly dates the 5/15-min columns.
+    payload["loadavg_before"] = la_before
+    payload["loadavg_after"] = _loadavg()
+    payload["busy_box"] = busy_box
+    payload["reps"] = reps
     print(json.dumps(payload))
 
 

@@ -38,10 +38,23 @@ TABLES = (
 ).split()
 
 
+def _loadavg() -> list:
+    try:
+        return [round(v, 2) for v in os.getloadavg()]
+    except (AttributeError, OSError):
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     threads = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = int(os.environ.get("BENCH_REPS", "7"))
+    # Box-state annotation (VERDICT r10 item 1): same fields as
+    # bench.py so a pair of artifacts self-documents whether it was
+    # measured on a settled box. The gate mirrors BENCH_COOLDOWN_LOAD.
+    load_gate = float(os.environ.get("BENCH_COOLDOWN_LOAD", "4"))
+    la_before = _loadavg()
+    busy_box = bool(la_before) and la_before[0] > load_gate
 
     import __spark_entry__ as entry
 
@@ -81,6 +94,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+                "loadavg_before": la_before,
+                "loadavg_after": _loadavg(),
+                "busy_box": busy_box,
+                "reps": reps,
             }
         )
     )

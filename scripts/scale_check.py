@@ -90,6 +90,10 @@ DEFAULT_QUERIES = [
     "ext_span_decontaminate",
     "ext_eval_decontaminate",
     "ext_stream_decontaminate",
+    # Round-11 addition: the published-shape (k=10, min-span 50) variant
+    # — same lattice, wider shingles; the replica suffix still makes
+    # every replica share its whole ≥50-token body with the original.
+    "ext_dup_span_extract_long",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica

@@ -650,3 +650,113 @@ def test_ivf_compact_crash_recovery_and_remote_guard(spark, emb, tmp_path):
     _require_local_path(loc, "ivf_index_compact")
     _require_local_path("file:" + loc, "ivf_index_compact")
     shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_ivf_compact_interrupted_cleanup_recovery(spark, emb, tmp_path):
+    """ADVICE r10 (high): the cleanup phase AFTER the swap completes can
+    itself be interrupted. The fixed ordering removes the manifest the
+    moment the rename loop finishes, so the worst reachable post-swap
+    state is {manifest gone, stale assigned_old + staging + tombstones
+    on disk}. This test reconstructs exactly that state and proves (a)
+    serving is still correct, (b) a SUBSEQUENT delete+compact cycle
+    clears the stale scratch before publishing its manifest — so its
+    recovery's step-2 os.rename never lands on an existing
+    assigned_old target — and loses no surviving vectors. (The old
+    ordering — cleanup first, manifest last — made the mirror state
+    reachable: manifest present, assigned_old gone; the next recovery
+    then renamed the freshly-swapped NEW partitions aside and deleted
+    them. That state is now unreachable by construction.)
+    """
+    import os
+    import shutil
+
+    from world_cup_duckdb_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_persist,
+        ivf_topk_from_index,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+
+    loc = str(tmp_path / "ivf")
+    ivf_index_persist(emb, loc, n_lists=16)
+    ivf_index_delete(spark, loc, emb.filter(F.col("vec_id") < 5))
+
+    root = os.path.join(loc, "assigned")
+    staging = os.path.join(loc, "assigned_compacting")
+    old_root = os.path.join(loc, "assigned_old")
+    tomb = spark.read.parquet(os.path.join(loc, "tombstones"))
+    affected = sorted(
+        r["list_id"] for r in tomb.select("list_id").distinct().collect()
+    )
+
+    # Perform the full swap by hand, then "crash" before any rmtree:
+    # stale old partitions, an emptied staging tree, and already-applied
+    # tombstones all left behind — and NO manifest (it is removed at
+    # swap completion).
+    (
+        spark.read.parquet(root)
+        .filter(F.col("list_id").isin(affected))
+        .join(F.broadcast(tomb.select("vid")), "vid", "left_anti")
+        .select("vid", "v", F.col("list_id").cast("int").alias("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(staging)
+    )
+    os.makedirs(old_root, exist_ok=True)
+    for lid in affected:
+        os.rename(
+            os.path.join(root, f"list_id={lid}"),
+            os.path.join(old_root, f"list_id={lid}"),
+        )
+        s = os.path.join(staging, f"list_id={lid}")
+        if os.path.isdir(s):
+            os.rename(s, os.path.join(root, f"list_id={lid}"))
+    assert os.path.isdir(old_root) and os.listdir(old_root)
+
+    # (a) serve on the stale-scratch index: stale tombstones mask vids
+    # that no longer exist — a no-op — so results match a clean twin.
+    ref = str(tmp_path / "ref")
+    ivf_index_persist(emb, ref, n_lists=16)
+    ivf_index_delete(spark, ref, emb.filter(F.col("vec_id") < 5))
+    ivf_index_compact(spark, ref)
+    expect = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, ref, q, k=5, n_probe=4).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, loc, q, k=5, n_probe=4).collect()
+    )
+    assert got == expect
+
+    # (b) a fresh delete+compact cycle over the stale scratch: must not
+    # collide with the leftover assigned_old dirs and must keep every
+    # surviving vector.
+    ivf_index_delete(spark, loc, emb.filter(F.col("vec_id") == 7))
+    assert ivf_index_compact(spark, loc) != []
+    remaining = {
+        r["vid"] for r in spark.read.parquet(root).select("vid").collect()
+    }
+    total = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert remaining == {v for v in total if v >= 5 and v != 7}
+    assert not os.path.isdir(old_root)
+    assert not os.path.isdir(os.path.join(loc, "tombstones"))
+    shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_local_fs_path_uri_normalization():
+    """ADVICE r10 (low): ``file:`` URIs must be parsed, not sliced —
+    authority-form URIs previously became ``//host/path`` and silently
+    mis-probed."""
+    import pytest as _pytest
+
+    from world_cup_duckdb_spark.operators.similarity import _local_fs_path
+
+    assert _local_fs_path("/tmp/ivf") == "/tmp/ivf"
+    assert _local_fs_path("file:/tmp/ivf") == "/tmp/ivf"
+    assert _local_fs_path("file:///tmp/ivf") == "/tmp/ivf"
+    assert _local_fs_path("file://localhost/tmp/ivf") == "/tmp/ivf"
+    with _pytest.raises(ValueError, match="authority"):
+        _local_fs_path("file://otherhost/tmp/ivf")

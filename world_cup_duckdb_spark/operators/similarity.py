@@ -874,6 +874,28 @@ def _has_remote_scheme(path: str) -> bool:
     return bool(m) and m.group(1).lower() != "file"
 
 
+def _local_fs_path(path: str) -> str:
+    """Resolve a local path or ``file:`` URI to a plain filesystem path
+    for os/shutil operations (ADVICE r10): slicing the literal
+    ``file:`` prefix turned ``file://host/p`` into ``//host/p`` and
+    ``file:///p`` into ``///p``, so os.path probes could target the
+    wrong location and silently skip a pending manifest. Parse the URI
+    instead, reject a non-local authority loudly, and return the path
+    component; bare paths pass through untouched."""
+    from urllib.parse import unquote, urlparse
+
+    if not path.startswith("file:"):
+        return path
+    parsed = urlparse(path)
+    if parsed.netloc not in ("", "localhost"):
+        raise ValueError(
+            f"file URI {path!r} names remote authority "
+            f"{parsed.netloc!r}; the rename-based index lifecycle "
+            "only runs against this host's filesystem"
+        )
+    return unquote(parsed.path) or "/"
+
+
 def _require_local_path(path: str, op: str) -> None:
     """Fail LOUDLY when an os/shutil-based index operation is handed a
     remote URI (ADVICE r9): a local probe on hdfs://… silently returns
@@ -924,9 +946,18 @@ def _ivf_compact_recover(path: str) -> None:
       (old in place | old moved aside | new moved in), each step an
       atomic directory rename, and this routine is idempotent across
       all of them — old partitions are renamed ASIDE (never deleted)
-      into ``assigned_old/`` before the staging dir moves in, and the
-      .old dirs / tombstones / manifest are removed only after every
-      move completed (manifest last, so cleanup itself is resumable).
+      into ``assigned_old/`` before the staging dir moves in. The
+      manifest is removed IMMEDIATELY after the rename loop (ADVICE
+      r10): swap complete = index correct, so a crash during the
+      scratch cleanup below leaves at worst stale assigned_old/staging
+      dirs and already-applied tombstones — the next compact clears
+      the scratch before publishing a new manifest, and masking a vid
+      that no longer exists is a no-op. (The previous ordering —
+      cleanup first, manifest last — had a silent-data-loss window: a
+      crash after ``assigned_old`` was removed but before the manifest
+      left the manifest pointing at an already-swapped index, and the
+      next recovery's step 1 renamed the NEW partitions aside and
+      deleted them.)
 
     Remote URIs no-op: compaction is guarded local-only, so a remote
     index can never be mid-compact."""
@@ -936,7 +967,7 @@ def _ivf_compact_recover(path: str) -> None:
 
     if _has_remote_scheme(path):
         return
-    local = path[len("file:") :] if path.startswith("file:") else path
+    local = _local_fs_path(path)
     manifest = os.path.join(local, "compact_manifest.json")
     if not os.path.isfile(manifest):
         return
@@ -956,10 +987,13 @@ def _ivf_compact_recover(path: str) -> None:
             os.rename(s, a)  # step 2: move the rewritten partition in
         # a fully-deleted list has no staging dir and simply loses its
         # directory at step 1
+    # Commit the completed swap BEFORE touching scratch (ADVICE r10):
+    # from here the index is correct and recovery must never re-enter
+    # the rename loop.
+    os.remove(manifest)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old_root, ignore_errors=True)
     shutil.rmtree(os.path.join(local, "tombstones"), ignore_errors=True)
-    os.remove(manifest)
 
 
 def ivf_index_delete(
@@ -1018,6 +1052,7 @@ def ivf_index_compact(spark, path: str) -> list:
     """
     import json
     import os
+    import shutil
 
     _require_local_path(path, "ivf_index_compact")
     _ivf_compact_recover(path)  # finish any prior committed compaction
@@ -1026,6 +1061,17 @@ def ivf_index_compact(spark, path: str) -> list:
         return []
     affected = sorted(
         r["list_id"] for r in tomb.select("list_id").distinct().collect()
+    )
+    local = _local_fs_path(path)
+    # Clear scratch a prior recovery's interrupted CLEANUP phase may
+    # have left behind (ADVICE r10): a stale assigned_old/list_id=X
+    # would suppress the upcoming swap's step-1 move-aside and make its
+    # step-2 os.rename land on an existing target. Stale tombstones are
+    # harmless (masking absent vids is a no-op) and are consumed by
+    # this very compaction.
+    shutil.rmtree(os.path.join(local, "assigned_old"), ignore_errors=True)
+    shutil.rmtree(
+        os.path.join(local, "assigned_compacting"), ignore_errors=True
     )
     root = os.path.join(path, "assigned")
     staging = os.path.join(path, "assigned_compacting")
@@ -1036,7 +1082,7 @@ def ivf_index_compact(spark, path: str) -> list:
         .select("vid", "v", F.col("list_id").cast("int").alias("list_id"))
     )
     survivors.write.mode("overwrite").partitionBy("list_id").parquet(staging)
-    manifest = os.path.join(path, "compact_manifest.json")
+    manifest = os.path.join(local, "compact_manifest.json")
     tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"affected": affected}, fh)
