@@ -90,10 +90,14 @@ DEFAULT_QUERIES = [
     "ext_span_decontaminate",
     "ext_eval_decontaminate",
     "ext_stream_decontaminate",
-    # Round-11 addition: the published-shape (k=10, min-span 50) variant
-    # — same lattice, wider shingles; the replica suffix still makes
-    # every replica share its whole ≥50-token body with the original.
+    # Round-11 additions: the published-shape (k=10, min-span 50) span
+    # variant — same lattice, wider shingles; the replica suffix still
+    # makes every replica share its whole ≥50-token body with the
+    # original — and the incremental index dedup, whose probe emits no
+    # pairs (per-bucket min reduction) and so must stay ~linear even on
+    # the near-dup-heavy replica corpus.
     "ext_dup_span_extract_long",
+    "ext_inc_dedup_index",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica

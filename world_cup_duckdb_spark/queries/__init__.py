@@ -282,7 +282,32 @@ def _ordered_names() -> list[str]:
         n for n in REGISTRY
         if n not in DRIVER_VERIFIED and n not in ordered
     ]
-    # Already driver-verified keys last (still present for local parity).
+    # Verified-tail rotation (VERDICT r10 item 7): the driver re-samples
+    # the HEAD of this order every round, and with the verified tail
+    # left at registration order the same analytics/core/lifecycle
+    # block would re-burn its ~50-key window forever while the oldest
+    # evidence staled. Pin the STALEST-verified block first among
+    # verified keys — round 11 rotates in the r2-era joins/reshape/
+    # scalars block (last driver-green in CORRECTNESS_r02; every later
+    # window sampled other families). Next rotation: the r2-era
+    # dedup/ANN/text extension block.
+    rotation_block = [
+        "op23_join_broadcast", "op25_join_diff_keys",
+        "op26_join_composite", "op27_left_join_flag", "op28_self_join",
+        "op29_join_renamed_dim",
+        "op30_distinct", "op31_diagonal_union", "op32_unpivot",
+        "op33_surrogate_key",
+        "op35_concat_key", "op36_replace", "op36b_replace_first",
+        "op37_capitalize", "op38_singularize", "op39_timestamp_parse",
+        "op40_casts", "op41_arithmetic", "op42_contains_classifier",
+        "op08_catalog_introspection", "op11_schema_report",
+    ]
+    missing_rot = [n for n in rotation_block if n not in REGISTRY]
+    if missing_rot:
+        raise ValueError(f"rotation names not in REGISTRY: {missing_rot}")
+    ordered += [n for n in rotation_block if n not in ordered]
+    # Remaining driver-verified keys last (still present for local
+    # parity).
     ordered += [n for n in REGISTRY if n not in ordered]
     if len(ordered) != len(REGISTRY):
         raise RuntimeError(
