@@ -31,6 +31,29 @@ def plan(df) -> str:
     )
 
 
+@pytest.fixture(scope="module")
+def registry_walk(spark, sf_dir):
+    """ONE shared cold walk of every registry query, for the whole-
+    registry gates (VERDICT r10 item 6 — suite wall): each gate
+    previously rebuilt all ~340 query plans itself, and stateful keys
+    (IVF/minhash index builds, lakehouse snapshots) do real work at
+    BUILD time, so every extra walk cost minutes. Plan text, the
+    optimized-plan JVM node, and the output schema are extracted
+    EAGERLY so later tests' cache clearing cannot perturb what a
+    consumer sees. State matches the old per-test walks exactly: one
+    clearCache, then every query built in registry order."""
+    spark.catalog.clearCache()
+    out = {}
+    for name in REGISTRY:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        out[name] = (
+            plan(df),
+            df._jdf.queryExecution().optimizedPlan(),
+            df.schema,
+        )
+    return out
+
+
 def test_scan_projection_pushdown(spark, sf_dir):
     df = REGISTRY["op02_scan_project"].fn(spark, sf_dir)
     p = plan(df)
@@ -131,11 +154,11 @@ def test_micro_query_stage_floor_is_pinned(spark, sf_dir):
     assert "Keys [1]: [c_nationkey" in p49, p49
 
 
-def test_no_python_udf_on_reference_surface(spark, sf_dir):
+def test_no_python_udf_on_reference_surface(registry_walk):
     # Engine policy (SURVEY.md §2.8): zero Python UDFs for reference ops.
     reference_keys = [n for n in REGISTRY if n.startswith("op") or n == "flagship"]
     for name in reference_keys:
-        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        p = registry_walk[name][0]
         assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
 
 
@@ -544,7 +567,7 @@ def test_scalable_surrogate_key_has_no_fact_window(spark, sf_dir):
     assert "_pid" in win_detail, p
 
 
-def test_no_antipatterns_anywhere_in_registry(spark, sf_dir):
+def test_no_antipatterns_anywhere_in_registry(registry_walk):
     """Whole-registry anti-pattern gate: NO query in the registry may
     plan a row-at-a-time Python eval (BatchEvalPython — Arrow paths show
     as ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas and are fine)
@@ -560,13 +583,11 @@ def test_no_antipatterns_anywhere_in_registry(spark, sf_dir):
     r1 ext_ivm_join hash miss). Array-shaped APIs stay available as
     unregistered twins (feature_hash_vector, mm_feature_counts_vector)."""
     offenders = []
-    for name in REGISTRY:
-        df = REGISTRY[name].fn(spark, sf_dir)
-        p = plan(df)
+    for name, (p, _opt, schema) in registry_walk.items():
         for bad in ("BatchEvalPython", "CartesianProduct"):
             if bad in p:
                 offenders.append((name, bad))
-        for field in df.schema.fields:
+        for field in schema.fields:
             t = field.dataType.simpleString()
             if t.startswith(("array", "map", "struct", "binary", "decimal")):
                 offenders.append((name, f"unhashable output {field.name}: {t}"))
@@ -1046,7 +1067,7 @@ def test_detector_flags_prefix_dedup_pre_fix_form(spark, sf_dir):
     assert viol == [["documents"]], viol
 
 
-def test_no_constant_partition_window_over_data_grain_input(spark, sf_dir):
+def test_no_constant_partition_window_over_data_grain_input(registry_walk):
     """Whole-registry bounded_one_partition contract gate (VERDICT r9
     item 2): the helper exists to silence WindowExec's no-partition
     warning for documented-BOUNDED relations, which also silences the
@@ -1056,11 +1077,8 @@ def test_no_constant_partition_window_over_data_grain_input(spark, sf_dir):
     the constant key above an unbounded scan of documents / lineitem /
     orders / events."""
     offenders = []
-    for name in REGISTRY:
-        df = REGISTRY[name].fn(spark, sf_dir)
-        viol = _constant_window_violations(
-            df._jdf.queryExecution().optimizedPlan()
-        )
+    for name, (_p, opt, _schema) in registry_walk.items():
+        viol = _constant_window_violations(opt)
         if viol:
             offenders.append((name, viol))
     assert offenders == [], offenders
