@@ -57,3 +57,12 @@ def test_bench_emits_one_json_line():
     assert rec["unit"] == "sec"
     assert set(rec["queries"]) == {"flagship", "op47_topk"}
     assert rec["value"] > 0
+    # Pair-protocol self-labeling fields (VERDICT r10 item 1): box state
+    # must be recorded in the artifact itself.
+    assert isinstance(rec["busy_box"], bool)
+    assert len(rec["loadavg_before"]) == 3
+    assert len(rec["loadavg_after"]) == 3
+    assert rec["reps"] >= 1
+    # Plan-construction cost is reported per query (one warm-up build).
+    assert set(rec["build_sec"]) == {"flagship", "op47_topk"}
+    assert all(v >= 0 for v in rec["build_sec"].values())
