@@ -116,6 +116,34 @@ def test_delete_mask_compact_and_crash_recovery(spark, docs, tmp_path):
     assert not os.path.isdir(old_root)
 
 
+def test_probe_edge_inputs(spark, docs, tmp_path):
+    """Contract corners: an empty delta probes to an empty result (not
+    an error), and a delta doc too short to produce any 3-word shingle
+    is ABSENT from the result rather than misreported — its band keys
+    are null, null keys never equi-join, and the DuckDB twin drops the
+    doc the same way (its unnest of an empty shingle list yields no
+    band rows at all). Same edge semantics as the batch MinHash key."""
+    loc = str(tmp_path / "edge-ix")
+    minhash_index_persist(docs, loc)
+
+    empty = docs.filter(F.lit(False)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    assert minhash_index_probe_dedup(spark, loc, empty).count() == 0
+
+    first_text = docs.select("text").first()["text"]
+    delta = spark.createDataFrame(
+        [(2_000_001, "just two"), (2_000_002, first_text)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in minhash_index_probe_dedup(spark, loc, delta).collect()
+    }
+    assert 2_000_001 not in rows  # sub-shingle-width doc: no verdict
+    assert rows[2_000_002]["is_dup"] is True  # exact copy of a corpus doc
+
+
 def test_probe_plan_has_no_pair_join(spark, docs, tmp_path):
     """The probe must never emit candidate PAIRS: its physical plan
     joins band rows only against the per-bucket min summary — assert
