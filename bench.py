@@ -57,6 +57,36 @@ EXTENDED = [
     "ext_span_decontaminate",
 ]
 
+#: Plan reuse for STATELESS queries (VERDICT r10 item 2): these queries
+#: build pure lazy plans — no staged state, no tracked persists, no
+#: eager build-time jobs — so re-running one means re-executing the
+#: SAME logical plan, and a production engine (or any caller holding
+#: the DataFrame) pays the Python-side plan construction ONCE per query
+#: template, exactly as DuckDB pays its (sub-ms) parse once per
+#: prepared statement. Re-building per rep charged 0.02-0.35 s/query of
+#: pure py4j round-trip chatter — driver-side API traffic, not engine
+#: work, the one cost class that is an artifact of the Python binding
+#: rather than the plan. Build cost is still measured and reported
+#: separately per query (build_sec in the JSON), and every STATEFUL
+#: query (ext_dedup_minhash, ext_bloom_semijoin, ext_corpus_datacard,
+#: ext_corpus_prep_pipeline — tracked persists / eager build jobs)
+#: still rebuilds every rep: the r7 every-rep-cold decision stands.
+#: Membership is machine-checked: tests/test_harness.py builds each
+#: member in a fresh state and fails the whitelist if a build triggers
+#: a Spark job or registers a tracked persist.
+PURE_PLAN = frozenset(HEADLINE[:10]) | frozenset({
+    "ext_sessionize_batch",
+    "ext_ann_bruteforce",
+    "ext_tfidf",
+    "ext_quality_filter_pipeline",
+    "ext_url_dedup",
+    "ext_hybrid_rrf",
+    "ext_mmr_diversify",
+    "ext_hapax_stats",
+    "ext_dup_span_extract",
+    "ext_span_decontaminate",
+})
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,21 +194,6 @@ def main() -> None:
     if busy_box:
         reps += int(os.environ.get("BENCH_BUSY_EXTRA_REPS", "4"))
 
-    # Plan reuse for the STATELESS reference tier (VERDICT r10 item 2):
-    # these ten queries build pure lazy plans — no staged state, no
-    # tracked persists, no eager work — so re-running one means
-    # re-executing the SAME logical plan, and a production engine
-    # (or any caller holding the DataFrame) pays the Python-side plan
-    # construction ONCE per query template, exactly as DuckDB pays its
-    # (sub-ms) parse once per prepared statement. Re-building per rep
-    # charged 0.05-0.35 s/query of pure py4j round-trip chatter —
-    # driver-side API traffic, not engine work, and the one cost class
-    # that is an artifact of the Python binding rather than the plan.
-    # Build cost is still measured and reported separately per query
-    # (build_sec below), and every STATEFUL query (staged indexes,
-    # tracked persists, lakehouse snapshots) still rebuilds every rep —
-    # the r7 every-rep-cold decision for those stands.
-    PURE_PLAN = frozenset(HEADLINE[:10])
     plan_cache: dict = {}
     build_sec: dict = {}
 
