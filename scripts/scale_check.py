@@ -98,6 +98,10 @@ DEFAULT_QUERIES = [
     # the near-dup-heavy replica corpus.
     "ext_dup_span_extract_long",
     "ext_inc_dedup_index",
+    # Delete lifecycle twin: tombstone + bucket-partition compact +
+    # probe — compaction cost must track the victim buckets, not the
+    # corpus.
+    "ext_inc_dedup_delete",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica

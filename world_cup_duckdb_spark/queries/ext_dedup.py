@@ -224,6 +224,80 @@ def ext_inc_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_index_probe_dedup(spark, loc, delta)
 
 
+@register(
+    "ext_inc_dedup_delete",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_BANDS_SQL},
+    live AS (
+      SELECT * FROM bands
+      WHERE doc_id >= 1000000 OR doc_id % 5 <> 0
+    ),
+    summ AS (
+      SELECT band, band_key,
+             MIN(CASE WHEN doc_id < 1000000 THEN doc_id END) AS min_ix,
+             MIN(CASE WHEN doc_id >= 1000000 THEN doc_id END) AS min_delta
+      FROM live GROUP BY band, band_key
+    ),
+    cand AS (
+      SELECT b.doc_id,
+             MIN(LEAST(
+               COALESCE(s.min_ix, {_NO_CAND_SQL}),
+               CASE WHEN s.min_delta < b.doc_id THEN s.min_delta
+                    ELSE {_NO_CAND_SQL} END)) AS cand
+      FROM live b JOIN summ s USING (band, band_key)
+      WHERE b.doc_id >= 1000000
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN cand < {_NO_CAND_SQL} THEN cand END AS canon_id,
+           cand < {_NO_CAND_SQL} AS is_dup
+    FROM cand
+    """,
+)
+def ext_inc_dedup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-index DELETE lifecycle (operators/dedup_index.py —
+    the minhash twin of ext_ann_ivf_delete's evidence class): build the
+    index over the full corpus, tombstone every doc with
+    doc_id % 5 == 0 (a GDPR purge / licence takedown batch —
+    O(batch) metadata, no index scan even to locate victims: the
+    bucket is recomputed from the id hash), COMPACT (rewrites only the
+    bucket partitions holding victims behind the crash-safe manifest
+    swap, clears the tombstones), then probe the re-crawl delta
+    against the compacted files.
+
+    The oracle is the single-batch dedup over (corpus WITHOUT the
+    victims) ∪ delta — deletion must change WHAT is indexed, never
+    HOW, so probe-after-delete+compact ≡ dedup against the surviving
+    corpus. The tombstone-masked probe (before compaction) equals the
+    same answer, pinned in tests/test_dedup_index.py along with the
+    interrupted-cleanup crash window.
+
+    Scale: delete is O(batch) appended metadata; compaction reads and
+    rewrites ONLY affected ``bucket=…`` partitions (victim buckets were
+    captured at delete time); the probe is the cap-free per-bucket min
+    reduction of ext_inc_dedup_index."""
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_index_persist,
+        minhash_index_probe_dedup,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    delta = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    loc = _fresh_dir("minhash-index-del")
+    minhash_index_persist(d, loc)
+    minhash_index_delete(
+        spark, loc, d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    minhash_index_compact(spark, loc)
+    return minhash_index_probe_dedup(spark, loc, delta)
+
+
 def _simhash_sql() -> str:
     nib = [
         f"strpos('0123456789abcdef', substr(h, {k + 1}, 1)) - 1" for k in range(4)
