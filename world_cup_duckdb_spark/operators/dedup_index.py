@@ -294,7 +294,7 @@ def minhash_index_compact(spark, path: str) -> list:
 
 
 def minhash_index_probe_dedup(
-    spark, path: str, delta_docs: DataFrame
+    spark, path: str, delta_docs: DataFrame, cut=None
 ) -> DataFrame:
     """Incremental dedup of a delta batch against the persisted index:
     (doc_id, canon_id, is_dup) for every delta doc. A delta doc is a
@@ -306,9 +306,21 @@ def minhash_index_probe_dedup(
     Exchanges: one on (band, band_key) for the bucket reduction, one
     on doc_id for the per-delta-doc min — both data-grain keys. The
     index side is ONE scan, semi-joined against the broadcast delta
-    band-key set before anything else happens to it."""
+    band-key set before anything else happens to it.
+
+    ``cut``: optional materialization hook for the delta band relation
+    (e.g. the registry's tracked_persist). The delta bands feed THREE
+    consumers (the probe-key set, the bucket reduction's delta side,
+    and the candidate join), and without a cut Spark re-plans the
+    shingle/md5 banding once per consumer — the bounded-intermediate-
+    multiple-consumers shape the r10 plan census flagged on the graph
+    queries. The delta is bounded by contract (a batch, not a corpus),
+    so the cut is the one-scan shape you'd ship; pass None to keep the
+    probe fully lazy."""
     _compact_recover(path)
     delta = _delta_bands(path, delta_docs)
+    if cut is not None:
+        delta = cut(delta)
     index_bands = spark.read.parquet(os.path.join(path, "bands")).select(
         "doc_id", "band", "band_key"
     )

@@ -221,7 +221,10 @@ def ext_inc_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = _fresh_dir("minhash-index")
     minhash_index_persist(d.filter(F.col("doc_id") % 2 == 0), loc)
     minhash_index_append(spark, loc, d.filter(F.col("doc_id") % 2 == 1))
-    return minhash_index_probe_dedup(spark, loc, delta)
+    # Cut the delta band relation (bounded: a batch) so its shingle/
+    # md5 stage plans once, not once per probe consumer (plan-census
+    # r11; same class as the r10 graph-query cuts).
+    return minhash_index_probe_dedup(spark, loc, delta, cut=tracked_persist)
 
 
 @register(
@@ -295,7 +298,7 @@ def ext_inc_dedup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, loc, d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
     )
     minhash_index_compact(spark, loc)
-    return minhash_index_probe_dedup(spark, loc, delta)
+    return minhash_index_probe_dedup(spark, loc, delta, cut=tracked_persist)
 
 
 def _simhash_sql() -> str:
