@@ -102,6 +102,9 @@ DEFAULT_QUERIES = [
     # probe — compaction cost must track the victim buckets, not the
     # corpus.
     "ext_inc_dedup_delete",
+    # Gram-index decontamination: persisted eval-gram probe — join-based,
+    # no broadcast bound; growth must track corpus grams.
+    "ext_inc_span_decontaminate",
 ]
 
 _KEY_SHIFT = 10**9  # orderkey/event space per replica

@@ -162,3 +162,37 @@ def test_probe_plan_has_no_pair_join(spark, docs, tmp_path):
     # (band, band_key) against the AGGREGATED summary.
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan  # the index-scan kill filter survives
+
+
+def test_gram_index_append_equals_full(spark, docs, tmp_path):
+    """gram_index_persist(half) + gram_index_append(half) probes
+    identically to a one-shot persist over the union — appends extend
+    WHAT is indexed (set semantics survive cross-batch duplicate gram
+    rows because the probe is a semi-join)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        gram_index_append,
+        gram_index_persist,
+        gram_index_probe_hits,
+    )
+    from world_cup_duckdb_spark.queries.ext_dedup import _grams
+
+    base = docs.select("doc_id", F.split("text", " ").alias("l"))
+    ev = base.filter(F.col("doc_id") % 17 == 0)
+    corpus = _grams(base.filter(F.col("doc_id") % 17 != 0))
+
+    full = str(tmp_path / "gfull")
+    gram_index_persist(_grams(ev), full)
+
+    inc = str(tmp_path / "ginc")
+    gram_index_persist(_grams(ev.filter(F.col("doc_id") % 2 == 0)), inc)
+    gram_index_append(_grams(ev.filter(F.col("doc_id") % 2 == 1)), inc)
+
+    a = sorted(
+        tuple(r) for r in gram_index_probe_hits(spark, full, corpus).collect()
+    )
+    b = sorted(
+        tuple(r) for r in gram_index_probe_hits(spark, inc, corpus).collect()
+    )
+    assert a == b and a

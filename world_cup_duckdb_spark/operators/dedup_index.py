@@ -293,6 +293,52 @@ def minhash_index_compact(spark, path: str) -> list:
     return affected
 
 
+def gram_index_persist(grams: DataFrame, path: str) -> None:
+    """Persist the DISTINCT k-gram relation of a contamination source
+    (an eval benchmark suite, a licensed-content corpus) so later
+    delta batches can be decontaminated against it without recomputing
+    or re-broadcasting the source — the exact-substring analog of the
+    MinHash index above. Stored as textual grams for exact oracle
+    parity (the committed span-family convention); the 8-byte
+    xxhash64 storage form is the same transformation dup_spans_hashed
+    applies and composes here unchanged. One distinct-aggregate
+    exchange, then a parquet write."""
+    (
+        grams.select("gram")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/grams")
+    )
+
+
+def gram_index_append(grams: DataFrame, path: str) -> None:
+    """Extend the persisted gram set with a new contamination batch:
+    append the batch's distinct grams. Cross-batch duplicates are
+    harmless (the probe is a semi-join — set membership), and a
+    compaction is just re-running gram_index_persist over the read-back
+    relation."""
+    (
+        grams.select("gram")
+        .distinct()
+        .write.mode("append")
+        .parquet(path.rstrip("/") + "/grams")
+    )
+
+
+def gram_index_probe_hits(
+    spark, path: str, corpus_grams: DataFrame
+) -> DataFrame:
+    """(doc_id, pos) of every corpus gram present in the index: a plain
+    equi-join on the gram key — both sides hash-exchange on a uniform
+    key (or Catalyst/AQE broadcasts the index when it is small), no
+    driver-side collect of the index at any size, unlike the
+    broadcast-set streaming decontaminator whose eval set must fit in
+    a broadcast by contract. The probe output feeds the shared
+    gaps-and-islands span merge."""
+    ix = spark.read.parquet(path.rstrip("/") + "/grams")
+    return corpus_grams.join(ix, "gram").select("doc_id", "pos")
+
+
 def minhash_index_probe_dedup(
     spark, path: str, delta_docs: DataFrame, cut=None
 ) -> DataFrame:

@@ -1086,6 +1086,66 @@ def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_inc_span_decontaminate",
+    oracle=f"""
+    WITH
+    t0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    t AS (SELECT * FROM t0 WHERE doc_id % 17 <> 0),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(l[u.i+1:u.i+5], ' ') AS gram
+      FROM t0, UNNEST(range(0, len(l) - 4)) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+    hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram)
+      WHERE g.doc_id % 17 <> 0
+    ),
+    {_SPANS_TAIL_SQL},
+    {_DECON_OUT_SQL}
+    """,
+)
+def ext_inc_span_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination against a PERSISTED gram index
+    (operators/dedup_index.py:gram_index_persist/probe — the
+    exact-substring analog of ext_inc_dedup_index): the eval suite's
+    distinct 5-grams are indexed ONCE to parquet, and each later
+    corpus batch probes that index with a plain gram-keyed equi-join —
+    no per-batch recompute of the contamination source, no driver-side
+    collect of its grams at any size (the broadcast-set streaming twin
+    requires the eval set to fit in a broadcast; this form has no such
+    bound). Hash-matching the SAME oracle as ext_stream_decontaminate
+    and ext_eval_decontaminate pins index-probe ≡ broadcast-set ≡
+    in-memory-join — three physical strategies, one answer, pick by
+    deployment shape (unbounded stream / small eval set / persisted
+    100 TB-scale contamination source).
+
+    Scale: index build is one distinct-aggregate over the eval split;
+    the probe joins corpus grams to the index on the uniform gram key
+    (one exchange per side, AQE may broadcast a small index); spans
+    merge per-document as everywhere in the family. Nothing collects;
+    nothing is all-pairs."""
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        gram_index_persist,
+        gram_index_probe_hits,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    base_all = _token_base(spark, sf_dir)
+    is_eval = F.col("doc_id") % 17 == 0
+    loc = _fresh_dir("gram-index")
+    gram_index_persist(_grams(base_all.filter(is_eval)), loc)
+    hits = gram_index_probe_hits(
+        spark, loc, _grams(base_all.filter(~is_eval))
+    )
+    return _decontaminated(
+        base_all.filter(~is_eval), _islands_to_spans(hits)
+    )
+
+
+@register(
     "ext_dup_source_matrix",
     oracle="""
     WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
