@@ -228,6 +228,98 @@ def ext_inc_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_inc_dedup_multibatch",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_BANDS_SQL},
+    summ AS (
+      SELECT band, band_key,
+             MIN(CASE WHEN doc_id < 1000000 THEN doc_id END) AS min_ix,
+             MIN(CASE WHEN doc_id >= 1000000 THEN doc_id END) AS min_delta
+      FROM bands GROUP BY band, band_key
+    ),
+    cand AS (
+      SELECT b.doc_id,
+             MIN(LEAST(
+               COALESCE(s.min_ix, {_NO_CAND_SQL}),
+               CASE WHEN s.min_delta < b.doc_id THEN s.min_delta
+                    ELSE {_NO_CAND_SQL} END)) AS cand
+      FROM bands b JOIN summ s USING (band, band_key)
+      WHERE b.doc_id >= 1000000
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN cand < {_NO_CAND_SQL} THEN cand END AS canon_id,
+           cand < {_NO_CAND_SQL} AS is_dup
+    FROM cand
+    """,
+)
+def ext_inc_dedup_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-ingest form of the incremental index dedup: the
+    re-crawl delta arrives as FOUR doc_id-ordered batches, and each
+    batch is probed against the index THEN appended to it — the
+    probe-then-append cycle a continuously-ingesting pipeline runs per
+    micro-batch (streaming/neardup.py holds its state in a Spark state
+    store; this form holds it in the persisted index itself, so state
+    survives across jobs, clusters, and engine versions).
+
+    The oracle is BYTE-IDENTICAL to ext_inc_dedup_index's single-shot
+    form — that equality is the key's entire point, and it holds by
+    construction when batches arrive in id order: a doc's candidate
+    set is (corpus ∪ all smaller-id delta docs) either way — earlier
+    batches reach it through the index side, same-batch smaller ids
+    through the bucket's min-delta rule, and min over the same set is
+    the same canonical. Out-of-order arrival degrades gracefully (a
+    doc can only be canonicalized to an already-ingested doc — the
+    standard first-seen-wins semantics of streaming dedup).
+
+    Scale: per batch, cost is the O(batch) banding + one index scan
+    (semi-joined down to colliding buckets before the reduction) + an
+    O(batch) partitioned append. No pair emission anywhere; union of
+    per-batch results is a metadata union of batch-sized relations."""
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        minhash_index_append,
+        minhash_index_persist,
+        minhash_index_probe_dedup,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    delta = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    loc = _fresh_dir("minhash-index-mb")
+    minhash_index_persist(d, loc)
+    # doc_id-ORDERED batches (quartiles of the id range), not hash
+    # splits: ordered arrival is what makes probe-then-append equal the
+    # single-shot rule (see docstring).
+    ids = delta.select(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    lo, hi = ids["lo"], ids["hi"]
+    width = (hi - lo) // 4 + 1
+    outs = []
+    for b in range(4):
+        batch = delta.filter(
+            (F.col("doc_id") >= lo + b * width)
+            & (F.col("doc_id") < lo + (b + 1) * width)
+        )
+        # MATERIALIZE this batch's verdicts BEFORE the append mutates
+        # the index files (the probe's index scan is lazy; without the
+        # eager cut it would list post-append files at driver-collect
+        # time and see future batches on the index side). Exactly what
+        # a streaming foreachBatch sink does per micro-batch.
+        outs.append(
+            minhash_index_probe_dedup(spark, loc, batch).localCheckpoint()
+        )
+        minhash_index_append(spark, loc, batch)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+@register(
     "ext_inc_dedup_delete",
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),
