@@ -68,9 +68,12 @@ EXTENDED = [
 #: work, the one cost class that is an artifact of the Python binding
 #: rather than the plan. Build cost is still measured and reported
 #: separately per query (build_sec in the JSON), and every STATEFUL
-#: query (ext_dedup_minhash, ext_bloom_semijoin, ext_corpus_datacard,
+#: query (ext_dedup_minhash, ext_corpus_datacard,
 #: ext_corpus_prep_pipeline — tracked persists / eager build jobs)
 #: still rebuilds every rep: the r7 every-rep-cold decision stands.
+#: ext_bloom_semijoin joined the tier in r12: its fused single-broadcast
+#: form (bloom_semijoin_state) dropped the tracked persist, so its build
+#: is a pure lazy plan now.
 #: Membership is machine-checked: tests/test_harness.py builds each
 #: member in a fresh state and fails the whitelist if a build triggers
 #: a Spark job or registers a tracked persist.
@@ -79,6 +82,7 @@ PURE_PLAN = frozenset(HEADLINE[:10]) | frozenset({
     "ext_ann_bruteforce",
     "ext_tfidf",
     "ext_quality_filter_pipeline",
+    "ext_bloom_semijoin",
     "ext_url_dedup",
     "ext_hybrid_rrf",
     "ext_mmr_diversify",
@@ -86,6 +90,13 @@ PURE_PLAN = frozenset(HEADLINE[:10]) | frozenset({
     "ext_dup_span_extract",
     "ext_span_decontaminate",
 })
+
+#: Methodology tag embedded in the JSON payload (ADVICE r11): the
+#: pure-plan reuse policy changed what a rep times for whitelisted
+#: queries starting with BENCH_r11, so artifacts self-label the policy
+#: and a cross-round comparison mixing policies is detectable instead
+#: of silent. Bump when the timing policy changes meaning again.
+METHODOLOGY = "pure-plan-v2"
 
 
 def main() -> None:
@@ -263,6 +274,11 @@ def main() -> None:
     # queries it is inside every rep as before. Reported so the split
     # between driver-API chatter and engine work stays auditable.
     payload["build_sec"] = build_sec
+    # Timing-policy self-label (ADVICE r11) + which queries actually
+    # reused a session-built plan this run, so old/new artifacts can't
+    # be compared under silently different rep semantics.
+    payload["methodology"] = METHODOLOGY
+    payload["pure_plan_reused"] = sorted(plan_cache)
     print(json.dumps(payload))
 
 

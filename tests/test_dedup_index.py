@@ -116,6 +116,171 @@ def test_delete_mask_compact_and_crash_recovery(spark, docs, tmp_path):
     assert not os.path.isdir(old_root)
 
 
+def test_recover_never_strands_tombstones(spark, docs, tmp_path, monkeypatch):
+    """ADVICE r11: already-applied tombstones must never survive a
+    completed swap with the manifest gone — that state is
+    indistinguishable from pending deletes, so a later append
+    re-inserting a deleted doc_id would be silently masked by probes
+    and destroyed by the next compact. The fixed ordering clears
+    tombstones BEFORE the manifest (commit marker), so the worst crash
+    {manifest present, tombstones gone} is finished idempotently by the
+    next entry point. Simulate that exact crash: fail the manifest
+    os.remove once, then require the next append+probe to (a) finish
+    recovery and (b) see a re-inserted previously-deleted doc."""
+    import world_cup_duckdb_spark.operators.dedup_index as dix
+
+    loc = str(tmp_path / "ix")
+    minhash_index_persist(docs, loc)
+    victim = docs.orderBy("doc_id").limit(1)
+    victim_id = victim.first()["doc_id"]
+    minhash_index_delete(spark, loc, victim.select("doc_id"))
+
+    real_remove = os.remove
+
+    def failing_remove(p):
+        if p.endswith("compact_manifest.json"):
+            raise OSError("simulated crash before manifest removal")
+        real_remove(p)
+
+    monkeypatch.setattr(dix.os, "remove", failing_remove)
+    with pytest.raises(OSError, match="simulated crash"):
+        minhash_index_compact(spark, loc)
+    monkeypatch.setattr(dix.os, "remove", real_remove)
+
+    # Crash state: swap done, tombstones already cleared, manifest left.
+    assert os.path.isfile(os.path.join(loc, "compact_manifest.json"))
+    assert not os.path.isdir(os.path.join(loc, "tombstones"))
+
+    # Next cycle: re-ingest the purged doc, then probe an exact copy of
+    # it. Stranded tombstones would mask the re-inserted doc (probe says
+    # unique); the fixed ordering must find it.
+    reinserted = docs.filter(F.col("doc_id") == victim_id)
+    minhash_index_append(spark, loc, reinserted)
+    assert not os.path.isfile(os.path.join(loc, "compact_manifest.json"))
+    recrawl = reinserted.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    rows = minhash_index_probe_dedup(spark, loc, recrawl).collect()
+    assert len(rows) == 1 and rows[0]["is_dup"] is True
+    assert rows[0]["canon_id"] == victim_id
+    # And the next compact must not destroy the re-inserted doc.
+    minhash_index_delete(
+        spark, loc, docs.filter(F.col("doc_id") == victim_id + 1).select("doc_id")
+    )
+    minhash_index_compact(spark, loc)
+    rows2 = minhash_index_probe_dedup(spark, loc, recrawl).collect()
+    assert len(rows2) == 1 and rows2[0]["is_dup"] is True
+
+
+def test_multibatch_verdicts_survive_lineage_recompute(spark, docs, tmp_path):
+    """VERDICT r11 item 2: per-batch verdicts in the probe-then-append
+    cycle must be durable against lineage recomputation — a probe
+    recomputed AFTER its batch was appended sees itself on the index
+    side and flips every doc to dup-of-itself. The reliable parquet
+    sink makes the read-back depend only on written files: unpersist
+    everything, clear the cache, re-collect — the verdicts must be
+    byte-stable and must NOT equal the post-append re-probe."""
+    loc = str(tmp_path / "mb-ix")
+    minhash_index_persist(docs.filter(F.col("doc_id") % 2 == 0), loc)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    verdicts = os.path.join(loc, "verdicts")
+    minhash_index_probe_dedup(spark, loc, batch).write.parquet(verdicts)
+    out = spark.read.parquet(verdicts)
+    before = sorted(tuple(r) for r in out.collect())
+
+    minhash_index_append(spark, loc, batch)  # the mutation
+
+    spark.catalog.clearCache()  # kill any cached lineage state
+    after = sorted(tuple(r) for r in out.collect())
+    assert after == before  # durable: read-back unaffected by the append
+
+    # The hazard is real: a recomputed probe WOULD differ (every batch
+    # doc now collides with its own appended signature).
+    reprobe = sorted(
+        tuple(r)
+        for r in minhash_index_probe_dedup(spark, loc, batch).collect()
+    )
+    assert reprobe != before
+    # Read-back is a pure file scan — no banding stages to recompute.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
+
+
+def test_gram_index_compact_lifecycle(spark, docs, tmp_path):
+    """VERDICT r11 item 4 + ADVICE r11 (medium): batch-distinct appends
+    accumulate cross-batch duplicate gram rows; the probe must stay
+    set-semantic anyway (left-semi join), and gram_index_compact must
+    fold the duplicates out behind the crash-safe swap without changing
+    any probe answer."""
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        _gram_compact_recover,
+        gram_index_append,
+        gram_index_compact,
+        gram_index_persist,
+        gram_index_probe_hits,
+    )
+    from world_cup_duckdb_spark.queries.ext_dedup import _grams
+
+    base = docs.select("doc_id", F.split("text", " ").alias("l"))
+    ev = base.filter(F.col("doc_id") % 17 == 0)
+    corpus = _grams(base.filter(F.col("doc_id") % 17 != 0))
+
+    loc = str(tmp_path / "gix")
+    ev_grams = _grams(ev)
+    gram_index_persist(ev_grams, loc)
+    expect = sorted(
+        tuple(r) for r in gram_index_probe_hits(spark, loc, corpus).collect()
+    )
+    assert expect
+
+    # Append the SAME gram set twice: worst-case cross-batch overlap.
+    gram_index_append(ev_grams, loc)
+    gram_index_append(ev_grams, loc)
+    ix_path = os.path.join(loc, "grams")
+    n_dup = spark.read.parquet(ix_path).count()
+    n_set = spark.read.parquet(ix_path).distinct().count()
+    assert n_dup == 3 * n_set  # duplicates really are on disk
+    # Set-semantic probe: identical hits despite triplicated grams —
+    # an inner join would emit each hit three times (ADVICE r11).
+    got = sorted(
+        tuple(r) for r in gram_index_probe_hits(spark, loc, corpus).collect()
+    )
+    assert got == expect
+
+    # Compact folds the duplicates; probe unchanged; on-disk rows shrink.
+    gram_index_compact(spark, loc)
+    assert spark.read.parquet(ix_path).count() == n_set
+    got2 = sorted(
+        tuple(r) for r in gram_index_probe_hits(spark, loc, corpus).collect()
+    )
+    assert got2 == expect
+    assert not os.path.isfile(os.path.join(loc, "gram_compact_manifest.json"))
+
+    # Crash window: committed manifest + staging present, swap not yet
+    # run — the next probe's recovery must roll it forward.
+    gram_index_append(ev_grams, loc)
+    staging = os.path.join(loc, "grams_compacting")
+    (
+        spark.read.parquet(ix_path)
+        .select("gram")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    with open(os.path.join(loc, "gram_compact_manifest.json"), "w") as fh:
+        fh.write('{"op": "gram_compact"}')
+    got3 = sorted(
+        tuple(r) for r in gram_index_probe_hits(spark, loc, corpus).collect()
+    )
+    assert got3 == expect
+    assert not os.path.isdir(staging)
+    assert not os.path.isfile(os.path.join(loc, "gram_compact_manifest.json"))
+    assert spark.read.parquet(ix_path).count() == n_set
+    _gram_compact_recover(loc)  # idempotent no-op afterwards
+
+
 def test_probe_edge_inputs(spark, docs, tmp_path):
     """Contract corners: an empty delta probes to an empty result (not
     an error), and a delta doc too short to produce any 3-word shingle

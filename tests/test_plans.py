@@ -804,16 +804,18 @@ def test_job_floor_pins_flagship_and_bloom(spark, sf_dir):
     decomposition flagged (BASELINE.md legacy-16 floor section).
     Round-8 outcome: ext_bloom_semijoin 6 → 4 (one fused nation⋈region
     broadcast; no eager persist-fill count — the bitmap broadcast build
-    populates the asia cache) and the cut MEASURED faster; flagship's
-    2-job variant measured SLOWER (extra fact-grain exchange) and was
-    reverted to its 5-job broadcast form — job count alone is not the
-    cost model, so the flagship pin records the accepted ceiling.
+    populates the asia cache); round 12 took it to 3 (bloom_semijoin_state
+    fuses bitset + exact-key maps into ONE broadcast, persist dropped —
+    VERDICT r11 item 1). flagship's 2-job variant measured SLOWER (extra
+    fact-grain exchange) and was reverted to its 5-job broadcast form —
+    job count alone is not the cost model, so the flagship pin records
+    the accepted ceiling.
     Measured like the bench: AQE off, warm second rep, statusTracker
     delta."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc = spark.sparkContext
     try:
-        for name, max_jobs in [("flagship", 5), ("ext_bloom_semijoin", 4)]:
+        for name, max_jobs in [("flagship", 5), ("ext_bloom_semijoin", 3)]:
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()  # warm-up rep (codegen, cache fills released on entry)

@@ -746,17 +746,5 @@ def test_ivf_compact_interrupted_cleanup_recovery(spark, emb, tmp_path):
     shutil.rmtree(ref, ignore_errors=True)
 
 
-def test_local_fs_path_uri_normalization():
-    """ADVICE r10 (low): ``file:`` URIs must be parsed, not sliced —
-    authority-form URIs previously became ``//host/path`` and silently
-    mis-probed."""
-    import pytest as _pytest
-
-    from world_cup_duckdb_spark.operators.similarity import _local_fs_path
-
-    assert _local_fs_path("/tmp/ivf") == "/tmp/ivf"
-    assert _local_fs_path("file:/tmp/ivf") == "/tmp/ivf"
-    assert _local_fs_path("file:///tmp/ivf") == "/tmp/ivf"
-    assert _local_fs_path("file://localhost/tmp/ivf") == "/tmp/ivf"
-    with _pytest.raises(ValueError, match="authority"):
-        _local_fs_path("file://otherhost/tmp/ivf")
+# test_local_fs_path_uri_normalization moved to tests/test_units.py so
+# it runs in the per-commit fast gate (ADVICE r11 item 5).

@@ -154,6 +154,7 @@ def minhash_index_append(spark, path: str, docs: DataFrame) -> None:
     add files without touching existing ones, so build-then-append is
     bit-identical to building over the union corpus (pinned in
     tests/test_dedup_index.py)."""
+    _require_local_path(path, "minhash_index_append")
     _compact_recover(path)
     m = _read_meta(path)
     (
@@ -180,6 +181,7 @@ def minhash_index_delete(
     with a broadcast anti-join until compaction folds them out. The
     bucket is recomputed from the id (pure hash), so no index scan is
     needed even to locate victims."""
+    _require_local_path(path, "minhash_index_delete")
     _compact_recover(path)
     m = _read_meta(path)
     (
@@ -243,10 +245,21 @@ def _compact_recover(path: str) -> None:
             os.rename(a, o)
         if os.path.isdir(s):
             os.rename(s, a)
-    os.remove(manifest)  # swap complete = index correct; commit FIRST
+    # Tombstones are folded in the moment the rename loop completes, so
+    # clear them BEFORE the manifest (the commit marker) is removed: a
+    # crash in between leaves {manifest present, tombstones gone}, which
+    # the next recovery finishes idempotently (the rename loop no-ops —
+    # each target already swapped — and the manifest is removed). The
+    # old ordering (manifest first) could strand already-applied
+    # tombstones with NO manifest, a state indistinguishable from
+    # legitimately pending deletes: a later append re-inserting a
+    # deleted doc_id would be silently masked by probes and destroyed by
+    # the next compact (ADVICE r11). Pinned in
+    # tests/test_dedup_index.py::test_recover_never_strands_tombstones.
+    shutil.rmtree(os.path.join(local, "tombstones"), ignore_errors=True)
+    os.remove(manifest)  # commit: swap + tombstone fold both complete
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old_root, ignore_errors=True)
-    shutil.rmtree(os.path.join(local, "tombstones"), ignore_errors=True)
 
 
 def minhash_index_compact(spark, path: str) -> list:
@@ -313,10 +326,16 @@ def gram_index_persist(grams: DataFrame, path: str) -> None:
 
 def gram_index_append(grams: DataFrame, path: str) -> None:
     """Extend the persisted gram set with a new contamination batch:
-    append the batch's distinct grams. Cross-batch duplicates are
-    harmless (the probe is a semi-join — set membership), and a
-    compaction is just re-running gram_index_persist over the read-back
-    relation."""
+    append the batch's distinct grams. Each batch is distinct-ed only
+    within itself, so a gram present in two batches is stored twice —
+    harmless to probe SEMANTICS (the probe is a left-semi join: set
+    membership, duplicate index rows can't fan hits out), but duplicate
+    rows accumulate across appends and inflate probe-scan bytes, so an
+    append-heavy index should run :func:`gram_index_compact`
+    periodically (growth is bounded by sum-of-batch-distincts, worst
+    case n_batches × the true distinct count when every batch repeats
+    the same grams)."""
+    _gram_compact_recover(path)
     (
         grams.select("gram")
         .distinct()
@@ -325,18 +344,78 @@ def gram_index_append(grams: DataFrame, path: str) -> None:
     )
 
 
+def _gram_compact_recover(path: str) -> None:
+    """Roll forward a committed-but-interrupted gram compaction — same
+    manifest-commit + move-aside pattern as the minhash index, single
+    directory instead of per-bucket partitions."""
+    if _has_remote_scheme(path):
+        return
+    local = _local_fs_path(path)
+    manifest = os.path.join(local, "gram_compact_manifest.json")
+    if not os.path.isfile(manifest):
+        return
+    root = os.path.join(local, "grams")
+    staging = os.path.join(local, "grams_compacting")
+    old = os.path.join(local, "grams_old")
+    if os.path.isdir(root) and not os.path.isdir(old):
+        os.rename(root, old)
+    if os.path.isdir(staging):
+        os.rename(staging, root)
+    os.remove(manifest)  # commit: swap complete
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def gram_index_compact(spark, path: str) -> None:
+    """Rewrite the gram relation distinct, folding out the duplicate
+    rows repeated appends accumulate (VERDICT r11 item 4 — the parity
+    gap with the minhash twin's delete/compact lifecycle). One
+    distinct-aggregate exchange over the index, written to a staging
+    dir and swapped in behind the same crash-safe manifest commit as
+    :func:`minhash_index_compact`: readers either see the old files or
+    the new ones, never a half-written mix, and an interrupted swap is
+    rolled forward by the next append/probe/compact."""
+    _require_local_path(path, "gram_index_compact")
+    _gram_compact_recover(path)
+    local = _local_fs_path(path)
+    staging = os.path.join(local, "grams_compacting")
+    # Clear scratch an interrupted post-swap cleanup may have left so
+    # the upcoming swap's renames never land on existing targets.
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(os.path.join(local, "grams_old"), ignore_errors=True)
+    (
+        spark.read.parquet(path.rstrip("/") + "/grams")
+        .select("gram")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    manifest = os.path.join(local, "gram_compact_manifest.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"op": "gram_compact"}, fh)
+    os.replace(tmp, manifest)  # commit point: atomic publish
+    _gram_compact_recover(path)  # roll forward = perform the swap
+
+
 def gram_index_probe_hits(
     spark, path: str, corpus_grams: DataFrame
 ) -> DataFrame:
-    """(doc_id, pos) of every corpus gram present in the index: a plain
-    equi-join on the gram key — both sides hash-exchange on a uniform
-    key (or Catalyst/AQE broadcasts the index when it is small), no
-    driver-side collect of the index at any size, unlike the
-    broadcast-set streaming decontaminator whose eval set must fit in
-    a broadcast by contract. The probe output feeds the shared
-    gaps-and-islands span merge."""
+    """(doc_id, pos) of every corpus gram present in the index: a
+    LEFT-SEMI equi-join on the gram key, so the result is set-semantic
+    regardless of append history — an index holding the same gram twice
+    (batch-distinct appends, see :func:`gram_index_append`) still
+    yields each hit once, where a plain inner join would duplicate it
+    (ADVICE r11). Both sides hash-exchange on a uniform key (or
+    Catalyst/AQE broadcasts the index when it is small); no driver-side
+    collect of the index at any size, unlike the broadcast-set
+    streaming decontaminator whose eval set must fit in a broadcast by
+    contract. The probe output feeds the shared gaps-and-islands span
+    merge."""
+    _gram_compact_recover(path)
     ix = spark.read.parquet(path.rstrip("/") + "/grams")
-    return corpus_grams.join(ix, "gram").select("doc_id", "pos")
+    return corpus_grams.join(ix, "gram", "left_semi").select(
+        "doc_id", "pos"
+    )
 
 
 def minhash_index_probe_dedup(

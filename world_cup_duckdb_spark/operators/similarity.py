@@ -987,13 +987,21 @@ def _ivf_compact_recover(path: str) -> None:
             os.rename(s, a)  # step 2: move the rewritten partition in
         # a fully-deleted list has no staging dir and simply loses its
         # directory at step 1
+    # Tombstones are folded the moment the rename loop completes —
+    # clear them BEFORE the manifest is removed (ADVICE r11): a crash
+    # in between leaves {manifest present, tombstones gone}, which the
+    # next recovery finishes idempotently (the rename loop no-ops).
+    # Removing the manifest first could strand already-applied
+    # tombstones with no manifest — indistinguishable from pending
+    # deletes, so a vid re-inserted by a future append form would be
+    # silently masked and destroyed by the next compact.
+    shutil.rmtree(os.path.join(local, "tombstones"), ignore_errors=True)
     # Commit the completed swap BEFORE touching scratch (ADVICE r10):
     # from here the index is correct and recovery must never re-enter
     # the rename loop.
     os.remove(manifest)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old_root, ignore_errors=True)
-    shutil.rmtree(os.path.join(local, "tombstones"), ignore_errors=True)
 
 
 def ivf_index_delete(

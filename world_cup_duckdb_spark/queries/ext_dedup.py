@@ -6,6 +6,8 @@ detection path produces non-trivial output on the synthetic data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -269,9 +271,9 @@ def ext_inc_dedup_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is (corpus ∪ all smaller-id delta docs) either way — earlier
     batches reach it through the index side, same-batch smaller ids
     through the bucket's min-delta rule, and min over the same set is
-    the same canonical. Out-of-order arrival degrades gracefully (a
-    doc can only be canonicalized to an already-ingested doc — the
-    standard first-seen-wins semantics of streaming dedup).
+    the same canonical. Out-of-order arrival degrades gracefully to
+    first-seen-wins — no longer just a claim: that semantics is its own
+    oracled key, ext_inc_dedup_multibatch_ooo below.
 
     Scale: per batch, cost is the O(batch) banding + one index scan
     (semi-joined down to colliding buckets before the reduction) + an
@@ -298,25 +300,123 @@ def ext_inc_dedup_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     lo, hi = ids["lo"], ids["hi"]
     width = (hi - lo) // 4 + 1
-    outs = []
+    verdicts = os.path.join(loc, "verdicts")
     for b in range(4):
         batch = delta.filter(
             (F.col("doc_id") >= lo + b * width)
             & (F.col("doc_id") < lo + (b + 1) * width)
         )
-        # MATERIALIZE this batch's verdicts BEFORE the append mutates
-        # the index files (the probe's index scan is lazy; without the
-        # eager cut it would list post-append files at driver-collect
-        # time and see future batches on the index side). Exactly what
-        # a streaming foreachBatch sink does per micro-batch.
-        outs.append(
-            minhash_index_probe_dedup(spark, loc, batch).localCheckpoint()
-        )
+        # MATERIALIZE this batch's verdicts to a RELIABLE sink BEFORE
+        # the append mutates the index files (the probe's index scan is
+        # lazy; unmaterialized it would list post-append files at
+        # driver-collect time and see future batches on the index
+        # side). A parquet write, not localCheckpoint (VERDICT r11 item
+        # 2): localCheckpoint is executor-local and non-reliable, so an
+        # executor loss mid-cycle would recompute the probe against the
+        # since-mutated index — the exact hazard the materialization
+        # exists to remove. This is the foreachBatch write-per-
+        # micro-batch pattern; the read-back below depends only on the
+        # written files, never on probe lineage (pinned in
+        # tests/test_dedup_index.py::test_multibatch_verdicts_survive_
+        # lineage_recompute).
+        minhash_index_probe_dedup(spark, loc, batch).write.mode(
+            "append"
+        ).parquet(verdicts)
         minhash_index_append(spark, loc, batch)
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    return spark.read.parquet(verdicts).select(
+        "doc_id", "canon_id", "is_dup"
+    )
+
+
+@register(
+    "ext_inc_dedup_multibatch_ooo",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_BANDS_SQL},
+    ixmin AS (
+      SELECT band, band_key, MIN(doc_id) AS min_ix
+      FROM bands WHERE doc_id < 1000000 GROUP BY band, band_key
+    ),
+    dd AS (
+      SELECT doc_id, band, band_key, CAST(doc_id % 4 AS INT) AS batch
+      FROM bands WHERE doc_id >= 1000000
+    ),
+    ixc AS (
+      SELECT a.doc_id, MIN(i.min_ix) AS min_ix
+      FROM dd a JOIN ixmin i USING (band, band_key)
+      GROUP BY a.doc_id
+    ),
+    seen AS (
+      SELECT a.doc_id, MIN(b.doc_id) AS min_seen
+      FROM dd a JOIN dd b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND (b.batch < a.batch
+            OR (b.batch = a.batch AND b.doc_id < a.doc_id))
+      GROUP BY a.doc_id
+    ),
+    cand AS (
+      SELECT d.doc_id,
+             LEAST(COALESCE(i.min_ix, {_NO_CAND_SQL}),
+                   COALESCE(s.min_seen, {_NO_CAND_SQL})) AS cand
+      FROM (SELECT DISTINCT doc_id FROM dd) d
+      LEFT JOIN ixc i USING (doc_id)
+      LEFT JOIN seen s USING (doc_id)
+    )
+    SELECT doc_id,
+           CASE WHEN cand < {_NO_CAND_SQL} THEN cand END AS canon_id,
+           cand < {_NO_CAND_SQL} AS is_dup
+    FROM cand
+    """,
+)
+def ext_inc_dedup_multibatch_ooo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OUT-OF-ORDER arrival form of the probe-then-append cycle
+    (VERDICT r11 item 3 — the first-seen-wins semantics were previously
+    a docstring claim with no oracled pin). Batches are HASH splits of
+    the delta (``doc_id % 4``), not id-ordered quartiles, so a
+    small-id doc can arrive AFTER a large-id doc that shares its
+    buckets — the single-shot global-min rule no longer applies.
+
+    What the cycle guarantees instead, and what the oracle encodes, is
+    arrival-order canonicalization: a doc's candidate set is exactly
+    (corpus) ∪ (delta docs in EARLIER batches) ∪ (smaller-id delta
+    docs in the SAME batch) over its buckets — earlier batches reach it
+    through the index side because every batch is appended after its
+    probe, same-batch smaller ids through the bucket's min-delta rule,
+    and nothing from the future. That is first-seen-wins: a doc can
+    only be canonicalized to an already-ingested (or same-batch
+    smaller) doc, the standard streaming-dedup contract
+    (streaming/neardup.py holds the same invariant in a state store).
+
+    Scale: identical per-batch plan to ext_inc_dedup_multibatch — the
+    oracle's per-bucket delta self-join exists ONLY on the DuckDB side
+    to express the visibility predicate; the engine never emits pairs."""
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        minhash_index_append,
+        minhash_index_persist,
+        minhash_index_probe_dedup,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    delta = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    loc = _fresh_dir("minhash-index-ooo")
+    minhash_index_persist(d, loc)
+    verdicts = os.path.join(loc, "verdicts")
+    for b in range(4):
+        batch = delta.filter(F.col("doc_id") % 4 == b)
+        # Same reliable per-batch sink as the in-order key: verdicts
+        # are on disk before the append mutates the index files.
+        minhash_index_probe_dedup(spark, loc, batch).write.mode(
+            "append"
+        ).parquet(verdicts)
+        minhash_index_append(spark, loc, batch)
+    return spark.read.parquet(verdicts).select(
+        "doc_id", "canon_id", "is_dup"
+    )
 
 
 @register(
@@ -1044,10 +1144,11 @@ def ext_span_decontaminate_keepone(
     spans merging over it; policy variants that pad the canonical span
     are one filter away.
 
-    Determinism: the canonical pick is a MIN over the (doc_id, pos)
-    total order encoded as doc_id*1e9+pos (pos bounded by tokens-per-
-    document, far under 1e9); everything else as
-    ext_span_decontaminate."""
+    Determinism: the canonical pick is a lexicographic MIN over the
+    (doc_id, pos) total order — a struct-MIN on the engine side
+    (_dup_spans, :729) and row-value ``MIN(ROW(doc_id, pos))`` on the
+    oracle side (:640), no arithmetic encoding anywhere (r10 item 3);
+    everything else as ext_span_decontaminate."""
     return _decontaminated(
         _token_base(spark, sf_dir),
         _dup_spans(spark, sf_dir, keep_one=True),
