@@ -954,3 +954,89 @@ def test_streaming_decontaminate_equals_batch_twin(spark, sf_dir, tmp_path):
         ["doc_id", "n_tokens", "n_removed", "clean_text"],
     )
     assert got == twin == join_form and len(got) > 0
+
+
+def test_stream_inc_dedup_checkpoint_resume(spark, sf_dir, tmp_path):
+    """The index-backed streaming dedup (streaming/inc_dedup.py) must
+    survive a stop/restart: drain two staged batch files, stop, stage
+    two MORE files, rerun with the SAME checkpoint — the resumed query
+    processes only the new files (no double-probe of batches 0-1, which
+    would flip their docs to dup-of-self after their append), and the
+    final verdict set equals the batch probe-then-append cycle run over
+    the same four batches in one go."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        minhash_index_append,
+        minhash_index_persist,
+        minhash_index_probe_dedup,
+    )
+    from world_cup_duckdb_spark.streaming.inc_dedup import (
+        DOC_ID_TEXT_SCHEMA,
+        stream_inc_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ids = delta.select(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    lo, hi = ids["lo"], ids["hi"]
+    width = (hi - lo) // 4 + 1
+    batches = [
+        delta.filter(
+            (F.col("doc_id") >= lo + b * width)
+            & (F.col("doc_id") < lo + (b + 1) * width)
+        )
+        for b in range(4)
+    ]
+
+    # Reference: the batch cycle over the same four batches.
+    ref_ix = str(tmp_path / "ref-ix")
+    minhash_index_persist(docs, ref_ix)
+    expect = []
+    for b in batches:
+        expect.extend(
+            tuple(r) for r in minhash_index_probe_dedup(spark, ref_ix, b).collect()
+        )
+        minhash_index_append(spark, ref_ix, b)
+    expect = sorted(expect)
+
+    # Streaming: stage 2 files, drain, stop; stage 2 more, resume.
+    ix = str(tmp_path / "ix")
+    minhash_index_persist(docs, ix)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src, exist_ok=True)
+    verdicts = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    base_t = time.time() - 3600
+
+    def stage(b):
+        stage_dir = str(tmp_path / f"stage-{b}")
+        batches[b].coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        part = glob.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch-{b}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + b, base_t + b))
+
+    def run():
+        stream = (
+            spark.readStream.schema(DOC_ID_TEXT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_inc_dedup(spark, stream, ix, verdicts, ckpt)
+
+    stage(0), stage(1)
+    run()  # drains batches 0-1, stops (AvailableNow)
+    n_after_first = len(spark.read.parquet(verdicts).collect())
+    stage(2), stage(3)
+    run()  # resumes from the checkpoint: only batches 2-3
+    got = sorted(tuple(r) for r in spark.read.parquet(verdicts).collect())
+    assert got == expect
+    # The resume really was incremental: the first drain's rows were
+    # not reprocessed (their count is exactly the first two batches').
+    assert n_after_first == sum(b.count() for b in batches[:2])

@@ -287,20 +287,42 @@ def _ordered_names() -> list[str]:
     # left at registration order the same analytics/core/lifecycle
     # block would re-burn its ~50-key window forever while the oldest
     # evidence staled. Pin the STALEST-verified block first among
-    # verified keys — round 11 rotates in the r2-era joins/reshape/
-    # scalars block (last driver-green in CORRECTNESS_r02; every later
-    # window sampled other families). Next rotation: the r2-era
-    # dedup/ANN/text extension block.
+    # verified keys. Round 12 (VERDICT r11 item 6) rotates in, by
+    # recomputed staleness (latest green row per key across
+    # CORRECTNESS_r1..r11): the r1-era source/sampling block, op01,
+    # then the r3-era dedup/ANN/streaming/text extension families
+    # (ext_dedup_*, ext_ann_*, ext_tfidf/ext_bm25, ext_stream_*) —
+    # none re-sampled by any driver window since their round. More
+    # r3-era keys exist than one window holds; the overflow stays at
+    # this block's tail and leads the r13 rotation.
     rotation_block = [
-        "op23_join_broadcast", "op25_join_diff_keys",
-        "op26_join_composite", "op27_left_join_flag", "op28_self_join",
-        "op29_join_renamed_dim",
-        "op30_distinct", "op31_diagonal_union", "op32_unpivot",
-        "op33_surrogate_key",
-        "op35_concat_key", "op36_replace", "op36b_replace_first",
-        "op37_capitalize", "op38_singularize", "op39_timestamp_parse",
-        "op40_casts", "op41_arithmetic", "op42_contains_classifier",
-        "op08_catalog_introspection", "op11_schema_report",
+        # latest green: r1
+        "ext_corrupt_json", "ext_deterministic_sample", "ext_fuzzy_join",
+        "ext_metadata_columns", "ext_python_datasource", "ext_quantiles",
+        "ext_schema_evolution", "ext_sessionize_batch",
+        "ext_stratified_sample", "ext_upsert_latest",
+        "ext_window_distribution", "op02c_json_scan", "op02d_orc_scan",
+        # latest green: r2
+        "op01_remote_fetch_cache",
+        # latest green: r3 — dedup/ANN/text/streaming extension families
+        "ext_dedup_exact", "ext_dedup_simhash", "ext_dedup_minhash",
+        "ext_dedup_ngram_jaccard", "ext_dedup_clusters",
+        "ext_dedup_incremental", "ext_substring_dedup",
+        "ext_minhash_accuracy", "ext_jaccard_prefix_join",
+        "ext_ann_bruteforce", "ext_ann_ivf", "ext_ann_lsh",
+        "ext_ann_recall", "ext_embedding_centroids",
+        "ext_embedding_neardup", "ext_embedding_quantize",
+        "ext_vector_norm", "ext_tfidf", "ext_bm25", "ext_bigram_topk",
+        "ext_token_count", "ext_vocab_topk", "ext_vocab_growth",
+        "ext_lang_id", "ext_quality_score", "ext_repetition",
+        "ext_lm_score", "ext_fingerprint", "ext_contamination",
+        "ext_chunk_documents", "ext_corpus_mix", "ext_kfold_split",
+        "ext_pack_sequences", "ext_fit_pandas", "ext_hll_sketch_union",
+        "ext_stream_dedup", "ext_stream_enrich", "ext_stream_session",
+        "ext_stream_sliding", "ext_stream_stream_join",
+        "ext_stream_tumbling", "ext_mm_decode", "ext_mm_decode_real",
+        "ext_mm_frames", "ext_mm_metadata", "ext_mm_resize",
+        "wc_build_manifest", "ext_quality_filter_pipeline",
     ]
     missing_rot = [n for n in rotation_block if n not in REGISTRY]
     if missing_rot:

@@ -420,6 +420,115 @@ def ext_inc_dedup_multibatch_ooo(
 
 
 @register(
+    "ext_stream_inc_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_BANDS_SQL},
+    summ AS (
+      SELECT band, band_key,
+             MIN(CASE WHEN doc_id < 1000000 THEN doc_id END) AS min_ix,
+             MIN(CASE WHEN doc_id >= 1000000 THEN doc_id END) AS min_delta
+      FROM bands GROUP BY band, band_key
+    ),
+    cand AS (
+      SELECT b.doc_id,
+             MIN(LEAST(
+               COALESCE(s.min_ix, {_NO_CAND_SQL}),
+               CASE WHEN s.min_delta < b.doc_id THEN s.min_delta
+                    ELSE {_NO_CAND_SQL} END)) AS cand
+      FROM bands b JOIN summ s USING (band, band_key)
+      WHERE b.doc_id >= 1000000
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN cand < {_NO_CAND_SQL} THEN cand END AS canon_id,
+           cand < {_NO_CAND_SQL} AS is_dup
+    FROM cand
+    """,
+)
+def ext_stream_inc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe-then-append cycle as a REAL Structured Streaming query
+    (streaming/inc_dedup.py — not a batch twin): the re-crawl delta is
+    staged as four id-ordered parquet files with strictly increasing
+    modification times, a file-source readStream drains them one file
+    per micro-batch (Trigger.AvailableNow + maxFilesPerTrigger=1,
+    oldest-first), and each micro-batch's foreachBatch body probes the
+    persisted MinHash index, lands its verdicts in a reliable parquet
+    sink, then appends the batch to the index — continuous ingest whose
+    dedup state lives in the same index files the batch keys probe.
+
+    The oracle is BYTE-IDENTICAL to ext_inc_dedup_multibatch's
+    single-shot form: with id-ordered micro-batches the streaming cycle
+    computes exactly the global min-per-bucket rule, so the hash match
+    pins stream ≡ backfill ≡ single-shot across a THIRD execution mode.
+    Determinism note: micro-batch order is the file source's
+    oldest-first mtime order, which the staging makes strict (+1 s per
+    file); batch composition is the staged id quartiles.
+
+    Scale: identical per-batch plan to the batch cycle (O(batch)
+    banding + one semi-joined index scan + O(batch) append); the
+    staging is demo scaffolding — production points the source at the
+    ingest directory and drops the trigger."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        minhash_index_persist,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+    from world_cup_duckdb_spark.streaming.inc_dedup import (
+        DOC_ID_TEXT_SCHEMA,
+        stream_inc_dedup,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    delta = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    loc = _fresh_dir("minhash-index-stream")
+    minhash_index_persist(d, loc)
+    ids = delta.select(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    lo, hi = ids["lo"], ids["hi"]
+    width = (hi - lo) // 4 + 1
+    src = os.path.join(loc, "incoming")
+    os.makedirs(src, exist_ok=True)
+    base_t = _time.time() - 3600
+    for b in range(4):
+        stage = os.path.join(loc, f"stage-{b}")
+        (
+            delta.filter(
+                (F.col("doc_id") >= lo + b * width)
+                & (F.col("doc_id") < lo + (b + 1) * width)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch-{b}.parquet")
+        shutil.move(part, dst)
+        # Strictly increasing mtimes make the file source's oldest-first
+        # order deterministic (id-ordered arrival = the oracle's rule).
+        os.utime(dst, (base_t + b, base_t + b))
+    verdicts = os.path.join(loc, "verdicts")
+    stream_inc_dedup(
+        spark,
+        spark.readStream.schema(DOC_ID_TEXT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        loc,
+        verdicts,
+        os.path.join(loc, "ckpt"),
+    )
+    return spark.read.parquet(verdicts).select(
+        "doc_id", "canon_id", "is_dup"
+    )
+
+
+@register(
     "ext_inc_dedup_delete",
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),
@@ -1330,6 +1439,74 @@ def ext_inc_span_decontaminate(
     is_eval = F.col("doc_id") % 17 == 0
     loc = _fresh_dir("gram-index")
     gram_index_persist(_grams(base_all.filter(is_eval)), loc)
+    hits = gram_index_probe_hits(
+        spark, loc, _grams(base_all.filter(~is_eval))
+    )
+    return _decontaminated(
+        base_all.filter(~is_eval), _islands_to_spans(hits)
+    )
+
+
+@register(
+    "ext_inc_span_decontaminate_mb",
+    oracle=f"""
+    WITH
+    t0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    t AS (SELECT * FROM t0 WHERE doc_id % 17 <> 0),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(l[u.i+1:u.i+5], ' ') AS gram
+      FROM t0, UNNEST(range(0, len(l) - 4)) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+    hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram)
+      WHERE g.doc_id % 17 <> 0
+    ),
+    {_SPANS_TAIL_SQL},
+    {_DECON_OUT_SQL}
+    """,
+)
+def ext_inc_span_decontaminate_mb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-BATCH lifecycle form of the gram-index decontamination
+    (VERDICT r11 item 4's driver-facing pin): the eval suite arrives as
+    TWO OVERLAPPING batches — each batch carries its own grams, and
+    grams shared by docs across batches are stored twice by the
+    batch-distinct appends — then gram_index_compact folds the
+    duplicates behind the crash-safe swap before the corpus probes.
+    Hash-matching the SAME oracle as the one-shot ext_inc_span_
+    decontaminate pins the full lifecycle: persist ∘ append ∘ compact ∘
+    probe ≡ one-shot persist ∘ probe, i.e. appends and compaction
+    change HOW the set is stored, never WHAT is in it, and the
+    left-semi probe is set-semantic even before compaction
+    (tests/test_dedup_index.py::test_gram_index_compact_lifecycle pins
+    the pre-compact equality and the crash windows).
+
+    Scale: each append is O(batch) distinct grams; compaction is one
+    distinct-aggregate rewrite of the index (run it when the duplicate
+    ratio — bounded by n_batches worst-case — justifies the rewrite);
+    the probe is the same single gram-keyed equi-join."""
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        gram_index_append,
+        gram_index_compact,
+        gram_index_persist,
+        gram_index_probe_hits,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    base_all = _token_base(spark, sf_dir)
+    is_eval = F.col("doc_id") % 17 == 0
+    ev = base_all.filter(is_eval)
+    loc = _fresh_dir("gram-index-mb")
+    # Overlapping halves (docs 0..2/3 and 1/3..end of the eval id
+    # sequence by hash thirds): the middle third's grams land in BOTH
+    # batches, so cross-batch duplicate rows really exist on disk.
+    third = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(3))
+    gram_index_persist(_grams(ev.filter(third <= 1)), loc)
+    gram_index_append(_grams(ev.filter(third >= 1)), loc)
+    gram_index_compact(spark, loc)
     hits = gram_index_probe_hits(
         spark, loc, _grams(base_all.filter(~is_eval))
     )
