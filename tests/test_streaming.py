@@ -1035,8 +1035,56 @@ def test_stream_inc_dedup_checkpoint_resume(spark, sf_dir, tmp_path):
     n_after_first = len(spark.read.parquet(verdicts).collect())
     stage(2), stage(3)
     run()  # resumes from the checkpoint: only batches 2-3
-    got = sorted(tuple(r) for r in spark.read.parquet(verdicts).collect())
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(verdicts)
+        .select("doc_id", "canon_id", "is_dup")  # drop the batch= key
+        .collect()
+    )
     assert got == expect
     # The resume really was incremental: the first drain's rows were
     # not reprocessed (their count is exactly the first two batches').
     assert n_after_first == sum(b.count() for b in batches[:2])
+
+
+def test_stream_inc_dedup_retry_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running a micro-batch body
+    (streaming/inc_dedup.py:probe_then_append) with the same batch_id
+    must leave the OBSERVABLE state unchanged — verdicts are replaced,
+    not duplicated (batch-keyed overwrite sink), and the duplicate band
+    rows a re-append adds change no later probe verdict (per-bucket
+    mins are duplicate-proof)."""
+    from pyspark.sql import functions as F
+
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        minhash_index_persist,
+        minhash_index_probe_dedup,
+    )
+    from world_cup_duckdb_spark.streaming.inc_dedup import probe_then_append
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    b0 = delta.filter(F.col("doc_id") % 2 == 0)
+    b1 = delta.filter(F.col("doc_id") % 2 == 1)
+
+    ix = str(tmp_path / "ix")
+    verdicts = str(tmp_path / "verdicts")
+    minhash_index_persist(docs, ix)
+    probe_then_append(spark, ix, verdicts, b0, 0)
+    once = sorted(tuple(r)[:3] for r in spark.read.parquet(verdicts).collect())
+    # RETRY batch 0: same batch_id, body re-runs end to end.
+    probe_then_append(spark, ix, verdicts, b0, 0)
+    twice = sorted(tuple(r)[:3] for r in spark.read.parquet(verdicts).collect())
+    assert twice == once  # overwrite sink: no duplicate verdict rows
+    # Batch 1's verdicts are unaffected by batch 0's duplicate bands:
+    # identical to probing against a never-retried reference index.
+    ref = str(tmp_path / "ref")
+    minhash_index_persist(docs, ref)
+    probe_then_append(spark, ref, str(tmp_path / "rv"), b0, 0)
+    expect_b1 = sorted(
+        tuple(r) for r in minhash_index_probe_dedup(spark, ref, b1).collect()
+    )
+    got_b1 = sorted(
+        tuple(r) for r in minhash_index_probe_dedup(spark, ix, b1).collect()
+    )
+    assert got_b1 == expect_b1

@@ -5,6 +5,7 @@ while spreading hot keys over n reducers at scale)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -198,12 +199,20 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separately pinned in tests/test_plans.py), so the catalog tables
     # and scratch files can be dropped before returning — without this,
     # every invocation leaks two catalog entries plus full bucketed
-    # copies of lineitem and orders.
-    out = lazy.localCheckpoint(eager=True)
+    # copies of lineitem and orders. The result goes to a RELIABLE
+    # parquet sink, not localCheckpoint (same class as the r12
+    # multibatch-durability fix): the checkpoint's lineage reads the
+    # bucketed tables this function deletes two lines later, so an
+    # executor loss after the cleanup would recompute against missing
+    # files; the read-back depends only on the written result.
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    res = os.path.join(_fresh_dir("bucketed-join-result"), "out")
+    lazy.write.mode("overwrite").parquet(res)
     spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
     spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
     shutil.rmtree(loc, ignore_errors=True)
-    return out
+    return spark.read.parquet(res).select("o_orderstatus", "n_lines", "qty_c")
 
 
 def bucketed_join_plan(

@@ -32,16 +32,24 @@ dedup over the whole corpus (the equality ext_inc_dedup_multibatch
 pins); out-of-order arrival degrades to the oracled first-seen-wins
 rule (ext_inc_dedup_multibatch_ooo).
 
-Exactly-once caveat (documented, standard for foreachBatch): the body
-is at-least-once per micro-batch; a mid-body crash can leave a batch's
-verdicts written but its append missing (or a retried batch appended
-twice — harmless: band rows are idempotent for probe semantics, and
-the per-bucket min is duplicate-proof). A production deployment keys
-the verdict files by ``batch_id`` and skips completed ids on retry;
-kept out of this demo to keep the cycle readable.
+Retry semantics (foreachBatch is at-least-once per micro-batch; both
+halves of the cycle are retry-idempotent, so the OBSERVABLE result is
+exactly-once):
+
+- verdicts land under ``verdicts_path/batch=<batch_id>`` with
+  mode=overwrite — a retried batch REPLACES its own output instead of
+  appending a duplicate copy (the standard foreachBatch idempotent-sink
+  pattern, keyed by the batch id Spark guarantees stable across
+  retries);
+- a retried append adds duplicate band rows to the index — harmless by
+  construction: probe verdicts are per-bucket MINs over the band SET,
+  and duplicates don't change a min (pinned in
+  tests/test_streaming.py::test_stream_inc_dedup_retry_idempotent).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,19 +71,10 @@ def stream_inc_dedup(
     options such as maxFilesPerTrigger, then stops; a production
     deployment drops the trigger and runs forever). Verdict rows land
     under ``verdicts_path`` as (doc_id, canon_id, is_dup)."""
-    from world_cup_duckdb_spark.operators.dedup_index import (
-        minhash_index_append,
-        minhash_index_probe_dedup,
-    )
-
     def _cycle(batch_df: DataFrame, batch_id: int) -> None:
-        # Probe BEFORE append, and materialize the verdicts to the
-        # sink before the index files move — the read-back depends
-        # only on written parquet, never on probe lineage.
-        minhash_index_probe_dedup(
-            spark, index_path, batch_df
-        ).write.mode("append").parquet(verdicts_path)
-        minhash_index_append(spark, index_path, batch_df)
+        probe_then_append(
+            spark, index_path, verdicts_path, batch_df, batch_id
+        )
 
     (
         docs_stream.writeStream.foreachBatch(_cycle)
@@ -84,3 +83,26 @@ def stream_inc_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def probe_then_append(
+    spark: SparkSession,
+    index_path: str,
+    verdicts_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """One micro-batch body, exposed for retry-idempotence tests: probe
+    BEFORE append, and materialize the verdicts to the batch-keyed sink
+    before the index files move — the read-back depends only on written
+    parquet, never on probe lineage, and a retry overwrites its own
+    batch directory instead of duplicating rows."""
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        minhash_index_append,
+        minhash_index_probe_dedup,
+    )
+
+    minhash_index_probe_dedup(spark, index_path, batch_df).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(verdicts_path, f"batch={int(batch_id)}"))
+    minhash_index_append(spark, index_path, batch_df)
