@@ -256,7 +256,12 @@ def _compact_recover(path: str) -> None:
     # deleted doc_id would be silently masked by probes and destroyed by
     # the next compact (ADVICE r11). Pinned in
     # tests/test_dedup_index.py::test_recover_never_strands_tombstones.
-    shutil.rmtree(os.path.join(local, "tombstones"), ignore_errors=True)
+    # STRICT rmtree (no ignore_errors): a swallowed cleanup failure here
+    # would recreate the stranded state; raising leaves the manifest in
+    # place, so the next entry point retries the fold instead.
+    tomb = os.path.join(local, "tombstones")
+    if os.path.isdir(tomb):
+        shutil.rmtree(tomb)
     os.remove(manifest)  # commit: swap + tombstone fold both complete
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old_root, ignore_errors=True)

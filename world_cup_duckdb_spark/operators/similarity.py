@@ -994,8 +994,12 @@ def _ivf_compact_recover(path: str) -> None:
     # Removing the manifest first could strand already-applied
     # tombstones with no manifest — indistinguishable from pending
     # deletes, so a vid re-inserted by a future append form would be
-    # silently masked and destroyed by the next compact.
-    shutil.rmtree(os.path.join(local, "tombstones"), ignore_errors=True)
+    # silently masked and destroyed by the next compact. STRICT rmtree:
+    # a swallowed failure would recreate the stranded state; raising
+    # leaves the manifest, so the next entry point retries the fold.
+    tomb = os.path.join(local, "tombstones")
+    if os.path.isdir(tomb):
+        shutil.rmtree(tomb)
     # Commit the completed swap BEFORE touching scratch (ADVICE r10):
     # from here the index is correct and recovery must never re-enter
     # the rename loop.
