@@ -281,6 +281,47 @@ def test_gram_index_compact_lifecycle(spark, docs, tmp_path):
     _gram_compact_recover(loc)  # idempotent no-op afterwards
 
 
+def test_stats_reflect_lifecycle(spark, docs, tmp_path):
+    """minhash_index_stats must report the tombstone-MASKED view at
+    every lifecycle point: fresh index → no pending/masked; after
+    delete → live shrinks by exactly the masked docs while pending and
+    masked go positive; after compact → pending/masked reset to zero
+    with live counts unchanged (compaction changes storage, not the
+    probed set)."""
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        minhash_index_stats,
+    )
+
+    loc = str(tmp_path / "stats-ix")
+    minhash_index_persist(docs, loc)
+    s0 = minhash_index_stats(spark, loc).first()
+    assert s0["pending_tombstones"] == 0 and s0["masked_band_rows"] == 0
+    assert s0["live_docs"] > 0 and s0["live_band_rows"] > 0
+
+    victims = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    n_victims_with_bands = (
+        spark.read.parquet(os.path.join(loc, "bands"))
+        .join(victims, "doc_id", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    minhash_index_delete(spark, loc, victims)
+    s1 = minhash_index_stats(spark, loc).first()
+    assert s1["pending_tombstones"] == victims.count()  # requested ids
+    assert s1["masked_band_rows"] > 0
+    assert s1["live_docs"] == s0["live_docs"] - n_victims_with_bands
+    assert s1["live_band_rows"] == s0["live_band_rows"] - s1["masked_band_rows"]
+
+    minhash_index_compact(spark, loc)
+    s2 = minhash_index_stats(spark, loc).first()
+    assert s2["pending_tombstones"] == 0 and s2["masked_band_rows"] == 0
+    assert (s2["live_docs"], s2["live_band_rows"]) == (
+        s1["live_docs"],
+        s1["live_band_rows"],
+    )
+
+
 def test_probe_edge_inputs(spark, docs, tmp_path):
     """Contract corners: an empty delta probes to an empty result (not
     an error), and a delta doc too short to produce any 3-word shingle

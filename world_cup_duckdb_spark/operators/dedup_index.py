@@ -311,6 +311,55 @@ def minhash_index_compact(spark, path: str) -> list:
     return affected
 
 
+def minhash_index_stats(spark, path: str) -> DataFrame:
+    """Operational introspection of a persisted index: ONE row of the
+    numbers an operator reads before deciding to compact, re-shard, or
+    re-probe — live distinct docs, live band rows, distinct occupied
+    LSH buckets, pending (unfolded) tombstoned docs, and the band rows
+    those tombstones still mask. "Live" = tombstone-masked, exactly the
+    relation probes see, so stats and probe semantics can never
+    disagree. One scan of the band files + one of the (usually tiny)
+    tombstone files; every count is an aggregate — nothing collects."""
+    _compact_recover(path)
+    bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        "doc_id", "band", "band_key"
+    )
+    tomb = _tombstones(spark, path)
+
+    def _agg(rel):
+        return rel.agg(
+            F.count_distinct("doc_id").cast("long").alias("live_docs"),
+            F.count(F.lit(1)).cast("long").alias("live_band_rows"),
+            F.count_distinct("band", "band_key")
+            .cast("long")
+            .alias("occupied_buckets"),
+        )
+
+    if tomb is None:
+        return _agg(bands).select(
+            "*",
+            F.lit(0).cast("long").alias("pending_tombstones"),
+            F.lit(0).cast("long").alias("masked_band_rows"),
+        )
+    tomb_ids = tomb.select("doc_id").distinct()
+    live = bands.join(F.broadcast(tomb_ids), "doc_id", "left_anti")
+    # Lazy single-row side aggregates cross-joined in (no driver-side
+    # counts at plan-build time — the stats relation is as lazy as any
+    # other registered plan).
+    pend = tomb_ids.agg(
+        F.count(F.lit(1)).cast("long").alias("pending_tombstones")
+    )
+    masked = (
+        bands.join(F.broadcast(tomb_ids), "doc_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("masked_band_rows"))
+    )
+    return (
+        _agg(live)
+        .crossJoin(F.broadcast(pend))
+        .crossJoin(F.broadcast(masked))
+    )
+
+
 def gram_index_persist(grams: DataFrame, path: str) -> None:
     """Persist the DISTINCT k-gram relation of a contamination source
     (an eval benchmark suite, a licensed-content corpus) so later

@@ -602,6 +602,67 @@ def ext_inc_dedup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_index_probe_dedup(spark, loc, delta, cut=tracked_persist)
 
 
+@register(
+    "ext_inc_dedup_stats",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_BANDS_SQL},
+    live AS (
+      SELECT * FROM bands
+      WHERE NOT (doc_id < 1000000 AND doc_id % 5 = 0)
+    )
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM live)
+        AS live_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM live) AS live_band_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM (SELECT DISTINCT band, band_key FROM live))
+        AS occupied_buckets,
+      (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+       WHERE doc_id % 5 = 0) AS pending_tombstones,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bands
+       WHERE doc_id < 1000000 AND doc_id % 5 = 0) AS masked_band_rows
+    """,
+)
+def ext_inc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index INTROSPECTION between delete and compact — the numbers an
+    operator reads to decide when tombstone mass justifies a compaction
+    (operators/dedup_index.py:minhash_index_stats): live distinct docs,
+    live band rows, occupied LSH buckets (all tombstone-MASKED, exactly
+    the relation probes see — stats and probe semantics can never
+    disagree), plus the pending tombstone count and the band rows they
+    still mask. Built mid-lifecycle here: persist(corpus) ∘
+    append(delta) ∘ delete(doc_id % 5 == 0 of the corpus), stats read
+    BEFORE compaction so the pending/masked columns are non-trivial.
+
+    The oracle recomputes every number from the same band CTE the whole
+    family shares — including the corner that tombstones count
+    REQUESTED ids (even sub-shingle-width docs that have no band rows)
+    while masked rows count only rows that exist.
+
+    Scale: one band-file scan + one (tiny) tombstone scan; five
+    aggregates, no collects, the tombstone side broadcast."""
+    from world_cup_duckdb_spark.operators.dedup_index import (
+        minhash_index_append,
+        minhash_index_delete,
+        minhash_index_persist,
+        minhash_index_stats,
+    )
+    from world_cup_duckdb_spark.queries.lifecycle import _fresh_dir
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    delta = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    loc = _fresh_dir("minhash-index-stats")
+    minhash_index_persist(d, loc)
+    minhash_index_append(spark, loc, delta)
+    minhash_index_delete(
+        spark, loc, d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    return minhash_index_stats(spark, loc)
+
+
 def _simhash_sql() -> str:
     nib = [
         f"strpos('0123456789abcdef', substr(h, {k + 1}, 1)) - 1" for k in range(4)
