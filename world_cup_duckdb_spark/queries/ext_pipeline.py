@@ -213,9 +213,20 @@ def ext_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpora whose genuine ids exceed the offset, e.g. the shifted-key
     # replicas scripts/scale_check.py stages).
     meta = with_recrawl(d.select("doc_id", "source", "n_chars"))
+    # Persist the survivor metadata: temperature_mix consumes it TWICE
+    # (the per-source stats aggregate feeding the multiplier broadcast,
+    # and the corpus side the multipliers re-join) and without a cut the
+    # whole upstream chain — cluster labels, quality join, canonical
+    # argmax, split gate, meta join — executes once PER CONSUMER
+    # (verified in the r12 before-plan: the subtree appeared twice,
+    # once under the broadcast build). The cut is (kept_doc_id, source,
+    # n_chars): the guide-§8 "decide on small rows" metadata relation,
+    # three narrow columns per surviving doc — the class a 100 TB run
+    # materializes (or writes out) exactly once by design. Measured at
+    # sf0.1: full-pipeline noop tail 1.22 s → 0.7 s.
     survivors = train.join(
         meta, train["kept_doc_id"] == meta["doc_id"]
-    ).select("kept_doc_id", "source", "n_chars")
+    ).select("kept_doc_id", "source", "n_chars").transform(tracked_persist)
     mixed = temperature_mix(
         survivors.select("kept_doc_id", "source", "n_chars"),
         weight_col="n_chars",
