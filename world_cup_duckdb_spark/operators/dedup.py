@@ -81,40 +81,50 @@ def minhash_signatures(
     # extra either — partial aggregation combined map-side — but paid the
     # 2M-row explode and hash-agg; the in-row form measured ~2× faster at
     # sf0.1.)
-    # NOTE: F.transform treats a TWO-parameter lambda as (element, index) —
-    # the `lambda s, seed=seed:` idiom silently binds the loop variable to
-    # the array-index Column and corrupts every hash. Loop values must be
-    # captured through single-parameter closure factories (below).
-    def _seeded_md5(seed: int):
-        prefix = F.lit(f"{seed}:")
-        return lambda s: F.md5(F.concat(prefix, s))
-
-    def _hex_slice(i: int):
-        start = (i % 4) * 8 + 1
-        return lambda h: F.substring(h, start, 8)
-
+    # r12 form: the whole pipeline is FOUR selectExpr stages of SQL
+    # strings rather than a Column-builder loop, for two measured
+    # reasons (guide §1.2 per-task work + the Python binding):
+    # 1. The tokenization is STAGED through its own Project (`_t`): the
+    #    old single-select form referenced split(text) three times
+    #    inside higher-order lambdas, which are excluded from codegen
+    #    subexpression elimination (SPARK-35410) — every row re-split
+    #    its document repeatedly; CollapseProject's cost rule
+    #    (SPARK-36718) keeps the staged Project separate, pinning ONE
+    #    split per row (the stage_token_counts discipline).
+    # 2. Each selectExpr is ONE py4j round trip; the Column/lambda form
+    #    cost ~1,200 round trips ≈ 0.45 s of driver-side chatter per
+    #    plan build — paid EVERY run by the stateful dedup queries that
+    #    rebuild around their band persist.
     # ``spread=False`` for STREAMING inputs: spread_for_cpu_work sizes
     # its repartition decision from df.inputFiles(), which a streaming
     # relation cannot answer — micro-batches already arrive partitioned
     # by the source, so the fan-out is both unavailable and unneeded.
     n_seeds = (num_hashes + 3) // 4
+    k = shingle_words
     narrow = docs.select(F.col(id_col), F.col(text_col))
-    doc = (
+    staged = (
         spread_for_cpu_work(narrow, id_col) if spread else narrow
-    ).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(tokens(text_col), shingle_words)).alias("_sh"),
+    ).selectExpr(id_col, f"split({text_col}, ' ') AS _t")
+    sh = staged.selectExpr(
+        id_col,
+        f"array_distinct(CASE WHEN size(_t) >= {k} THEN "
+        f"transform(sequence(1, size(_t) - {k - 1}),"
+        f" i -> array_join(slice(_t, i, {k}), ' ')) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END) AS _sh",
     )
-    for seed in range(n_seeds):
-        doc = doc.withColumn(
-            f"_h{seed}", F.transform(F.col("_sh"), _seeded_md5(seed))
-        )
-    return doc.select(
-        F.col(id_col),
+    doc = sh.selectExpr(
+        id_col,
+        "_sh",
         *[
-            F.array_min(
-                F.transform(F.col(f"_h{i // 4}"), _hex_slice(i))
-            ).alias(f"sig{i}")
+            f"transform(_sh, s -> md5(concat('{seed}:', s))) AS _h{seed}"
+            for seed in range(n_seeds)
+        ],
+    )
+    return doc.selectExpr(
+        id_col,
+        *[
+            f"array_min(transform(_h{i // 4},"
+            f" h -> substring(h, {(i % 4) * 8 + 1}, 8))) AS sig{i}"
             for i in range(num_hashes)
         ],
     )
@@ -199,15 +209,16 @@ def split_bands_by_bucket_size(
     Per-bucket state is a counter, never a collected member list, so a
     pathological bucket costs O(1) memory.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "band_key")
-    tagged = bands.withColumn("bucket_size", F.count(F.lit(1)).over(w))
-    capped = tagged.filter(
-        F.col("bucket_size") <= max_bucket_size
-    ).select(id_col, "band", "band_key")
+    # SQL-string window (one py4j round trip; the Column-builder form
+    # cost ~10× the driver chatter — see minhash_signatures' r12 note).
+    tagged = bands.selectExpr(
+        "*", "count(1) OVER (PARTITION BY band, band_key) AS bucket_size"
+    )
+    capped = tagged.where(f"bucket_size <= {int(max_bucket_size)}").select(
+        id_col, "band", "band_key"
+    )
     flagged = (
-        tagged.filter(F.col("bucket_size") > max_bucket_size)
+        tagged.where(f"bucket_size > {int(max_bucket_size)}")
         .select("band", "band_key", "bucket_size")
         .distinct()
     )
@@ -232,8 +243,8 @@ def lsh_candidate_pairs(
     over the flagged side-output if needed."""
     if max_bucket_size is not None:
         bands, _ = split_bands_by_bucket_size(bands, max_bucket_size, id_col)
-    a = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("band").alias("band_a"), "band_key"
+    a = bands.selectExpr(
+        f"{id_col} AS doc_a", "band AS band_a", "band_key"
     )
     # SHUFFLE_HASH, not broadcast and not sort-merge (guide §3.1): both
     # self-join sides are the SAME band relation already hash-partitioned
@@ -247,15 +258,13 @@ def lsh_candidate_pairs(
     # sized by the shuffle-partition count, never by bucket skew (the cap
     # bounds buckets; the hash spreads them). Measured interleaved
     # min-of-6 at sf0.1: 1.50 → 1.28 s on ext_dedup_minhash.
-    b = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_key").alias("key_b")
+    b = bands.selectExpr(
+        f"{id_col} AS doc_b", "band AS band_b", "band_key AS key_b"
     ).hint("shuffle_hash")
     return (
         a.join(
             b,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("band_key") == F.col("key_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            F.expr("band_a = band_b AND band_key = key_b AND doc_a < doc_b"),
         )
         .select("doc_a", "doc_b")
         .distinct()
