@@ -27,12 +27,8 @@ deterministic within an engine but not IEEE-pinned across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from world_cup_duckdb_spark.functions.strings import (
-    bounded_one_partition as _one,
-)
 
 #: 2^32 — the md5-prefix coin space (first 8 hex digits).
 COIN_SPACE = 4294967296.0
@@ -87,6 +83,10 @@ def temperature_mix(
     stats = df.groupBy(group_col).agg(
         F.sum(weight_col).cast("bigint").alias("_c")
     )
+    # SQL-string expression building below (one py4j round trip per
+    # projection instead of a Column-builder call per node — the
+    # minhash_signatures r12 rationale; this operator sits inside the
+    # stateful corpus-prep pipeline that rebuilds its plan every run).
     # cmax via an unpartitioned window over the O(#groups) stats
     # relation — NOT a second aggregate over the corpus: a separate
     # stats.agg(max) sub-plan re-scans and re-shuffles the full input
@@ -94,39 +94,43 @@ def temperature_mix(
     # cannot reuse the exchange), doubling the stats pass at scale.
     # bounded O(#groups) stats relation: constant partition key keeps
     # the plan single-partition-equivalent without WindowExec's
-    # no-partition warning (functions.bounded_one_partition)
-    w_all = Window.partitionBy(_one(group_col))
-    ratio = F.max("_c").over(w_all).cast("double") / F.col("_c").cast(
-        "double"
+    # no-partition warning (functions.bounded_one_partition's
+    # pmod(hash(anchor), 1) form, inlined as SQL)
+    ratio = (
+        f"CAST(MAX(_c) OVER (PARTITION BY pmod(hash({group_col}), 1))"
+        f" AS DOUBLE) / CAST(_c AS DOUBLE)"
     )
-    m = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(alpha))
-    mult = stats.select(
+    m = (
+        f"SQRT({ratio})"
+        if alpha == 0.5
+        else f"POWER({ratio}, {alpha!r}D)"
+    )
+    mult = stats.selectExpr(
         group_col,
-        F.when(F.col("_c") > 0, F.least(F.lit(max_upsample), m))
-        .otherwise(F.lit(1.0))
-        .alias("_m"),
+        f"CASE WHEN _c > 0 THEN LEAST({max_upsample!r}D, {m})"
+        f" ELSE 1.0D END AS _m",
     )
-    coin = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    threshold = F.floor(
-        (F.col("_m") - F.floor("_m")) * F.lit(COIN_SPACE)
-    ).cast("bigint")
-    planned = df.join(F.broadcast(mult), group_col).withColumn(
-        "_n_copies",
-        F.floor("_m").cast("bigint") + (coin < threshold).cast("bigint"),
+    coin = (
+        f"CAST(conv(substring(md5(concat('{salt}',"
+        f" CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    threshold = (
+        f"CAST(FLOOR((_m - FLOOR(_m)) * {COIN_SPACE!r}D) AS BIGINT)"
+    )
+    planned = df.join(F.broadcast(mult), group_col).selectExpr(
+        "*",
+        f"CAST(FLOOR(_m) AS BIGINT)"
+        f" + CAST(({coin}) < ({threshold}) AS BIGINT) AS _n_copies",
     )
     return (
-        planned.filter(F.col("_n_copies") > 0)
-        .withColumn(
-            "copy_nr",
-            F.explode(F.sequence(F.lit(1), F.col("_n_copies").cast("int"))),
+        planned.where("_n_copies > 0")
+        # explode is a generator — it cannot nest inside CAST in a
+        # select list; sequence(1, INT) already yields INT elements,
+        # matching the old form's (no-op) final cast.
+        .selectExpr(
+            "*",
+            "explode(sequence(1, CAST(_n_copies AS INT))) AS copy_nr",
         )
-        .withColumn("copy_nr", F.col("copy_nr").cast("int"))
         .drop("_m", "_n_copies")
     )
 
@@ -171,40 +175,36 @@ def epoch_shuffle(
         )
     id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     carry_cols = list(carry)
-    epochs = df.select(
+    # SQL-string projections (one py4j round trip each — the
+    # minhash_signatures r12 rationale).
+    epochs = df.selectExpr(
         *id_cols,
         *carry_cols,
-        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+        f"explode(sequence(0, {n_epochs - 1})) AS epoch",
     )
     # Length-prefixed component encoding ("-<len>:<value>") so the
     # composite key is INJECTIVE: with a bare "-" join, ids containing
     # "-" can collide (("a-1","2") vs ("a","1-2")) and the colliding
     # rows would draw correlated shard/position every epoch.
-    hash_parts = [F.lit(salt), F.col("epoch").cast("string")]
+    hash_parts = [f"'{salt}'", "CAST(epoch AS STRING)"]
     for c in id_cols:
-        s = F.col(c).cast("string")
-        hash_parts += [
-            F.lit("-"),
-            F.length(s).cast("string"),
-            F.lit(":"),
-            s,
-        ]
-    hx = F.md5(F.concat(*hash_parts))
-    shard = (
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % n_shards
-    ).cast("int")
-    keyed = epochs.select(
-        F.col("epoch").cast("int").alias("epoch"),
-        shard.alias("shard"),
-        F.substring(hx, 9, 16).alias("_hkey"),
+        s = f"CAST({c} AS STRING)"
+        hash_parts += ["'-'", f"CAST(LENGTH({s}) AS STRING)", "':'", s]
+    hx = f"md5(concat({', '.join(hash_parts)}))"
+    keyed = epochs.selectExpr(
+        "CAST(epoch AS INT) AS epoch",
+        f"CAST(CAST(conv(substring({hx}, 1, 8), 16, 10) AS BIGINT)"
+        f" % {n_shards} AS INT) AS shard",
+        f"substring({hx}, 9, 16) AS _hkey",
         *id_cols,
         *carry_cols,
     )
-    w = Window.partitionBy("epoch", "shard").orderBy("_hkey", *id_cols)
-    return keyed.select(
+    order_cols = ", ".join(["_hkey", *id_cols])
+    return keyed.selectExpr(
         "epoch",
         "shard",
-        F.row_number().over(w).cast("bigint").alias("pos"),
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard"
+        f" ORDER BY {order_cols}) AS BIGINT) AS pos",
         *id_cols,
         *carry_cols,
     )
