@@ -1291,42 +1291,47 @@ def ext_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiply that into 15 full corpus scans (observed: 120 parquet
     # scans in the naive plan). With the cut, documents is scanned
     # exactly twice: once here, once by the dup pass.
+    # Aggregates as expr strings — one py4j round trip per aggregate
+    # list instead of a Column-builder call per node (the
+    # minhash_signatures r12 rationale; this query is stateful around
+    # the g persist, so the plan rebuild is paid every run).
     g = d.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("chars"),
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks"),
-        F.sum(F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")))
-        .cast("bigint")
-        .alias("digits"),
-        F.count_if(F.col("n_chars") < 100).cast("bigint").alias("n_short"),
-        F.count_if(F.col("n_chars") >= 1000).cast("bigint").alias("n_long"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(n_chars) AS BIGINT) AS chars"),
+        F.expr("CAST(sum(size(split(text, ' '))) AS BIGINT) AS toks"),
+        F.expr(
+            "CAST(sum(size(regexp_extract_all(text, '[0-9]', 0)))"
+            " AS BIGINT) AS digits"
+        ),
+        F.expr("CAST(count_if(n_chars < 100) AS BIGINT) AS n_short"),
+        F.expr("CAST(count_if(n_chars >= 1000) AS BIGINT) AS n_long"),
     ).transform(tracked_persist)
     glob = g.agg(
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.countDistinct("source").cast("bigint").alias("n_sources"),
-        F.countDistinct("lang").cast("bigint").alias("n_langs"),
-        F.sum("chars").cast("bigint").alias("chars"),
-        F.sum("toks").cast("bigint").alias("toks"),
-        F.sum("digits").cast("bigint").alias("digits"),
-        F.sum("n_short").cast("bigint").alias("n_short"),
-        F.sum("n_long").cast("bigint").alias("n_long"),
+        F.expr("CAST(sum(n_docs) AS BIGINT) AS n_docs"),
+        F.expr("CAST(count(DISTINCT source) AS BIGINT) AS n_sources"),
+        F.expr("CAST(count(DISTINCT lang) AS BIGINT) AS n_langs"),
+        F.expr("CAST(sum(chars) AS BIGINT) AS chars"),
+        F.expr("CAST(sum(toks) AS BIGINT) AS toks"),
+        F.expr("CAST(sum(digits) AS BIGINT) AS digits"),
+        F.expr("CAST(sum(n_short) AS BIGINT) AS n_short"),
+        F.expr("CAST(sum(n_long) AS BIGINT) AS n_long"),
     )
     srcmax = (
         g.groupBy("source")
-        .agg(F.sum("n_docs").alias("n"))
-        .agg(F.max("n").cast("bigint").alias("max_src"))
+        .agg(F.expr("sum(n_docs) AS n"))
+        .agg(F.expr("CAST(max(n) AS BIGINT) AS max_src"))
     )
     langmax = (
         g.groupBy("lang")
-        .agg(F.sum("n_docs").alias("n"))
-        .agg(F.max("n").cast("bigint").alias("max_lang"))
+        .agg(F.expr("sum(n_docs) AS n"))
+        .agg(F.expr("CAST(max(n) AS BIGINT) AS max_lang"))
     )
     dup = (
-        d.groupBy(F.md5("text").alias("h"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        d.groupBy(F.expr("md5(text) AS h"))
+        .agg(F.expr("count(1) AS c"))
         .agg(
-            F.count_if(F.col("c") >= 2).cast("bigint").alias("n_dup_groups"),
-            F.sum(F.col("c") - 1).cast("bigint").alias("n_dup_docs"),
+            F.expr("CAST(count_if(c >= 2) AS BIGINT) AS n_dup_groups"),
+            F.expr("CAST(sum(c - 1) AS BIGINT) AS n_dup_docs"),
         )
     )
     one = (
