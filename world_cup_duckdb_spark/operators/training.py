@@ -110,8 +110,11 @@ def temperature_mix(
         f"CASE WHEN _c > 0 THEN LEAST({max_upsample!r}D, {m})"
         f" ELSE 1.0D END AS _m",
     )
+    # SQL string literal: escape embedded single quotes (doubling) so an
+    # unusual salt can't silently change the hash input or break parse.
+    salt_sql = salt.replace("'", "''")
     coin = (
-        f"CAST(conv(substring(md5(concat('{salt}',"
+        f"CAST(conv(substring(md5(concat('{salt_sql}',"
         f" CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
     )
     threshold = (
@@ -186,7 +189,9 @@ def epoch_shuffle(
     # composite key is INJECTIVE: with a bare "-" join, ids containing
     # "-" can collide (("a-1","2") vs ("a","1-2")) and the colliding
     # rows would draw correlated shard/position every epoch.
-    hash_parts = [f"'{salt}'", "CAST(epoch AS STRING)"]
+    # Escaped as a SQL string literal (quote doubling), matching
+    # temperature_mix's salt handling.
+    hash_parts = [f"'{salt.replace(chr(39), chr(39) * 2)}'", "CAST(epoch AS STRING)"]
     for c in id_cols:
         s = f"CAST({c} AS STRING)"
         hash_parts += ["'-'", f"CAST(LENGTH({s}) AS STRING)", "':'", s]
