@@ -105,6 +105,23 @@ def test_connected_components_chain_and_star(spark):
     }
 
 
+def test_connected_components_raises_past_iteration_budget(spark):
+    """The non-convergence guard must still fail loudly under the r12
+    lazy-checkpoint loop (one fully-materializing count probe per
+    round): a diameter-3 chain cannot converge in one round, and
+    returning the intermediate labels as if converged would be silently
+    wrong dedup groups."""
+    import pytest
+
+    from world_cup_duckdb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1).collect()
+
+
 def test_asof_join_ties_and_no_match(spark):
     from datetime import datetime
     from world_cup_duckdb_spark.operators.relational import asof_join

@@ -611,6 +611,27 @@ def test_hdr_sketch_aggregates_map_side_before_exchange(spark, sf_dir):
     assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in p, p
 
 
+def test_dedup_minhash_pair_join_is_shuffled_hash_on_shared_exchange(
+    spark, sf_dir
+):
+    """The r12 pair-join rework: both sides of the LSH bucket self-join
+    are the same band relation already hash-partitioned by
+    (band, band_key) from the cap window's exchange, so the join must
+    plan as a ShuffledHashJoin whose second side is a ReusedExchange —
+    and NOT as the bench-scale default broadcast, which collected the
+    entire capped band table to the driver per run (not a plan at
+    corpus scale at all). (Exchange REUSE itself is asserted only
+    implicitly: under the engine default AQE session it is a runtime
+    decision invisible in the initial plan text; the committed bench
+    capture plans/r12/ext_dedup_minhash_after.txt shows the
+    ReusedExchange under the AQE-off bench posture.)"""
+    p = plan(REGISTRY["ext_dedup_minhash"].fn(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert "ShuffledHashJoin" in tree, p
+    assert "BroadcastExchange" not in tree, p
+    spark.catalog.clearCache()
+
+
 def test_minhash_accuracy_reuses_one_signature_stage(spark, sf_dir):
     """The calibration query's cost claim: signatures and shingle sets
     are persisted once and every consumer (both band self-join sides,
