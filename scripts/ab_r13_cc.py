@@ -179,5 +179,142 @@ def main() -> None:
               f"  all={[round(t, 3) for t in times[name]]}")
 
 
+# --- round-2 decomposition (appended): schedule vs fused, on window edges
+def cc_sched(pairs, a_col="doc_a", b_col="doc_b", max_iterations=15):
+    """Baseline round shape (2 joins + agg), batched [1,2,2,...] probes."""
+    half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    spark = pairs.sparkSession
+    n_part = int(str(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n_part, F.col("dst"))
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.min("dst"), F.min("src")).alias("label")
+    )
+    rounds_left = max_iterations
+    batch = 1
+    converged = False
+    while rounds_left > 0:
+        k = min(batch, rounds_left)
+        new_labels = labels
+        for _ in range(k):
+            neighbor_min = (
+                edges.join(new_labels, edges["dst"] == new_labels["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            prev = new_labels
+            new_labels = (
+                prev.join(
+                    neighbor_min, prev["node"] == neighbor_min["src"], "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    ).alias("label"),
+                    F.col("label").alias("old"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("node", "label")
+        rounds_left -= k
+        batch = 2
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError("cc_sched did not converge")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def main2() -> None:
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    from world_cup_duckdb_spark.operators.dedup import (
+        connected_components,
+        minhash_bands,
+        with_recrawl,
+    )
+    from world_cup_duckdb_spark.queries import (
+        release_tracked_persists,
+        tracked_persist,
+    )
+    from world_cup_duckdb_spark.session import get_spark
+    from world_cup_duckdb_spark.sources.catalog import load_tables, warm_cache
+
+    spark = get_spark(
+        "wcdbs-ab-cc2",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        extra_conf={
+            "spark.sql.shuffle.partitions": os.environ.get(
+                "SPARK_GRAFT_SHUFFLE", "8"
+            ),
+            "spark.sql.adaptive.enabled": os.environ.get(
+                "SPARK_GRAFT_AQE", "false"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_cache(spark, SF_DIR)
+
+    variants = {
+        "W_base": lambda b: connected_components(star_edges_window(b)),
+        "W_sched": lambda b: cc_sched(star_edges_window(b)),
+        "W_fused": lambda b: cc_fused(star_edges_window(b)),
+        "W_base_nopersist": None,  # filled below
+    }
+
+    def build_bands(persist: bool):
+        release_tracked_persists()
+        d = load_tables(spark, SF_DIR)["documents"]
+        corpus = with_recrawl(d.select("doc_id", "text"))
+        bands = minhash_bands(corpus, num_hashes=8, band_size=2)
+        return bands.transform(tracked_persist) if persist else bands
+
+    def once(name) -> float:
+        persist = name != "W_base_nopersist"
+        fn = variants[name] or (
+            lambda b: connected_components(star_edges_window(b))
+        )
+        bands = build_bands(persist)
+        t0 = time.perf_counter()
+        fn(bands).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    rows = {}
+    for name in variants:
+        persist = name != "W_base_nopersist"
+        fn = variants[name] or (
+            lambda b: connected_components(star_edges_window(b))
+        )
+        rows[name] = sorted(tuple(r) for r in fn(build_bands(persist)).collect())
+    ok = all(rows[n] == rows["W_base"] for n in variants)
+    print(f"row equality: {ok} ({len(rows['W_base'])} rows)")
+    if not ok:
+        sys.exit(1)
+    for name in variants:
+        once(name)
+    times = {n: [] for n in variants}
+    for _ in range(reps):
+        for name in variants:
+            times[name].append(once(name))
+    print(f"== CC schedule/fused decomposition, interleaved min of {reps} ==")
+    for name in variants:
+        runs = sorted(times[name])
+        print(f"  {name:18s} min={runs[0]:6.3f}  med={runs[len(runs)//2]:6.3f}"
+              f"  all={[round(t, 3) for t in times[name]]}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "phase2":
+        main2()
+    else:
+        main()

@@ -105,6 +105,73 @@ def test_connected_components_chain_and_star(spark):
     }
 
 
+def test_connected_components_exact_budget_converges(spark):
+    """The r13 batched probe schedule (probes after rounds 1, 3, 5, …,
+    capped at max_iterations) must still CONVERGE — not raise — on a
+    graph whose diameter needs exactly the budget: a 5-chain needs three
+    label-changing rounds past the 1-hop seed plus the confirming
+    round, so max_iterations=4 exercises the capped final batch
+    (schedule [1, 2, 1]) and must return fully-propagated labels."""
+    from world_cup_duckdb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iterations=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_lsh_star_edges_is_one_window_pass_no_join(spark):
+    """The r13 star-hub rework: the bucket minimum attaches via a MIN
+    window over (band, band_key) — ONE exchange — not the old
+    hash-aggregate + join-back pair, so the plan must contain a Window
+    and no join of any kind. Rows must equal the aggregate+join form's
+    (min per bucket linked to every other member)."""
+    from world_cup_duckdb_spark.operators.dedup import lsh_star_edges
+
+    bands = spark.createDataFrame(
+        [(1, 0, "k1"), (2, 0, "k1"), (3, 0, "k1"), (3, 1, "k2"), (9, 1, "k2")],
+        "doc_id bigint, band int, band_key string",
+    )
+    edges = lsh_star_edges(bands)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    got = {(r["doc_a"], r["doc_b"]) for r in edges.collect()}
+    assert got == {(1, 2), (1, 3), (3, 9)}
+
+
+def test_spread_decision_is_memoized_per_plan(spark):
+    """The r13 split-estimate memo: probing the same analyzed plan twice
+    in one session must hit the memo (one entry, same decision), and a
+    different input must get its own entry — keyed on
+    (applicationId, semanticHash), never shared across inputs."""
+    from world_cup_duckdb_spark.operators import scale
+
+    a = spark.range(0, 100, 1, 1).withColumnRenamed("id", "k").persist()
+    b = spark.range(100, 300, 1, 2).withColumnRenamed("id", "k").persist()
+    try:
+        a.count(), b.count()
+        scale._SPREAD_MEMO.clear()
+        out1 = scale.spread_for_cpu_work(a, "k")
+        assert len(scale._SPREAD_MEMO) == 1
+        # A second probe of the same plan must not add a memo entry.
+        out2 = scale.spread_for_cpu_work(a, "k")
+        assert len(scale._SPREAD_MEMO) == 1
+        assert (
+            out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()
+        )
+        scale.spread_for_cpu_work(b, "k")
+        assert len(scale._SPREAD_MEMO) == 2
+    finally:
+        a.unpersist()
+        b.unpersist()
+        scale._SPREAD_MEMO.clear()
+
+
 def test_connected_components_raises_past_iteration_budget(spark):
     """The non-convergence guard must still fail loudly under the r12
     lazy-checkpoint loop (one fully-materializing count probe per

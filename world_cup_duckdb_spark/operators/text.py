@@ -75,13 +75,23 @@ def stage_token_counts(df, keep, langs=_LANG_ORDER, text_col="text", keep_text=F
     ``keep_text``) with ``n_tokens`` and one ``<lang>_n`` stopword
     counter per requested language.
     """
+    # SQL-string projections (r13): one py4j round trip per stage instead
+    # of a Column/lambda builder call per node — the minhash_signatures
+    # r12 rationale; this helper sits inside the stateful corpus-prep
+    # build (paid per run) and a dozen pure-plan builds. Faithful
+    # transcription of tokens()/stopword_count(): split on a single
+    # space, size(filter(toks, t IN stopwords)). Identifiers are
+    # backtick-quoted (ADVICE r12).
     cols = [*keep, text_col] if keep_text else list(keep)
-    staged = df.select(*cols, tokens(text_col).alias("__toks"))
-    return staged.select(
-        *cols,
-        F.size("__toks").alias("n_tokens"),
+    quoted = [f"`{c}`" for c in cols]
+    staged = df.selectExpr(*quoted, f"split(`{text_col}`, ' ') AS __toks")
+    return staged.selectExpr(
+        *quoted,
+        "size(__toks) AS n_tokens",
         *[
-            stopword_count(F.col("__toks"), lang).alias(f"{lang}_n")
+            "size(filter(__toks, t -> t IN ({w}))) AS `{lang}_n`".format(
+                w=", ".join(f"'{s}'" for s in STOPWORDS[lang]), lang=lang
+            )
             for lang in langs
         ],
     )

@@ -2207,11 +2207,21 @@ def quality_expr():
     columns (n_tokens, en_n) — ONE definition consumed by
     ext_cluster_best_copy AND the fused corpus-prep pipeline
     (queries/ext_pipeline.py), so the canonical-selection policy cannot
-    silently diverge between the per-stage query and the composition."""
-    stop_ratio = F.col("en_n") / F.col("n_tokens").cast("double")
+    silently diverge between the per-stage query and the composition.
+    Parses the single SQL spelling (:func:`quality_sql`) — one py4j
+    round trip instead of eight Column-builder calls (r13, the
+    minhash_signatures r12 rationale)."""
+    return F.expr(quality_sql())
+
+
+def quality_sql() -> str:
+    """The quality score as a Spark SQL fragment over stage_token_counts
+    columns — the selectExpr-form twin of :func:`quality_expr` (``D``
+    suffixes pin DOUBLE literals; a bare ``1.0`` parses as DECIMAL in
+    Spark SQL, unlike ``F.lit(1.0)``)."""
     return (
-        F.least(F.lit(1.0), F.col("n_tokens") / F.lit(200.0)) * 0.5
-        + F.least(F.lit(1.0), stop_ratio * 8.0) * 0.5
+        "least(1.0D, n_tokens / 200.0D) * 0.5D"
+        " + least(1.0D, (en_n / CAST(n_tokens AS DOUBLE)) * 8.0D) * 0.5D"
     )
 
 
@@ -2416,14 +2426,28 @@ def _split_sql(key: str) -> str:
 def split_bucket(key):
     """Spark twin of :func:`_split_sql`'s bucket arithmetic: the 0-9
     md5-nibble bucket of a key column — ONE definition for
-    ext_split_leakage and the fused pipeline's train gate."""
+    ext_split_leakage and the fused pipeline's train gate. String keys
+    parse the SQL spelling (:func:`split_bucket_sql`, one py4j round
+    trip — r13); Column keys keep the builder form."""
+    if isinstance(key, str):
+        return F.expr(split_bucket_sql(f"`{key}`"))
     from world_cup_duckdb_spark.functions.strings import (
         hex_nibble,
         md5_bucket,
     )
 
-    h = md5_bucket(F.col(key) if isinstance(key, str) else key)
+    h = md5_bucket(key)
     return (hex_nibble(h, 1) * 16 + hex_nibble(h, 2)) % 10
+
+
+def split_bucket_sql(key_sql: str) -> str:
+    """The 0-9 md5-nibble bucket as a Spark SQL fragment over the
+    (already-quoted) key expression — faithful transcription of
+    md5_bucket(seed=0) + hex_nibble(1)/hex_nibble(2) arithmetic."""
+    h = f"md5(concat(CAST(0 AS STRING), ':', CAST({key_sql} AS STRING)))"
+    n1 = f"CAST(instr('0123456789abcdef', substring({h}, 1, 1)) - 1 AS INT)"
+    n2 = f"CAST(instr('0123456789abcdef', substring({h}, 2, 1)) - 1 AS INT)"
+    return f"(({n1}) * 16 + ({n2})) % 10"
 
 
 def _split_leakage_oracle() -> str:

@@ -32,7 +32,7 @@ so the full pipeline output value-hashes identically in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from world_cup_duckdb_spark.operators.dedup import (
@@ -50,9 +50,9 @@ from world_cup_duckdb_spark.queries import register, tracked_persist
 from world_cup_duckdb_spark.queries.ext_dedup import (
     _CLUSTER_CTES,
     _split_sql,
-    quality_expr,
     quality_scored_sql,
-    split_bucket,
+    quality_sql,
+    split_bucket_sql,
 )
 from world_cup_duckdb_spark.sources.catalog import load_tables
 
@@ -191,21 +191,23 @@ def ext_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = connected_components(lsh_star_edges(bands))
     counted = stage_token_counts(corpus, keep=("doc_id",), langs=("en",))
+    # SQL-string projections through the tail (r13, VERDICT r12 item 2):
+    # this stateful query rebuilds its plan every run, and the
+    # Column-builder forms of the quality/argmax/split-gate expressions
+    # cost ~0.1 s of py4j chatter per build; each selectExpr/expr below
+    # is one round trip. Faithful transcriptions of the old Column
+    # forms (coalesce, struct-max argmax, split_bucket gate, -m.neg).
     members = (
         corpus.select("doc_id")
         .join(clusters, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
-        )
-        .join(counted.select("doc_id", quality_expr().alias("q")), "doc_id")
+        .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+        .join(counted.selectExpr("doc_id", f"{quality_sql()} AS q"), "doc_id")
     )
     best = members.groupBy("cluster_id").agg(
-        F.max(
-            F.struct(F.col("q"), (-F.col("doc_id")).alias("neg"))
-        ).alias("m")
+        F.expr("max(struct(q, -doc_id AS neg))").alias("m")
     )
-    train = best.filter(split_bucket("cluster_id") < 8).select(
-        (-F.col("m.neg")).cast("long").alias("kept_doc_id")
+    train = best.where(f"({split_bucket_sql('cluster_id')}) < 8").selectExpr(
+        "CAST(-m.neg AS BIGINT) AS kept_doc_id"
     )
     # Metadata rides the SAME recrawl union the clustering saw — an
     # exact join on the (possibly shifted) kept id, never arithmetic on
@@ -243,26 +245,23 @@ def ext_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=_N_SHARDS,
         carry=("n_chars",),
     )
-    w = (
-        Window.partitionBy("epoch", "shard")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = shuffled.select(
+    placed = shuffled.selectExpr(
         "epoch",
         "shard",
         "pos",
         "n_chars",
-        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("off"),
+        "sum(n_chars) OVER (PARTITION BY epoch, shard ORDER BY pos"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " - n_chars AS off",
     )
     return (
-        placed.withColumn(
-            "pack_id", F.floor(F.col("off") / F.lit(_BUDGET)).cast("long")
+        placed.selectExpr(
+            "*", f"CAST(FLOOR(off / {_BUDGET}) AS BIGINT) AS pack_id"
         )
         .groupBy("epoch", "shard", "pack_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("pack_chars"),
-            F.min("pos").cast("long").alias("first_pos"),
+            F.expr("CAST(count(1) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(sum(n_chars) AS BIGINT)").alias("pack_chars"),
+            F.expr("CAST(min(pos) AS BIGINT)").alias("first_pos"),
         )
     )
