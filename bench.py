@@ -74,6 +74,14 @@ EXTENDED = [
 #: ext_bloom_semijoin joined the tier in r12: its fused single-broadcast
 #: form (bloom_semijoin_state) dropped the tracked persist, so its build
 #: is a pure lazy plan now.
+#: ext_dedup_minhash joined in r13: the r12 SHUFFLE_HASH pair join made
+#: both self-join sides share the cap window's (band, band_key)
+#: exchange, so the r5-era bands persist became a redundant second
+#: materialization and was dropped (queries/ext_dedup.py) — the build
+#: is a pure lazy plan now. Its r12→r13 rep numbers therefore mix
+#: policies exactly like bloom's did in r12 (BENCH_r12 reps rebuilt per
+#: rep; r13 reps reuse the session plan); OPTIMIZATION_r13.md carries
+#: both the old-policy (build+exec) and new-policy numbers.
 #: Membership is machine-checked: tests/test_harness.py builds each
 #: member in a fresh state and fails the whitelist if a build triggers
 #: a Spark job or registers a tracked persist.
@@ -83,6 +91,7 @@ PURE_PLAN = frozenset(HEADLINE[:10]) | frozenset({
     "ext_tfidf",
     "ext_quality_filter_pipeline",
     "ext_bloom_semijoin",
+    "ext_dedup_minhash",
     "ext_url_dedup",
     "ext_hybrid_rrf",
     "ext_mmr_diversify",
@@ -96,7 +105,9 @@ PURE_PLAN = frozenset(HEADLINE[:10]) | frozenset({
 #: queries starting with BENCH_r11, so artifacts self-label the policy
 #: and a cross-round comparison mixing policies is detectable instead
 #: of silent. Bump when the timing policy changes meaning again.
-METHODOLOGY = "pure-plan-v2"
+#: v3 (r13): ext_dedup_minhash entered PURE_PLAN (see its whitelist
+#: note above) — its reps are not comparable to pure-plan-v2 artifacts.
+METHODOLOGY = "pure-plan-v3"
 
 
 def main() -> None:

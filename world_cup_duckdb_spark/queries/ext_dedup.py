@@ -113,17 +113,22 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the adversarial fixture in tests/test_llm_ops.py.
     """
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    # Cut bands before the self-join: both join sides consume the same
-    # signature pipeline, and without a cut Spark recomputes the
-    # shingle-md5 stage once PER SIDE (it reuses exchanges, not arbitrary
-    # subplans). persist(), not localCheckpoint: both sides read the one
-    # InMemoryRelation without the RDD materialization job, measured ~30%
-    # off the whole query (1.20 → 0.85 s same-process A/B at sf0.1, r5).
-    # MEMORY_AND_DISK spills like a checkpoint would at scale; at 100 TB
-    # you'd land bands in storage before bucket-joining either way.
-    bands = minhash_bands(
-        with_recrawl(d), num_hashes=8, band_size=2
-    ).transform(tracked_persist)
+    # No bands persist (r13): the r5 cut predated the r12 SHUFFLE_HASH
+    # pair join — back then the broadcast self-join gave Spark no
+    # exchange to reuse, so each side recomputed the shingle-md5 stage.
+    # Since r12 the cap window hash-partitions the band table by
+    # (band, band_key) and BOTH join sides share that one exchange
+    # (ReusedExchange, pinned in tests/test_plans.py), so the signature
+    # pipeline computes exactly once into shuffle files and the persist
+    # was a redundant second materialization (cache write + storage
+    # memory for the full band table — a real cost at 100 TB, where
+    # shuffle files spill to executor disks for free). Plan-verified:
+    # 1 ReusedExchange, same exchange count, identical rows; interleaved
+    # min-of-8 at sf0.1 is a wash locally (0.51 vs 0.53 build+exec) —
+    # the cut is memory/lifecycle, not wall-clock, at bench scale. With
+    # no tracked persist the build is a pure lazy plan (bench.py
+    # PURE_PLAN, machine-checked by tests/test_harness.py).
+    bands = minhash_bands(with_recrawl(d), num_hashes=8, band_size=2)
     return lsh_candidate_pairs(bands, max_bucket_size=64)
 
 
