@@ -99,21 +99,27 @@ def minhash_signatures(
     # its repartition decision from df.inputFiles(), which a streaming
     # relation cannot answer — micro-batches already arrive partitioned
     # by the source, so the fan-out is both unavailable and unneeded.
+    # The inline `split(text, ' ')` below is the SQL spelling of the
+    # operators.text.tokens() contract (single-space split — the one
+    # tokenization every oracle mirrors); if tokens() ever changes, this
+    # fragment must change with it (tests/test_parity.py's dedup-family
+    # hash checks catch a divergence).
     n_seeds = (num_hashes + 3) // 4
     k = shingle_words
+    qid, qtext = f"`{id_col}`", f"`{text_col}`"
     narrow = docs.select(F.col(id_col), F.col(text_col))
     staged = (
         spread_for_cpu_work(narrow, id_col) if spread else narrow
-    ).selectExpr(id_col, f"split({text_col}, ' ') AS _t")
+    ).selectExpr(qid, f"split({qtext}, ' ') AS _t")
     sh = staged.selectExpr(
-        id_col,
+        qid,
         f"array_distinct(CASE WHEN size(_t) >= {k} THEN "
         f"transform(sequence(1, size(_t) - {k - 1}),"
         f" i -> array_join(slice(_t, i, {k}), ' ')) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END) AS _sh",
     )
     doc = sh.selectExpr(
-        id_col,
+        qid,
         "_sh",
         *[
             f"transform(_sh, s -> md5(concat('{seed}:', s))) AS _h{seed}"
@@ -121,7 +127,7 @@ def minhash_signatures(
         ],
     )
     return doc.selectExpr(
-        id_col,
+        qid,
         *[
             f"array_min(transform(_h{i // 4},"
             f" h -> substring(h, {(i % 4) * 8 + 1}, 8))) AS sig{i}"
@@ -179,7 +185,7 @@ def bands_from_signatures(
         for b in range(n_bands)
     )
     return sigs.selectExpr(
-        id_col,
+        f"`{id_col}`",
         f"stack({n_bands}, {stack_args}) AS (band, band_key)",
     )
 
@@ -241,10 +247,11 @@ def lsh_candidate_pairs(
     bucket still pair through any other band they share; recover
     connectivity *within* dropped buckets with :func:`lsh_star_edges`
     over the flagged side-output if needed."""
-    if max_bucket_size is not None:
+    capped = max_bucket_size is not None
+    if capped:
         bands, _ = split_bands_by_bucket_size(bands, max_bucket_size, id_col)
     a = bands.selectExpr(
-        f"{id_col} AS doc_a", "band AS band_a", "band_key"
+        f"`{id_col}` AS doc_a", "band AS band_a", "band_key"
     )
     # SHUFFLE_HASH, not broadcast and not sort-merge (guide §3.1): both
     # self-join sides are the SAME band relation already hash-partitioned
@@ -258,9 +265,15 @@ def lsh_candidate_pairs(
     # sized by the shuffle-partition count, never by bucket skew (the cap
     # bounds buckets; the hash spreads them). Measured interleaved
     # min-of-6 at sf0.1: 1.50 → 1.28 s on ext_dedup_minhash.
+    # CAPPED PATH ONLY (ADVICE r12): without the cap there is no window
+    # exchange to share, so the hint would just suppress a
+    # possibly-better broadcast for small band tables — the planner
+    # chooses there.
     b = bands.selectExpr(
-        f"{id_col} AS doc_b", "band AS band_b", "band_key AS key_b"
-    ).hint("shuffle_hash")
+        f"`{id_col}` AS doc_b", "band AS band_b", "band_key AS key_b"
+    )
+    if capped:
+        b = b.hint("shuffle_hash")
     return (
         a.join(
             b,

@@ -97,7 +97,7 @@ def temperature_mix(
     # no-partition warning (functions.bounded_one_partition's
     # pmod(hash(anchor), 1) form, inlined as SQL)
     ratio = (
-        f"CAST(MAX(_c) OVER (PARTITION BY pmod(hash({group_col}), 1))"
+        f"CAST(MAX(_c) OVER (PARTITION BY pmod(hash(`{group_col}`), 1))"
         f" AS DOUBLE) / CAST(_c AS DOUBLE)"
     )
     m = (
@@ -106,16 +106,20 @@ def temperature_mix(
         else f"POWER({ratio}, {alpha!r}D)"
     )
     mult = stats.selectExpr(
-        group_col,
+        f"`{group_col}`",
         f"CASE WHEN _c > 0 THEN LEAST({max_upsample!r}D, {m})"
         f" ELSE 1.0D END AS _m",
     )
-    # SQL string literal: escape embedded single quotes (doubling) so an
-    # unusual salt can't silently change the hash input or break parse.
-    salt_sql = salt.replace("'", "''")
+    # SQL string literal: escape backslashes (the parser processes
+    # backslash escapes in literals — escapedStringLiterals=false is the
+    # default, so a bare '\' would silently change the md5 coin input vs
+    # the old F.lit(salt) form; ADVICE r12) and then embedded single
+    # quotes (doubling), so an unusual salt can't change the hash input
+    # or break parse.
+    salt_sql = salt.replace("\\", "\\\\").replace("'", "''")
     coin = (
         f"CAST(conv(substring(md5(concat('{salt_sql}',"
-        f" CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" CAST(`{id_col}` AS STRING))), 1, 8), 16, 10) AS BIGINT)"
     )
     threshold = (
         f"CAST(FLOOR((_m - FLOOR(_m)) * {COIN_SPACE!r}D) AS BIGINT)"
@@ -178,21 +182,27 @@ def epoch_shuffle(
         )
     id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     carry_cols = list(carry)
+    quoted_ids = [f"`{c}`" for c in id_cols]
+    quoted_carry = [f"`{c}`" for c in carry_cols]
     # SQL-string projections (one py4j round trip each — the
-    # minhash_signatures r12 rationale).
+    # minhash_signatures r12 rationale); identifiers backtick-quoted
+    # (ADVICE r12: reserved-word/special-char column names must not
+    # mis-parse).
     epochs = df.selectExpr(
-        *id_cols,
-        *carry_cols,
+        *quoted_ids,
+        *quoted_carry,
         f"explode(sequence(0, {n_epochs - 1})) AS epoch",
     )
     # Length-prefixed component encoding ("-<len>:<value>") so the
     # composite key is INJECTIVE: with a bare "-" join, ids containing
     # "-" can collide (("a-1","2") vs ("a","1-2")) and the colliding
     # rows would draw correlated shard/position every epoch.
-    # Escaped as a SQL string literal (quote doubling), matching
-    # temperature_mix's salt handling.
-    hash_parts = [f"'{salt.replace(chr(39), chr(39) * 2)}'", "CAST(epoch AS STRING)"]
-    for c in id_cols:
+    # Escaped as a SQL string literal (backslash doubling first — the
+    # parser processes backslash escapes in literals, ADVICE r12 — then
+    # quote doubling), matching temperature_mix's salt handling.
+    salt_sql = salt.replace("\\", "\\\\").replace("'", "''")
+    hash_parts = [f"'{salt_sql}'", "CAST(epoch AS STRING)"]
+    for c in quoted_ids:
         s = f"CAST({c} AS STRING)"
         hash_parts += ["'-'", f"CAST(LENGTH({s}) AS STRING)", "':'", s]
     hx = f"md5(concat({', '.join(hash_parts)}))"
@@ -201,15 +211,15 @@ def epoch_shuffle(
         f"CAST(CAST(conv(substring({hx}, 1, 8), 16, 10) AS BIGINT)"
         f" % {n_shards} AS INT) AS shard",
         f"substring({hx}, 9, 16) AS _hkey",
-        *id_cols,
-        *carry_cols,
+        *quoted_ids,
+        *quoted_carry,
     )
-    order_cols = ", ".join(["_hkey", *id_cols])
+    order_cols = ", ".join(["_hkey", *quoted_ids])
     return keyed.selectExpr(
         "epoch",
         "shard",
         f"CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard"
         f" ORDER BY {order_cols}) AS BIGINT) AS pos",
-        *id_cols,
-        *carry_cols,
+        *quoted_ids,
+        *quoted_carry,
     )

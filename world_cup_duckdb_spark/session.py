@@ -54,6 +54,16 @@ _DEFAULTS = {
 #: cross a network there); on a cluster that would be wrong — shuffle
 #: bytes traverse NICs and executor disks, so lz4 pays for itself — and
 #: shuffle parallelism must track total cluster cores, not one machine.
+#:
+#: Checkpoint durability note (operators/dedup.py:connected_components):
+#: the engine's iterative operators cut lineage with
+#: ``localCheckpoint`` — executor-local, NON-replicated blocks. On a
+#: cluster, losing an executor mid-run discards its blocks and the
+#: recompute must re-run THROUGH the lost round's whole lineage (or
+#: fail if an upstream RDD is gone). For multi-hour CC runs set
+#: ``spark.sparkContext.setCheckpointDir`` to reliable storage and use
+#: ``checkpoint()`` at the same cut points instead — the extra write is
+#: the insurance premium.
 CLUSTER_PROFILE: dict[str, str] = {
     "spark.shuffle.compress": "true",
     "spark.shuffle.spill.compress": "true",
