@@ -287,42 +287,44 @@ def _ordered_names() -> list[str]:
     # left at registration order the same analytics/core/lifecycle
     # block would re-burn its ~50-key window forever while the oldest
     # evidence staled. Pin the STALEST-verified block first among
-    # verified keys. Round 12 (VERDICT r11 item 6) rotates in, by
+    # verified keys. Round 13 (VERDICT r12 item 8) rotates in, by
     # recomputed staleness (latest green row per key across
-    # CORRECTNESS_r1..r11): the r1-era source/sampling block, op01,
-    # then the r3-era dedup/ANN/streaming/text extension families
-    # (ext_dedup_*, ext_ann_*, ext_tfidf/ext_bm25, ext_stream_*) —
-    # none re-sampled by any driver window since their round. More
-    # r3-era keys exist than one window holds; the overflow stays at
-    # this block's tail and leads the r13 rotation.
+    # CORRECTNESS_r1..r12): the r12 window re-verified the r1/r3-era
+    # dedup/ANN/text block, so the stalest evidence is now the r3-era
+    # streaming/multimodal/fit tail that overflowed the r12 window,
+    # then the r5-era sql_* dialect block (47 keys, none re-sampled
+    # since round 5). More stale keys exist than one ~50-key window
+    # holds; the r5 overflow tails into the r14 rotation.
     rotation_block = [
-        # latest green: r1
-        "ext_corrupt_json", "ext_deterministic_sample", "ext_fuzzy_join",
-        "ext_metadata_columns", "ext_python_datasource", "ext_quantiles",
-        "ext_schema_evolution", "ext_sessionize_batch",
-        "ext_stratified_sample", "ext_upsert_latest",
-        "ext_window_distribution", "op02c_json_scan", "op02d_orc_scan",
-        # latest green: r2
-        "op01_remote_fetch_cache",
-        # latest green: r3 — dedup/ANN/text/streaming extension families
-        "ext_dedup_exact", "ext_dedup_simhash", "ext_dedup_minhash",
-        "ext_dedup_ngram_jaccard", "ext_dedup_clusters",
-        "ext_dedup_incremental", "ext_substring_dedup",
-        "ext_minhash_accuracy", "ext_jaccard_prefix_join",
-        "ext_ann_bruteforce", "ext_ann_ivf", "ext_ann_lsh",
-        "ext_ann_recall", "ext_embedding_centroids",
-        "ext_embedding_neardup", "ext_embedding_quantize",
-        "ext_vector_norm", "ext_tfidf", "ext_bm25", "ext_bigram_topk",
-        "ext_token_count", "ext_vocab_topk", "ext_vocab_growth",
-        "ext_lang_id", "ext_quality_score", "ext_repetition",
-        "ext_lm_score", "ext_fingerprint", "ext_contamination",
-        "ext_chunk_documents", "ext_corpus_mix", "ext_kfold_split",
-        "ext_pack_sequences", "ext_fit_pandas", "ext_hll_sketch_union",
-        "ext_stream_dedup", "ext_stream_enrich", "ext_stream_session",
-        "ext_stream_sliding", "ext_stream_stream_join",
-        "ext_stream_tumbling", "ext_mm_decode", "ext_mm_decode_real",
-        "ext_mm_frames", "ext_mm_metadata", "ext_mm_resize",
-        "wc_build_manifest", "ext_quality_filter_pipeline",
+        # latest green: r3 — the r12-window overflow
+        "ext_fit_pandas", "ext_hll_sketch_union", "ext_mm_decode",
+        "ext_mm_decode_real", "ext_mm_frames", "ext_mm_metadata",
+        "ext_mm_resize", "ext_pack_sequences",
+        "ext_quality_filter_pipeline", "ext_stream_dedup",
+        "ext_stream_enrich", "ext_stream_session", "ext_stream_sliding",
+        "ext_stream_stream_join", "ext_stream_tumbling",
+        "wc_build_manifest",
+        # latest green: r5 — the sql_* dialect block + r5 extension keys
+        "ext_ann_bruteforce_np", "ext_feature_hash", "ext_mm_features",
+        "ext_pii_redact", "ext_url_filter",
+        "sql_bag_set_ops", "sql_balance_rank", "sql_big_spenders",
+        "sql_cube", "sql_customers_without_orders",
+        "sql_disjunctive_parts", "sql_filter_clause",
+        "sql_first_last_window", "sql_group_by_all", "sql_grouping_sets",
+        "sql_hypertable_rollup", "sql_idle_customers",
+        "sql_important_parts", "sql_large_orders", "sql_lateral_topk",
+        "sql_listagg", "sql_local_supplier_volume", "sql_market_share",
+        "sql_min_price_supplier", "sql_monthly_volume",
+        "sql_nation_profit", "sql_nation_set_ops", "sql_nation_volume",
+        "sql_order_count_distribution", "sql_order_priority_check",
+        "sql_parameterized", "sql_percent_of_total", "sql_pipe_syntax",
+        "sql_pricing_summary", "sql_priority_linestatus",
+        "sql_promo_revenue_ratio", "sql_recursive_calendar",
+        "sql_returned_items", "sql_revenue_change", "sql_rolling_7day",
+        "sql_scalar_correlated", "sql_shipping_priority",
+        "sql_small_quantity_revenue", "sql_sole_returner",
+        "sql_supplier_part_counts", "sql_top_part_suppliers",
+        "sql_top_supplier",
     ]
     missing_rot = [n for n in rotation_block if n not in REGISTRY]
     if missing_rot:
